@@ -1,0 +1,82 @@
+"""Host-side audio I/O for the TPU stack.
+
+The reference uses torchaudio for load/resample/save
+(reference: indextts/utils/common.py:11-26, indextts/infer.py:85-93,234).
+torchaudio is not a dependency here; WAV I/O is implemented on the stdlib
+`wave` module + numpy, and resampling uses a polyphase kaiser-windowed sinc
+(scipy.signal.resample_poly), which matches torchaudio's default
+`sinc_interp_hann`-family resampler to audible transparency.
+"""
+
+from __future__ import annotations
+
+import math
+import wave
+from typing import Optional, Tuple
+
+import numpy as np
+from scipy.signal import resample_poly
+
+
+def read_wav(path: str) -> Tuple[np.ndarray, int]:
+    """Read a PCM WAV file -> (float32 array [channels, samples] in [-1, 1], sample_rate)."""
+    with wave.open(path, "rb") as w:
+        n_channels = w.getnchannels()
+        sampwidth = w.getsampwidth()
+        sr = w.getframerate()
+        n_frames = w.getnframes()
+        raw = w.readframes(n_frames)
+    if sampwidth == 2:
+        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sampwidth == 4:
+        data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif sampwidth == 1:  # unsigned 8-bit
+        data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif sampwidth == 3:  # packed 24-bit
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        vals = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+        data = vals.astype(np.float32) / float(1 << 23)
+    else:
+        raise ValueError(f"unsupported WAV sample width: {sampwidth}")
+    data = data.reshape(-1, n_channels).T  # [C, T]
+    return np.ascontiguousarray(data), sr
+
+
+def write_wav(path: str, audio: np.ndarray, sample_rate: int) -> None:
+    """Write int16 PCM WAV. `audio` is [channels, samples]; float input is
+    interpreted as already scaled to int16 range (reference clamps to ±32767
+    before saving — infer.py:208)."""
+    audio = np.asarray(audio)
+    if audio.ndim == 1:
+        audio = audio[None, :]
+    if audio.dtype != np.int16:
+        audio = np.clip(audio, -32767.0, 32767.0).astype(np.int16)
+    with wave.open(path, "wb") as w:
+        w.setnchannels(audio.shape[0])
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(audio.T.tobytes())
+
+
+def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    """Polyphase resample along the last axis."""
+    if orig_sr == target_sr:
+        return audio
+    g = math.gcd(int(orig_sr), int(target_sr))
+    return resample_poly(audio, target_sr // g, orig_sr // g, axis=-1).astype(np.float32)
+
+
+def load_audio(path: str, sampling_rate: int) -> Optional[np.ndarray]:
+    """Load -> mono [1, T] float32 at `sampling_rate`, clipped to [-1, 1]
+    (reference: indextts/utils/common.py:11-26 — takes channel 0, resamples, clips)."""
+    audio, sr = read_wav(path)
+    if audio.shape[0] > 1:
+        audio = audio[:1]
+    if sr != sampling_rate:
+        audio = resample(audio, sr, sampling_rate)
+    return np.clip(audio, -1.0, 1.0).astype(np.float32)
