@@ -1,0 +1,111 @@
+"""Pure-functional logits processors for the AR decode loop.
+
+Reproduces the HF `generate()` processor semantics the reference relies on
+(model.py:698-703 passes do_sample/top-k/top-p/temperature/repetition-penalty/
+num-beams; typical sampling via indextts/utils/typical_sampling.py:4-30) as
+jittable jnp transforms over [B, V] logits — no data-dependent shapes, sort-
+based masking, f32 compute.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(-1e30)
+
+
+def apply_temperature(logits: jnp.ndarray, temperature) -> jnp.ndarray:
+    return logits / jnp.maximum(jnp.float32(temperature), 1e-6)
+
+
+def apply_repetition_penalty(logits: jnp.ndarray, seen_mask: jnp.ndarray, penalty) -> jnp.ndarray:
+    """HF RepetitionPenaltyLogitsProcessor: for seen tokens, positive logits
+    are divided by `penalty`, non-positive multiplied. `seen_mask`: [B, V] bool."""
+    penalty = jnp.float32(penalty)
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen_mask, penalized, logits)
+
+
+def apply_top_k(logits: jnp.ndarray, top_k: int) -> jnp.ndarray:
+    """Static-k masking (k=0 disables)."""
+    if top_k is None or top_k <= 0:
+        return logits
+    k = min(int(top_k), logits.shape[-1])
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+def apply_top_p(logits: jnp.ndarray, top_p: float, min_tokens_to_keep: int = 1) -> jnp.ndarray:
+    """HF TopPLogitsWarper: remove the tail whose cumulative probability
+    (ascending order) stays within 1 - top_p."""
+    if top_p is None or top_p >= 1.0:
+        return logits
+    sorted_logits = jnp.sort(logits, axis=-1)  # ascending
+    cum = jnp.cumsum(jax.nn.softmax(sorted_logits.astype(jnp.float32), axis=-1), axis=-1)
+    keep_sorted = cum > (1.0 - float(top_p))
+    keep_sorted = keep_sorted.at[..., -min_tokens_to_keep:].set(True)
+    # threshold = smallest kept logit
+    thresh = jnp.min(jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True)
+    return jnp.where(logits < thresh, NEG_INF, logits)
+
+
+def apply_typical(logits: jnp.ndarray, mass: float = 0.9, min_tokens_to_keep: int = 1) -> jnp.ndarray:
+    """Typical sampling (behavioral reference: typical_sampling.py:4-30):
+    keep tokens whose -log p is closest to the distribution entropy until
+    `mass` cumulative probability is covered."""
+    lf = logits.astype(jnp.float32)
+    normalized = jax.nn.log_softmax(lf, axis=-1)
+    p = jnp.exp(normalized)
+    ent = -jnp.sum(jnp.where(p > 0, normalized * p, 0.0), axis=-1, keepdims=True)
+    shifted = jnp.abs(-normalized - ent)
+    order = jnp.argsort(shifted, axis=-1)  # ascending
+    sorted_logits = jnp.take_along_axis(lf, order, axis=-1)
+    sorted_shifted = jnp.take_along_axis(shifted, order, axis=-1)
+    cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+    last_ind = jnp.sum(cum < mass, axis=-1, keepdims=True)  # [B, 1]
+    cutoff = jnp.take_along_axis(sorted_shifted, last_ind, axis=-1)  # [B, 1]
+    remove = shifted > cutoff
+    if min_tokens_to_keep > 1:
+        keep_rank = jnp.argsort(order, axis=-1)  # rank of each vocab id in sort order
+        remove = jnp.where(keep_rank < min_tokens_to_keep, False, remove)
+    return jnp.where(remove, NEG_INF, logits).astype(logits.dtype)
+
+
+def sample_token(rng: jax.Array, logits: jnp.ndarray) -> jnp.ndarray:
+    """Categorical sample over masked logits [B, V] -> [B]."""
+    return jax.random.categorical(rng, logits.astype(jnp.float32), axis=-1)
+
+
+def greedy_token(logits: jnp.ndarray) -> jnp.ndarray:
+    return jnp.argmax(logits, axis=-1)
+
+
+def process_logits(
+    logits: jnp.ndarray,
+    seen_mask: jnp.ndarray = None,
+    repetition_penalty: float = 1.0,
+    typical_sampling: bool = False,
+    typical_mass: float = 0.9,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    do_sample: bool = True,
+    num_beams: int = 1,
+) -> jnp.ndarray:
+    """Full processor stack in HF order: processors (repetition penalty,
+    typical) then warpers (temperature, top-k, top-p) when sampling."""
+    lf = logits.astype(jnp.float32)
+    if repetition_penalty != 1.0 and seen_mask is not None:
+        lf = apply_repetition_penalty(lf, seen_mask, repetition_penalty)
+    if typical_sampling:
+        mtk = 2 if num_beams > 1 else 1
+        lf = apply_typical(lf, typical_mass, min_tokens_to_keep=mtk)
+    if do_sample:
+        if temperature != 1.0:
+            lf = apply_temperature(lf, temperature)
+        if top_k:
+            lf = apply_top_k(lf, top_k)
+        if top_p is not None and top_p < 1.0:
+            lf = apply_top_p(lf, top_p)
+    return lf
