@@ -1,0 +1,381 @@
+"""BigVGAN2 vocoder: generator, MPD/MRD discriminators, GAN losses.
+
+Behavioral reference: indextts/BigVGAN/models.py — generator (latent ->
+waveform with ECAPA speaker conditioning at conv_pre and every upsample stage,
+models.py:201-250), AMPBlock1/2 anti-aliased residual stacks (models.py:20-127),
+MultiPeriodDiscriminator / MultiResolutionDiscriminator and
+feature/discriminator/generator losses (models.py:278-451, eval use).
+
+Weight norm is folded at conversion time (the reference folds at load,
+models.py:252-260). Layout: channels-last [B, T, C]; the waveform output is
+[B, T_wav, 1].
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from indextts_tpu.config import BigVGANConfig
+from indextts_tpu.models.ecapa import ecapa_apply, init_ecapa
+from indextts_tpu.ops.activations import leaky_relu, tanh
+from indextts_tpu.ops.antialias import anti_aliased_activation
+from indextts_tpu.ops.conv import conv1d, conv2d, conv_transpose1d, pad1d
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def _conv_init(rng, k, cin, cout, std: Optional[float] = None):
+    kw, kb = jax.random.split(rng)
+    if std is not None:  # reference init_weights: normal(0, 0.01)
+        w = std * jax.random.normal(kw, (k, cin, cout), jnp.float32)
+    else:
+        bound = 1.0 / np.sqrt(cin * k)
+        w = jax.random.uniform(kw, (k, cin, cout), jnp.float32, -bound, bound)
+    b = jnp.zeros((cout,), jnp.float32)
+    return {"weight": w, "bias": b}
+
+
+def _convT_init(rng, k, cin, cout, std: float = 0.01):
+    kw, _ = jax.random.split(rng)
+    # lax layout for conv_transpose1d: [K, Cout/groups, Cin]
+    w = std * jax.random.normal(kw, (k, cout, cin), jnp.float32)
+    return {"weight": w, "bias": jnp.zeros((cout,), jnp.float32)}
+
+
+def _act_init(channels: int, snakebeta: bool, logscale: bool):
+    init = jnp.zeros((channels,), jnp.float32) if logscale else jnp.ones((channels,), jnp.float32)
+    p = {"alpha": init}
+    if snakebeta:
+        p["beta"] = init
+    return p
+
+
+def _amp_block_init(rng, h: BigVGANConfig, channels: int, kernel_size: int, dilations: Tuple[int, ...]):
+    rngs = jax.random.split(rng, 2 * len(dilations))
+    snakebeta = h.activation == "snakebeta"
+    if h.resblock == "1":
+        return {
+            "convs1": [
+                _conv_init(rngs[i], kernel_size, channels, channels, std=0.01)
+                for i in range(len(dilations))
+            ],
+            "convs2": [
+                _conv_init(rngs[len(dilations) + i], kernel_size, channels, channels, std=0.01)
+                for i in range(len(dilations))
+            ],
+            "acts": [
+                _act_init(channels, snakebeta, h.snake_logscale) for _ in range(2 * len(dilations))
+            ],
+        }
+    return {
+        "convs": [
+            _conv_init(rngs[i], kernel_size, channels, channels, std=0.01)
+            for i in range(len(dilations))
+        ],
+        "acts": [_act_init(channels, snakebeta, h.snake_logscale) for _ in range(len(dilations))],
+    }
+
+
+def init_bigvgan(rng: jax.Array, h: BigVGANConfig) -> Params:
+    n_ups = len(h.upsample_rates)
+    rngs = jax.random.split(rng, 6 + n_ups * (1 + len(h.resblock_kernel_sizes)) + n_ups)
+    ri = iter(rngs)
+    params: Params = {
+        "conv_pre": _conv_init(next(ri), 7, h.gpt_dim, h.upsample_initial_channel),
+        "ups": [],
+        "resblocks": [],
+        "conds": [],
+    }
+    for i, (u, k) in enumerate(zip(h.upsample_rates, h.upsample_kernel_sizes)):
+        cin = h.upsample_initial_channel // (2**i)
+        cout = h.upsample_initial_channel // (2 ** (i + 1))
+        params["ups"].append(_convT_init(next(ri), k, cin, cout))
+        for kk, dd in zip(h.resblock_kernel_sizes, h.resblock_dilation_sizes):
+            params["resblocks"].append(_amp_block_init(next(ri), h, cout, kk, tuple(dd)))
+        if h.cond_d_vector_in_each_upsampling_layer:
+            params["conds"].append(_conv_init(next(ri), 1, h.speaker_embedding_dim, cout))
+    ch_last = h.upsample_initial_channel // (2**n_ups)
+    params["activation_post"] = _act_init(ch_last, h.activation == "snakebeta", h.snake_logscale)
+    params["conv_post"] = _conv_init(next(ri), 7, ch_last, 1, std=0.01)
+    params["speaker_encoder"] = init_ecapa(next(ri), h.num_mels, h.speaker_embedding_dim)
+    params["cond_layer"] = _conv_init(next(ri), 1, h.speaker_embedding_dim, h.upsample_initial_channel)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def linear_interp_x4(x: jnp.ndarray) -> jnp.ndarray:
+    """torch F.interpolate(scale_factor=4, mode='linear', align_corners=False)
+    along the time axis of [B, T, C] (reference: models.py:213-218)."""
+    b, t, c = x.shape
+    out_t = t * 4
+    src = (jnp.arange(out_t, dtype=jnp.float32) + 0.5) / 4.0 - 0.5
+    src = jnp.clip(src, 0.0, t - 1)
+    lo = jnp.floor(src).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, t - 1)
+    w = (src - lo.astype(jnp.float32))[None, :, None]
+    return x[:, lo, :] * (1.0 - w) + x[:, hi, :] * w
+
+
+def _activation(p_act: Params, x: jnp.ndarray, h: BigVGANConfig) -> jnp.ndarray:
+    return anti_aliased_activation(
+        x, p_act["alpha"], p_act.get("beta"), alpha_logscale=h.snake_logscale
+    )
+
+
+def _amp_block1(p: Params, x: jnp.ndarray, h: BigVGANConfig, kernel_size: int, dilations) -> jnp.ndarray:
+    """[act -> dilated conv -> act -> conv]×3 with residuals (models.py:65-74)."""
+    acts1 = p["acts"][::2]
+    acts2 = p["acts"][1::2]
+    for c1, c2, a1, a2, d in zip(p["convs1"], p["convs2"], acts1, acts2, dilations):
+        xt = _activation(a1, x, h)
+        pad = (kernel_size * d - d) // 2
+        xt = conv1d(xt, c1["weight"], c1["bias"], padding=pad, dilation=d)
+        xt = _activation(a2, xt, h)
+        pad = (kernel_size - 1) // 2
+        xt = conv1d(xt, c2["weight"], c2["bias"], padding=pad, dilation=1)
+        x = xt + x
+    return x
+
+
+def _amp_block2(p: Params, x: jnp.ndarray, h: BigVGANConfig, kernel_size: int, dilations) -> jnp.ndarray:
+    for c, a, d in zip(p["convs"], p["acts"], dilations):
+        xt = _activation(a, x, h)
+        pad = (kernel_size * d - d) // 2
+        xt = conv1d(xt, c["weight"], c["bias"], padding=pad, dilation=d)
+        x = xt + x
+    return x
+
+
+def bigvgan_apply(
+    params: Params,
+    h: BigVGANConfig,
+    x: jnp.ndarray,
+    mel_ref: jnp.ndarray,
+    lens: Optional[jnp.ndarray] = None,
+    speaker_embedding: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Generator forward (reference: models.py:201-250).
+
+    x: GPT latents [B, T, gpt_dim]; mel_ref: prompt mel [B, frames, num_mels].
+    Returns waveform [B, T_wav, 1]. `speaker_embedding` may be precomputed
+    ([B, 1, spk_dim]) to amortize ECAPA across chunks — a TPU-side serving
+    optimization the reference recomputes every call.
+    """
+    if speaker_embedding is None:
+        speaker_embedding = ecapa_apply(params["speaker_encoder"], mel_ref, lens)
+    spk = speaker_embedding  # [B, 1, spk_dim]
+
+    if h.feat_upsample:
+        x = linear_interp_x4(x)
+
+    x = conv1d(x, params["conv_pre"]["weight"], params["conv_pre"]["bias"], padding=3)
+    x = x + conv1d(spk, params["cond_layer"]["weight"], params["cond_layer"]["bias"])
+
+    num_kernels = len(h.resblock_kernel_sizes)
+    for i, (u, k) in enumerate(zip(h.upsample_rates, h.upsample_kernel_sizes)):
+        up = params["ups"][i]
+        x = conv_transpose1d(x, up["weight"], up["bias"], stride=u, padding=(k - u) // 2)
+        if h.cond_d_vector_in_each_upsampling_layer:
+            cd = params["conds"][i]
+            x = x + conv1d(spk, cd["weight"], cd["bias"])
+        xs = None
+        for j in range(num_kernels):
+            p_rb = params["resblocks"][i * num_kernels + j]
+            kk = h.resblock_kernel_sizes[j]
+            dd = h.resblock_dilation_sizes[j]
+            out = (
+                _amp_block1(p_rb, x, h, kk, dd)
+                if h.resblock == "1"
+                else _amp_block2(p_rb, x, h, kk, dd)
+            )
+            xs = out if xs is None else xs + out
+        x = xs / num_kernels
+
+    x = _activation(params["activation_post"], x, h)
+    x = conv1d(x, params["conv_post"]["weight"], params["conv_post"]["bias"], padding=3)
+    return tanh(x)
+
+
+# ---------------------------------------------------------------------------
+# discriminators (eval/parity scoring; reference: models.py:278-417)
+# ---------------------------------------------------------------------------
+
+
+def _conv2d_init(rng, kh, kw, cin, cout):
+    k1, _ = jax.random.split(rng)
+    bound = 1.0 / np.sqrt(cin * kh * kw)
+    return {
+        "weight": jax.random.uniform(k1, (kh, kw, cin, cout), jnp.float32, -bound, bound),
+        "bias": jnp.zeros((cout,), jnp.float32),
+    }
+
+
+def init_discriminator_p(rng, h: BigVGANConfig, kernel_size: int = 5):
+    dm = h.discriminator_channel_mult
+    chans = [1, int(32 * dm), int(128 * dm), int(512 * dm), int(1024 * dm), int(1024 * dm)]
+    rngs = jax.random.split(rng, 6)
+    convs = [
+        _conv2d_init(rngs[i], kernel_size, 1, chans[i], chans[i + 1]) for i in range(4)
+    ]
+    convs.append(_conv2d_init(rngs[4], kernel_size, 1, chans[4], chans[5]))
+    return {"convs": convs, "conv_post": _conv2d_init(rngs[5], 3, 1, chans[5], 1)}
+
+
+def discriminator_p_apply(params, x: jnp.ndarray, period: int, kernel_size: int = 5, stride: int = 3):
+    """x: [B, T, 1] -> (score, fmaps). Reshapes time into (T/period, period)
+    2D maps (reference: models.py:293-312)."""
+    b, t, c = x.shape
+    if t % period != 0:
+        n_pad = period - (t % period)
+        x = pad1d(x, (0, n_pad), mode="reflect")
+        t = t + n_pad
+    x = x.reshape(b, t // period, period, c)
+    fmap = []
+    get_pad = (5 * 1 - 1) // 2
+    for i, conv in enumerate(params["convs"]):
+        s = (stride, 1) if i < 4 else (1, 1)
+        pad = (get_pad, 0) if i < 4 else (2, 0)
+        x = conv2d(x, conv["weight"], conv["bias"], stride=s, padding=pad)
+        x = leaky_relu(x, 0.1)
+        fmap.append(x)
+    x = conv2d(x, params["conv_post"]["weight"], params["conv_post"]["bias"], padding=(1, 0))
+    fmap.append(x)
+    return x.reshape(b, -1), fmap
+
+
+def init_mpd(rng, h: BigVGANConfig):
+    rngs = jax.random.split(rng, len(h.mpd_reshapes))
+    return {"discriminators": [init_discriminator_p(r, h) for r in rngs]}
+
+
+def mpd_apply(params, h: BigVGANConfig, y: jnp.ndarray, y_hat: jnp.ndarray):
+    y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+    for p, period in zip(params["discriminators"], h.mpd_reshapes):
+        s_r, f_r = discriminator_p_apply(p, y, period)
+        s_g, f_g = discriminator_p_apply(p, y_hat, period)
+        y_d_rs.append(s_r)
+        y_d_gs.append(s_g)
+        fmap_rs.append(f_r)
+        fmap_gs.append(f_g)
+    return y_d_rs, y_d_gs, fmap_rs, fmap_gs
+
+
+def init_discriminator_r(rng, h: BigVGANConfig):
+    dm = h.discriminator_channel_mult
+    c = int(32 * dm)
+    rngs = jax.random.split(rng, 6)
+    return {
+        "convs": [
+            _conv2d_init(rngs[0], 3, 9, 1, c),
+            _conv2d_init(rngs[1], 3, 9, c, c),
+            _conv2d_init(rngs[2], 3, 9, c, c),
+            _conv2d_init(rngs[3], 3, 9, c, c),
+            _conv2d_init(rngs[4], 3, 3, c, c),
+        ],
+        "conv_post": _conv2d_init(rngs[5], 3, 3, c, 1),
+    }
+
+
+def _stft_mag_jnp(x: jnp.ndarray, n_fft: int, hop: int, win_length: int) -> jnp.ndarray:
+    """Magnitude STFT, center=False, hann window — matches DiscriminatorR's
+    torch.stft usage after its own reflect padding (models.py:381-389)."""
+    n = win_length + 1
+    window = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * jnp.arange(n) / (n - 1))
+    window = window[:win_length]
+    if win_length < n_fft:
+        lpad = (n_fft - win_length) // 2
+        window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
+    t = x.shape[-1]
+    n_frames = 1 + (t - n_fft) // hop
+    idx = jnp.arange(n_fft)[None, :] + hop * jnp.arange(n_frames)[:, None]
+    frames = x[:, idx] * window[None, None, :]
+    spec = jnp.fft.rfft(frames, axis=-1)
+    return jnp.abs(spec).transpose(0, 2, 1)  # [B, F, frames]
+
+
+def discriminator_r_apply(params, x: jnp.ndarray, resolution):
+    n_fft, hop, win_length = resolution
+    xt = x[..., 0]  # [B, T]
+    pad = int((n_fft - hop) / 2)
+    xt = jnp.pad(xt, ((0, 0), (pad, pad)), mode="reflect")
+    mag = _stft_mag_jnp(xt, n_fft, hop, win_length)  # [B, F, TT]
+    # reference treats the spectrogram as [B, 1, F, TT]; ours is NHWC [B, F, TT, 1]
+    h = mag[..., None]
+    fmap = []
+    for i, conv in enumerate(params["convs"]):
+        if i == 0:
+            h = conv2d(h, conv["weight"], conv["bias"], padding=(1, 4))
+        elif i < 4:
+            h = conv2d(h, conv["weight"], conv["bias"], stride=(1, 2), padding=(1, 4))
+        else:
+            h = conv2d(h, conv["weight"], conv["bias"], padding=(1, 1))
+        h = leaky_relu(h, 0.1)
+        fmap.append(h)
+    h = conv2d(h, params["conv_post"]["weight"], params["conv_post"]["bias"], padding=(1, 1))
+    fmap.append(h)
+    return h.reshape(h.shape[0], -1), fmap
+
+
+def init_mrd(rng, h: BigVGANConfig):
+    rngs = jax.random.split(rng, len(h.resolutions))
+    return {"discriminators": [init_discriminator_r(r, h) for r in rngs]}
+
+
+def mrd_apply(params, h: BigVGANConfig, y: jnp.ndarray, y_hat: jnp.ndarray):
+    y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+    for p, res in zip(params["discriminators"], h.resolutions):
+        s_r, f_r = discriminator_r_apply(p, y, res)
+        s_g, f_g = discriminator_r_apply(p, y_hat, res)
+        y_d_rs.append(s_r)
+        y_d_gs.append(s_g)
+        fmap_rs.append(f_r)
+        fmap_gs.append(f_g)
+    return y_d_rs, y_d_gs, fmap_rs, fmap_gs
+
+
+# ---------------------------------------------------------------------------
+# GAN losses (reference: models.py:420-451)
+# ---------------------------------------------------------------------------
+
+
+def feature_loss(fmap_r, fmap_g):
+    loss = 0.0
+    for dr, dg in zip(fmap_r, fmap_g):
+        for rl, gl in zip(dr, dg):
+            loss += jnp.mean(jnp.abs(rl - gl))
+    return loss * 2
+
+
+def discriminator_loss(disc_real_outputs, disc_generated_outputs):
+    loss = 0.0
+    r_losses, g_losses = [], []
+    for dr, dg in zip(disc_real_outputs, disc_generated_outputs):
+        r_loss = jnp.mean((1 - dr) ** 2)
+        g_loss = jnp.mean(dg**2)
+        loss += r_loss + g_loss
+        r_losses.append(r_loss)
+        g_losses.append(g_loss)
+    return loss, r_losses, g_losses
+
+
+def generator_loss(disc_outputs):
+    loss = 0.0
+    gen_losses = []
+    for dg in disc_outputs:
+        l = jnp.mean((1 - dg) ** 2)
+        gen_losses.append(l)
+        loss += l
+    return loss, gen_losses
