@@ -1,0 +1,300 @@
+"""UnifiedVoice: the autoregressive speech-token LM (functional JAX).
+
+Behavioral reference: indextts/gpt/model.py:300-589 — text/mel embedding
+spaces with learned per-modality positional embeddings, a GPT-2 core whose
+built-in wte/wpe are nulled out (build_hf_gpt_transformer, model.py:253-274),
+conformer+perceiver conditioning (model.py:347-358, 490-519), teacher-forced
+forward with CE losses or latent return (model.py:521-589), and the padding
+discipline of set_mel_padding/set_text_padding/build_aligned_inputs_and_targets
+(model.py:429-460).
+
+TPU-first design decisions (not a port):
+  * GPT-2 blocks are parameter-stacked and executed with lax.scan — one
+    compiled block body regardless of depth.
+  * All shapes are static; padding is carried as lengths + masks.
+  * The decode path (gpt_decode.py) runs a jitted lax.while_loop over a
+    preallocated KV cache instead of HF generate().
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from indextts_tpu.config import GPTConfig
+from indextts_tpu.models.conformer import conformer_apply, init_conformer
+from indextts_tpu.models.perceiver import init_perceiver, perceiver_apply
+from indextts_tpu.ops.activations import gelu_new
+from indextts_tpu.ops.norms import layer_norm
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def _normal(rng, shape, std=0.02):
+    return std * jax.random.normal(rng, shape, jnp.float32)
+
+
+def init_gpt2_blocks(rng: jax.Array, layers: int, d: int) -> Params:
+    """Stacked GPT-2 block parameters, leading axis = layer (for lax.scan).
+
+    Weight convention matches HF Conv1D (y = x @ W + b), so converted
+    checkpoints drop straight in.
+    """
+    r = jax.random.split(rng, 8)
+    # GPT-2 init: normal(0.02), residual projections scaled by 1/sqrt(2*layers)
+    proj_std = 0.02 / math.sqrt(2 * layers)
+    return {
+        "ln_1": {"weight": jnp.ones((layers, d)), "bias": jnp.zeros((layers, d))},
+        "attn_qkv": {"weight": _normal(r[0], (layers, d, 3 * d)), "bias": jnp.zeros((layers, 3 * d))},
+        "attn_proj": {
+            "weight": proj_std / 0.02 * _normal(r[1], (layers, d, d)),
+            "bias": jnp.zeros((layers, d)),
+        },
+        "ln_2": {"weight": jnp.ones((layers, d)), "bias": jnp.zeros((layers, d))},
+        "mlp_fc": {"weight": _normal(r[2], (layers, d, 4 * d)), "bias": jnp.zeros((layers, 4 * d))},
+        "mlp_proj": {
+            "weight": proj_std / 0.02 * _normal(r[3], (layers, 4 * d, d)),
+            "bias": jnp.zeros((layers, d)),
+        },
+    }
+
+
+def init_unified_voice(rng: jax.Array, cfg: GPTConfig) -> Params:
+    r = jax.random.split(rng, 12)
+    d = cfg.model_dim
+    n_text = cfg.number_text_tokens * cfg.types + 1
+    params: Params = {
+        "text_embedding": _normal(r[0], (n_text, d)),
+        "mel_embedding": _normal(r[1], (cfg.number_mel_codes, d)),
+        "text_pos_embedding": _normal(r[2], (cfg.max_text_seq_len, d)),
+        "mel_pos_embedding": _normal(r[3], (cfg.max_mel_seq_len, d)),
+        "gpt": {
+            "blocks": init_gpt2_blocks(r[4], cfg.layers, d),
+            "ln_f": {"weight": jnp.ones((d,)), "bias": jnp.zeros((d,))},
+        },
+        "final_norm": {"weight": jnp.ones((d,)), "bias": jnp.zeros((d,))},
+        "text_head": {"weight": _normal(r[5], (d, n_text)), "bias": jnp.zeros((n_text,))},
+        "mel_head": {"weight": _normal(r[6], (d, cfg.number_mel_codes)), "bias": jnp.zeros((cfg.number_mel_codes,))},
+    }
+    if cfg.condition_type in ("conformer_perceiver", "conformer_encoder"):
+        params["conditioning_encoder"] = init_conformer(r[7], cfg.condition_module, input_size=100)
+        if cfg.condition_type == "conformer_perceiver":
+            params["perceiver_encoder"] = init_perceiver(
+                r[8],
+                dim=d,
+                dim_context=cfg.condition_module.output_size,
+                num_latents=cfg.condition_num_latent,
+                heads=cfg.condition_module.attention_heads,
+                ff_mult=cfg.condition_module.perceiver_mult,
+            )
+    else:
+        raise NotImplementedError(
+            f"condition_type={cfg.condition_type!r} not yet implemented (conformer_perceiver is the "
+            "IndexTTS-1.5 production path; legacy perceiver/gst paths tracked for a later round)"
+        )
+    return params
+
+
+# ---------------------------------------------------------------------------
+# GPT-2 core
+# ---------------------------------------------------------------------------
+
+
+class KVCache(NamedTuple):
+    k: jnp.ndarray  # [L, B, H, S_max, Dh]
+    v: jnp.ndarray  # [L, B, H, S_max, Dh]
+
+
+def _attn(q, k, v, bias):
+    """q: [B, H, Tq, Dh]; k/v: [B, H, Tk, Dh]; bias: additive [B, 1, Tq, Tk]."""
+    d_k = q.shape[-1]
+    scores = jnp.einsum("bhtd,bhsd->bhts", q, k) / math.sqrt(d_k)
+    scores = scores.astype(jnp.float32) + bias
+    attn = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhts,bhsd->bhtd", attn, v)
+
+
+def _block_full(layer_p: Params, x: jnp.ndarray, bias: jnp.ndarray, heads: int) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """One GPT-2 block over a full sequence. Returns output and (k, v)."""
+    b, t, d = x.shape
+    dh = d // heads
+    h = layer_norm(x, layer_p["ln_1"]["weight"], layer_p["ln_1"]["bias"])
+    qkv = h @ layer_p["attn_qkv"]["weight"].astype(h.dtype) + layer_p["attn_qkv"]["bias"].astype(h.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads_split(y):
+        return y.reshape(b, t, heads, dh).transpose(0, 2, 1, 3)
+
+    q, k, v = heads_split(q), heads_split(k), heads_split(v)
+    a = _attn(q, k, v, bias)
+    a = a.transpose(0, 2, 1, 3).reshape(b, t, d)
+    a = a @ layer_p["attn_proj"]["weight"].astype(a.dtype) + layer_p["attn_proj"]["bias"].astype(a.dtype)
+    x = x + a
+    h = layer_norm(x, layer_p["ln_2"]["weight"], layer_p["ln_2"]["bias"])
+    h = gelu_new(h @ layer_p["mlp_fc"]["weight"].astype(h.dtype) + layer_p["mlp_fc"]["bias"].astype(h.dtype))
+    h = h @ layer_p["mlp_proj"]["weight"].astype(h.dtype) + layer_p["mlp_proj"]["bias"].astype(h.dtype)
+    return x + h, (k, v)
+
+
+def gpt2_apply(
+    gpt_params: Params,
+    emb: jnp.ndarray,
+    heads: int,
+    attention_mask: Optional[jnp.ndarray] = None,
+    return_kv: bool = False,
+):
+    """GPT-2 stack over [B, T, D] embeddings (wte/wpe are external, matching
+    the nulled-out HF core, model.py:268-273). attention_mask: [B, T] with
+    1 = attend (HF additive-mask semantics).
+    """
+    b, t, _ = emb.shape
+    causal = jnp.tril(jnp.ones((t, t), jnp.bool_))
+    bias = jnp.where(causal[None, None], 0.0, jnp.finfo(jnp.float32).min)
+    if attention_mask is not None:
+        pad_bias = jnp.where(attention_mask[:, None, None, :].astype(bool), 0.0, jnp.finfo(jnp.float32).min)
+        bias = bias + pad_bias
+
+    def body(x, layer_p):
+        out, kv = _block_full(layer_p, x, bias, heads)
+        return out, kv if return_kv else None
+
+    x, kvs = jax.lax.scan(body, emb, gpt_params["blocks"])
+    x = layer_norm(x, gpt_params["ln_f"]["weight"], gpt_params["ln_f"]["bias"])
+    return (x, kvs) if return_kv else x
+
+
+# ---------------------------------------------------------------------------
+# conditioning
+# ---------------------------------------------------------------------------
+
+
+def get_conditioning(
+    params: Params, cfg: GPTConfig, speech_conditioning_mel: jnp.ndarray, cond_mel_lengths: jnp.ndarray
+) -> jnp.ndarray:
+    """Prompt mel [B, frames, 100] -> conditioning latents [B, 32, D]
+    (reference: model.py:490-519, conformer_perceiver branch)."""
+    if cfg.condition_type == "conformer_perceiver":
+        enc, mask = conformer_apply(
+            params["conditioning_encoder"], cfg.condition_module, speech_conditioning_mel, cond_mel_lengths
+        )
+        # left-pad the key mask with cond_num ones (model.py:500-502)
+        b = enc.shape[0]
+        ones = jnp.ones((b, cfg.condition_num_latent), dtype=bool)
+        conds_mask = jnp.concatenate([ones, mask[:, 0, :]], axis=1)
+        return perceiver_apply(
+            params["perceiver_encoder"],
+            enc,
+            conds_mask,
+            heads=cfg.condition_module.attention_heads,
+        )
+    if cfg.condition_type == "conformer_encoder":
+        enc, _ = conformer_apply(
+            params["conditioning_encoder"], cfg.condition_module, speech_conditioning_mel, cond_mel_lengths
+        )
+        return enc
+    raise NotImplementedError(cfg.condition_type)
+
+
+# ---------------------------------------------------------------------------
+# teacher-forced forward (training losses / latent return)
+# ---------------------------------------------------------------------------
+
+
+def set_padding(tokens: jnp.ndarray, lengths: jnp.ndarray, pad_value: int) -> jnp.ndarray:
+    """Replace positions >= length with pad_value (reference: model.py:434-460)."""
+    t = tokens.shape[1]
+    idx = jnp.arange(t)[None, :]
+    return jnp.where(idx >= lengths[:, None], pad_value, tokens)
+
+
+def build_aligned_inputs_and_targets(tokens: jnp.ndarray, start: int, stop: int):
+    inp = jnp.pad(tokens, ((0, 0), (1, 0)), constant_values=start)
+    tar = jnp.pad(tokens, ((0, 0), (0, 1)), constant_values=stop)
+    return inp, tar
+
+
+def unified_voice_forward(
+    params: Params,
+    cfg: GPTConfig,
+    speech_conditioning_mel: jnp.ndarray,
+    text_inputs: jnp.ndarray,
+    text_lengths: jnp.ndarray,
+    mel_codes: jnp.ndarray,
+    wav_lengths: jnp.ndarray,
+    cond_mel_lengths: jnp.ndarray,
+    return_latent: bool = True,
+    text_first: bool = True,
+    conds: Optional[jnp.ndarray] = None,
+):
+    """Teacher-forced forward (reference: model.py:521-589).
+
+    Either returns mel latents [B, T_mel, D] (return_latent=True — the
+    stage-2 path of the engine) or (loss_text, loss_mel, mel_logits).
+    `conds` may be precomputed conditioning latents ([B, 32, D]).
+    """
+    if conds is None:
+        conds = get_conditioning(params, cfg, speech_conditioning_mel, cond_mel_lengths)
+    d = cfg.model_dim
+
+    # mel padding from wav lengths (model.py:557: ceil(wav/compression)+1)
+    mel_code_lengths = jnp.ceil(wav_lengths / cfg.mel_length_compression).astype(jnp.int32) + 1
+    mel_codes = set_padding(mel_codes, mel_code_lengths, cfg.stop_mel_token)
+    text_inputs = set_padding(text_inputs, text_lengths, cfg.stop_text_token)
+    text_inputs = jnp.pad(text_inputs, ((0, 0), (0, 1)), constant_values=cfg.stop_text_token)
+    mel_codes = jnp.pad(mel_codes, ((0, 0), (0, 1)), constant_values=cfg.stop_mel_token)
+
+    text_inputs, text_targets = build_aligned_inputs_and_targets(
+        text_inputs, cfg.start_text_token, cfg.stop_text_token
+    )
+    mel_codes_in, mel_targets = build_aligned_inputs_and_targets(
+        mel_codes, cfg.start_mel_token, cfg.stop_mel_token
+    )
+    text_emb = (
+        params["text_embedding"][text_inputs] + params["text_pos_embedding"][: text_inputs.shape[1]][None]
+    )
+    mel_emb = (
+        params["mel_embedding"][mel_codes_in] + params["mel_pos_embedding"][: mel_codes_in.shape[1]][None]
+    )
+
+    if text_first:
+        first_emb, second_emb = text_emb, mel_emb
+    else:
+        first_emb, second_emb = mel_emb, text_emb
+    emb = jnp.concatenate([conds.astype(text_emb.dtype), first_emb, second_emb], axis=1)
+    hidden = gpt2_apply(params["gpt"], emb, cfg.heads)
+    offset = conds.shape[1]
+    enc = hidden[:, offset:]
+    enc = layer_norm(enc, params["final_norm"]["weight"], params["final_norm"]["bias"])
+
+    first_len = first_emb.shape[1]
+    second_len = second_emb.shape[1]
+    first_out = enc[:, :first_len]
+    second_out = enc[:, -second_len:]
+
+    if return_latent:
+        # strip the two trailing frames added by this forward (model.py:576-578)
+        return second_out[:, :-2]
+
+    text_out, mel_out = (first_out, second_out) if text_first else (second_out, first_out)
+    text_logits = text_out @ params["text_head"]["weight"] + params["text_head"]["bias"]
+    mel_logits = mel_out @ params["mel_head"]["weight"] + params["mel_head"]["bias"]
+
+    def ce(logits, targets):
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        return nll.mean()
+
+    loss_text = ce(text_logits, text_targets)
+    loss_mel = ce(mel_logits, mel_targets)
+    # reference returns [B, V, T]-permuted logits (model.py:479-486)
+    return loss_text, loss_mel, mel_logits.transpose(0, 2, 1)

@@ -1,0 +1,424 @@
+"""Autoregressive decode for UnifiedVoice: jitted prefill + while_loop.
+
+Replaces the reference's HF `generate()` path (model.py:591-708 +
+GPT2InferenceModel, model.py:40-207) with a TPU-native design:
+
+  * `prepare_gpt_inputs` reproduces the left-padded [pad][cond][text][start]
+    embedding layout and attention mask of model.py:591-654 with static
+    shapes (per-row left-pad realized as a gather, not Python loops).
+  * prefill runs the full GPT-2 stack once, writing K/V into a preallocated
+    HBM cache of static length prefill_len + max_new_tokens.
+  * the decode loop is a lax.while_loop with early exit when every row has
+    emitted stop_mel_token; sampling/penalties are the pure-jnp processors in
+    ops/sampling.py with HF-compatible semantics.
+  * the mel positional-embedding off-by-one of the reference inference model
+    (model.py:151-155: generated token t receives mel position t+1, position
+    1 is never used) is reproduced exactly for checkpoint parity.
+
+Beam search (num_beams>1, HF beam_sample/beam_search) lives in
+`generate_speech_beam`.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from indextts_tpu.config import GPTConfig
+from indextts_tpu.models.gpt import gpt2_apply
+from indextts_tpu.ops.activations import gelu_new
+from indextts_tpu.ops.norms import layer_norm
+from indextts_tpu.ops.sampling import greedy_token, process_logits, sample_token
+
+Params = Dict[str, Any]
+NEG_INF = jnp.finfo(jnp.float32).min
+
+
+@dataclass(frozen=True)
+class GenerationConfig:
+    """Static (shape/trace-affecting) generation settings. Dynamic scalars
+    (temperature/top_p/repetition_penalty) are traced arguments instead so
+    tweaking them never recompiles."""
+
+    do_sample: bool = True
+    num_beams: int = 1
+    top_k: int = 30
+    typical_sampling: bool = False
+    typical_mass: float = 0.9
+    max_new_tokens: int = 600
+    length_penalty: float = 0.0
+    early_stopping: bool = True
+
+
+def prepare_gpt_inputs(
+    params: Params,
+    cfg: GPTConfig,
+    conds: jnp.ndarray,
+    text_tokens: jnp.ndarray,
+    text_lengths: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Build prefill embeddings + attention mask (reference: model.py:591-654).
+
+    conds: [B, C, D]; text_tokens: [B, L] right-padded with stop_text_token;
+    text_lengths: [B] true token counts (excluding start/stop).
+
+    Returns (emb [B, P, D], attention_mask [B, P] bool) with
+    P = C + L + 2 + 1 (start_mel appended, model.py:645-653).
+    """
+    b, l = text_tokens.shape
+    c = conds.shape[1]
+    d = cfg.model_dim
+    # logical text sequence [start, t_0..t_{len-1}, stop, (stop pads)...]
+    full_text = jnp.concatenate(
+        [
+            jnp.full((b, 1), cfg.start_text_token, text_tokens.dtype),
+            text_tokens,
+            jnp.full((b, 1), cfg.stop_text_token, text_tokens.dtype),
+        ],
+        axis=1,
+    )  # [B, L+2]
+    full_text = jnp.where(
+        jnp.arange(l + 2)[None, :] > text_lengths[:, None],
+        cfg.stop_text_token,
+        full_text,
+    ).astype(jnp.int32)
+    text_emb = params["text_embedding"][full_text] + params["text_pos_embedding"][: l + 2][None]
+    seq = jnp.concatenate([conds.astype(text_emb.dtype), text_emb], axis=1)  # [B, C+L+2, D]
+
+    core = c + l + 2
+    pad = (l - text_lengths).astype(jnp.int32)  # left pad per row
+    j = jnp.arange(core)[None, :]  # [1, core]
+    src = j - pad[:, None]
+    gathered = jnp.take_along_axis(seq, jnp.clip(src, 0, core - 1)[..., None], axis=1)
+    emb_core = jnp.where((src >= 0)[..., None], gathered, 0.0)
+    mask_core = src >= 0
+
+    start_emb = (params["mel_embedding"][cfg.start_mel_token] + params["mel_pos_embedding"][0])[None, None]
+    emb = jnp.concatenate([emb_core, jnp.broadcast_to(start_emb, (b, 1, d)).astype(emb_core.dtype)], axis=1)
+    mask = jnp.concatenate([mask_core, jnp.ones((b, 1), bool)], axis=1)
+    return emb, mask
+
+
+def _mel_logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
+    """lm_head = final_norm -> mel_head (reference: model.py:48)."""
+    h = layer_norm(hidden, params["final_norm"]["weight"], params["final_norm"]["bias"])
+    return h @ params["mel_head"]["weight"].astype(h.dtype) + params["mel_head"]["bias"].astype(h.dtype)
+
+
+def _prefill(params: Params, cfg: GPTConfig, emb: jnp.ndarray, mask: jnp.ndarray, cache_len: int):
+    """Run the full stack over the prompt, returning last-position logits and
+    the KV cache padded to `cache_len`."""
+    hidden, (k, v) = gpt2_apply(params["gpt"], emb, cfg.heads, attention_mask=mask, return_kv=True)
+    # k/v: [L, B, H, P, Dh] -> pad to cache_len on the sequence axis
+    pad_amt = cache_len - k.shape[3]
+    k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, pad_amt), (0, 0)))
+    v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, pad_amt), (0, 0)))
+    logits = _mel_logits(params, hidden[:, -1])
+    return logits, (k, v)
+
+
+def _decode_block(layer_p, x, k_cache, v_cache, pos, attn_bias, heads):
+    """Single-token GPT-2 block against the cache. x: [B, D]. Returns
+    (out [B, D], k_new [B, H, Dh], v_new [B, H, Dh])."""
+    b, d = x.shape
+    dh = d // heads
+    h = layer_norm(x, layer_p["ln_1"]["weight"], layer_p["ln_1"]["bias"])
+    qkv = h @ layer_p["attn_qkv"]["weight"].astype(h.dtype) + layer_p["attn_qkv"]["bias"].astype(h.dtype)
+    q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(b, heads, dh)
+    k_new = k_new.reshape(b, heads, dh)
+    v_new = v_new.reshape(b, heads, dh)
+    # write into cache at `pos`
+    k_cache = jax.lax.dynamic_update_slice(k_cache, k_new[:, :, None, :], (0, 0, pos, 0))
+    v_cache = jax.lax.dynamic_update_slice(v_cache, v_new[:, :, None, :], (0, 0, pos, 0))
+    scores = jnp.einsum("bhd,bhsd->bhs", q, k_cache) / math.sqrt(dh)
+    scores = scores.astype(jnp.float32) + attn_bias  # [B, H, S]
+    attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    a = jnp.einsum("bhs,bhsd->bhd", attn, v_cache).reshape(b, d)
+    a = a @ layer_p["attn_proj"]["weight"].astype(a.dtype) + layer_p["attn_proj"]["bias"].astype(a.dtype)
+    x = x + a
+    h = layer_norm(x, layer_p["ln_2"]["weight"], layer_p["ln_2"]["bias"])
+    h = gelu_new(h @ layer_p["mlp_fc"]["weight"].astype(h.dtype) + layer_p["mlp_fc"]["bias"].astype(h.dtype))
+    h = h @ layer_p["mlp_proj"]["weight"].astype(h.dtype) + layer_p["mlp_proj"]["bias"].astype(h.dtype)
+    return x + h, k_cache, v_cache
+
+
+def _decode_step(params: Params, cfg: GPTConfig, token, mel_pos, cache, pos, base_mask):
+    """One decode step. token: [B] int32; mel_pos: scalar mel-position index;
+    cache: (k [L,B,H,S,Dh], v); pos: scalar write index in the cache;
+    base_mask: [B, S] bool validity of cache positions (True = attend),
+    already including all generated positions <= pos.
+    Returns (logits [B, V], cache)."""
+    x = params["mel_embedding"][token] + params["mel_pos_embedding"][mel_pos]
+    k_all, v_all = cache
+    attn_bias = jnp.where(base_mask[:, None, :], 0.0, NEG_INF)  # [B, 1, S]
+
+    def body(x, layer):
+        layer_p, kc, vc = layer
+        out, kc, vc = _decode_block(layer_p, x, kc, vc, pos, attn_bias, cfg.heads)
+        return out, (kc, vc)
+
+    x, (k_all, v_all) = jax.lax.scan(body, x, (params["gpt"]["blocks"], k_all, v_all))
+    x = layer_norm(x, params["gpt"]["ln_f"]["weight"], params["gpt"]["ln_f"]["bias"])
+    logits = _mel_logits(params, x)
+    return logits, (k_all, v_all)
+
+
+def generate_speech(
+    params: Params,
+    cfg: GPTConfig,
+    gen: GenerationConfig,
+    conds: jnp.ndarray,
+    text_tokens: jnp.ndarray,
+    text_lengths: jnp.ndarray,
+    rng: jax.Array,
+    temperature=1.0,
+    top_p=0.8,
+    repetition_penalty=10.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy / sampled generation (num_beams == 1).
+
+    Returns (codes [B, max_new_tokens] right-padded with stop_mel_token,
+    code_lengths [B] counting tokens up to and including the stop token).
+    Matches HF generate() semantics for do_sample/greedy with
+    eos=pad=stop_mel_token (model.py:698-703).
+    """
+    b, l = text_tokens.shape
+    v = cfg.number_mel_codes
+    emb, prefill_mask = prepare_gpt_inputs(params, cfg, conds, text_tokens, text_lengths)
+    p = emb.shape[1]
+    max_new = gen.max_new_tokens
+    s_max = p + max_new
+
+    logits0, cache = _prefill(params, cfg, emb, prefill_mask, s_max)
+
+    # seen-token mask for repetition penalty: HF penalizes over the whole
+    # input_ids row — the fake inputs are all 1s with a trailing start_mel
+    # (model.py:645-653), so ids {1, start_mel} start out "seen".
+    seen0 = jnp.zeros((b, v), bool).at[:, 1].set(True).at[:, cfg.start_mel_token].set(True)
+
+    cache_positions = jnp.arange(s_max)[None, :]  # [1, S]
+    prefill_valid = jnp.pad(prefill_mask, ((0, 0), (0, s_max - p)))
+
+    def sample_from(logits, seen, key, step):
+        lf = process_logits(
+            logits,
+            seen_mask=seen,
+            repetition_penalty=repetition_penalty,
+            typical_sampling=gen.typical_sampling,
+            typical_mass=gen.typical_mass,
+            temperature=temperature,
+            top_k=gen.top_k if gen.do_sample else 0,
+            top_p=top_p,
+            do_sample=gen.do_sample,
+        )
+        if gen.do_sample:
+            return sample_token(jax.random.fold_in(key, step), lf)
+        return greedy_token(lf)
+
+    tok1 = sample_from(logits0, seen0, rng, 0).astype(jnp.int32)
+    done0 = tok1 == cfg.stop_mel_token
+    codes0 = jnp.full((b, max_new), cfg.stop_mel_token, jnp.int32)
+    codes0 = codes0.at[:, 0].set(tok1)
+    seen1 = seen0.at[jnp.arange(b), tok1].set(True)
+
+    def cond_fn(state):
+        i, codes, cache, done, seen, cur = state
+        return jnp.logical_and(i < max_new - 1, ~jnp.all(done))
+
+    def body_fn(state):
+        i, codes, cache, done, seen, cur = state
+        # decode token g_{i+1} at cache slot p+i, mel position (i+1)+1
+        write_pos = p + i
+        valid = prefill_valid | ((cache_positions >= p) & (cache_positions <= write_pos))
+        logits, cache = _decode_step(params, cfg, cur, i + 2, cache, write_pos, valid)
+        nxt = sample_from(logits, seen, rng, i + 1).astype(jnp.int32)
+        nxt = jnp.where(done, cfg.stop_mel_token, nxt)
+        codes = codes.at[:, i + 1].set(nxt)
+        done = done | (nxt == cfg.stop_mel_token)
+        seen = seen.at[jnp.arange(b), nxt].set(True)
+        return (i + 1, codes, cache, done, seen, nxt)
+
+    state = (jnp.asarray(0), codes0, cache, done0, seen1, tok1)
+    _, codes, _, done, _, _ = jax.lax.while_loop(cond_fn, body_fn, state)
+
+    # lengths: index of first stop + 1 (HF keeps the eos in the sequence)
+    is_stop = codes == cfg.stop_mel_token
+    any_stop = jnp.any(is_stop, axis=1)
+    first_stop = jnp.argmax(is_stop, axis=1)
+    lengths = jnp.where(any_stop, first_stop + 1, max_new)
+    return codes, lengths
+
+
+# ---------------------------------------------------------------------------
+# beam search (num_beams > 1): HF beam_search / beam_sample semantics
+# ---------------------------------------------------------------------------
+
+
+def generate_speech_beam(
+    params: Params,
+    cfg: GPTConfig,
+    gen: GenerationConfig,
+    conds: jnp.ndarray,
+    text_tokens: jnp.ndarray,
+    text_lengths: jnp.ndarray,
+    rng: jax.Array,
+    temperature=1.0,
+    top_p=0.8,
+    repetition_penalty=10.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Beam decode with per-beam KV cache gathering (replaces HF
+    `_reorder_cache`, model.py:194-207). With do_sample=True this is HF's
+    beam_sample (warped logits, stochastic successor draw); otherwise
+    deterministic beam search. Length penalty per HF:
+    score = logprob_sum / (len ** length_penalty).
+
+    Returns (codes [B, max_new], lengths [B]) for the best finished beam.
+    """
+    nb = gen.num_beams
+    b, l = text_tokens.shape
+    v = cfg.number_mel_codes
+    d = cfg.model_dim
+
+    def expand(x):
+        return jnp.repeat(x, nb, axis=0)
+
+    conds_e = expand(conds)
+    text_e = expand(text_tokens)
+    len_e = expand(text_lengths)
+    emb, prefill_mask = prepare_gpt_inputs(params, cfg, conds_e, text_e, len_e)
+    p = emb.shape[1]
+    max_new = gen.max_new_tokens
+    s_max = p + max_new
+    bb = b * nb
+
+    logits0, cache = _prefill(params, cfg, emb, prefill_mask, s_max)
+    seen0 = jnp.zeros((bb, v), bool).at[:, 1].set(True).at[:, cfg.start_mel_token].set(True)
+
+    cache_positions = jnp.arange(s_max)[None, :]
+    prefill_valid = jnp.pad(prefill_mask, ((0, 0), (0, s_max - p)))
+
+    def warp(logits, seen, key, step):
+        lf = process_logits(
+            logits,
+            seen_mask=seen,
+            repetition_penalty=repetition_penalty,
+            typical_sampling=gen.typical_sampling,
+            typical_mass=gen.typical_mass,
+            temperature=temperature,
+            top_k=gen.top_k if gen.do_sample else 0,
+            top_p=top_p,
+            do_sample=gen.do_sample,
+            num_beams=nb,
+        )
+        return jax.nn.log_softmax(lf, axis=-1)
+
+    # beam state
+    beam_scores0 = jnp.tile(jnp.array([0.0] + [NEG_INF] * (nb - 1), jnp.float32), (b,))  # [bb]
+    codes0 = jnp.full((bb, max_new), cfg.stop_mel_token, jnp.int32)
+
+    # best finished hypotheses per batch row
+    best_score0 = jnp.full((b,), NEG_INF, jnp.float32)
+    best_codes0 = jnp.full((b, max_new), cfg.stop_mel_token, jnp.int32)
+    best_len0 = jnp.zeros((b,), jnp.int32)
+
+    def select_successors(logp_joint, key, step):
+        """logp_joint: [b, nb*v] joint scores. Pick 2*nb successors per row."""
+        k = 2 * nb
+        if gen.do_sample:
+            # HF beam_sample: sample k without replacement via Gumbel top-k
+            g = -jnp.log(-jnp.log(jax.random.uniform(jax.random.fold_in(key, step), logp_joint.shape) + 1e-20) + 1e-20)
+            perturbed = logp_joint + g
+            _, idx = jax.lax.top_k(perturbed, k)
+            vals = jnp.take_along_axis(logp_joint, idx, axis=1)
+            # sort selected by true score, matching HF's post-sample sort
+            order = jnp.argsort(-vals, axis=1)
+            return jnp.take_along_axis(vals, order, axis=1), jnp.take_along_axis(idx, order, axis=1)
+        return jax.lax.top_k(logp_joint, k)
+
+    def step_beams(i, logits, state):
+        codes, beam_scores, seen, done_best = state
+        best_score, best_codes, best_len = done_best
+        logp = warp(logits, seen, rng, i)  # [bb, v]
+        cand = beam_scores[:, None] + logp  # [bb, v]
+        cand = cand.reshape(b, nb * v)
+        vals, idx = select_successors(cand, rng, i)  # [b, 2nb]
+        src_beam = idx // v  # [b, 2nb] in [0, nb)
+        tok = (idx % v).astype(jnp.int32)
+
+        is_eos = tok == cfg.stop_mel_token
+        cur_len = jnp.asarray(i + 1, jnp.float32)
+        lp = jnp.where(cur_len > 0, cur_len**gen.length_penalty, 1.0)
+        finished_scores = jnp.where(is_eos, vals / lp, NEG_INF)  # [b, 2nb]
+        # best finished candidate this step
+        fbest = jnp.max(finished_scores, axis=1)
+        fargmax = jnp.argmax(finished_scores, axis=1)
+        improve = fbest > best_score
+        # gather codes of the finishing beam and append eos
+        fin_beam = jnp.take_along_axis(src_beam, fargmax[:, None], axis=1)[:, 0]  # [b]
+        fin_tok = jnp.take_along_axis(tok, fargmax[:, None], axis=1)[:, 0]
+        flat_fin = jnp.arange(b) * nb + fin_beam
+        fin_codes = codes[flat_fin].at[:, i].set(fin_tok)
+        best_codes = jnp.where(improve[:, None], fin_codes, best_codes)
+        best_len = jnp.where(improve, i + 1, best_len)
+        best_score = jnp.where(improve, fbest, best_score)
+
+        # continue with the top nb non-eos candidates
+        cont_scores = jnp.where(is_eos, NEG_INF, vals)
+        cont_vals, cont_pick = jax.lax.top_k(cont_scores, nb)  # [b, nb]
+        new_beam = jnp.take_along_axis(src_beam, cont_pick, axis=1)  # [b, nb]
+        new_tok = jnp.take_along_axis(tok, cont_pick, axis=1).astype(jnp.int32)
+        flat_src = (jnp.arange(b)[:, None] * nb + new_beam).reshape(-1)  # [bb]
+        codes = codes[flat_src].at[:, i].set(new_tok.reshape(-1))
+        seen = seen[flat_src].at[jnp.arange(bb), new_tok.reshape(-1)].set(True)
+        beam_scores = cont_vals.reshape(-1)
+        return codes, beam_scores, seen, (best_score, best_codes, best_len), flat_src, new_tok.reshape(-1)
+
+    # first step from prefill logits
+    codes, beam_scores, seen, done_best, flat_src, cur = step_beams(
+        0, logits0, (codes0, beam_scores0, seen0, (best_score0, best_codes0, best_len0))
+    )
+    cache = jax.tree_util.tree_map(lambda t: t[:, flat_src], cache)
+
+    def cond_fn(state):
+        i, codes, beam_scores, cache, seen, cur, (best_score, _, _) = state
+        if not gen.early_stopping:
+            return i < max_new - 1
+        # worst-case continuing score cannot beat best finished -> stop
+        max_len = jnp.asarray(max_new, jnp.float32)
+        lp = max_len**gen.length_penalty
+        best_possible = jnp.max(beam_scores.reshape(b, nb), axis=1) / lp
+        return jnp.logical_and(i < max_new - 1, jnp.any(best_possible > best_score))
+
+    def body_fn(state):
+        i, codes, beam_scores, cache, seen, cur, done_best = state
+        write_pos = p + i
+        # prefill masks are identical across beams of one batch row, so the
+        # pre-gather mask stays valid after beam reordering
+        valid = prefill_valid | ((cache_positions >= p) & (cache_positions <= write_pos))
+        logits, cache2 = _decode_step(params, cfg, cur, i + 2, cache, write_pos, valid)
+        codes, beam_scores, seen, done_best, flat_src, nxt = step_beams(
+            i + 1, logits, (codes, beam_scores, seen, done_best)
+        )
+        cache2 = jax.tree_util.tree_map(lambda t: t[:, flat_src], cache2)
+        return (i + 1, codes, beam_scores, cache2, seen, nxt, done_best)
+
+    state = (jnp.asarray(1), codes, beam_scores, cache, seen, cur, done_best)
+    i, codes, beam_scores, cache, seen, cur, (best_score, best_codes, best_len) = jax.lax.while_loop(
+        cond_fn, body_fn, state
+    )
+
+    # if no beam finished, fall back to the best live beam (unfinished)
+    live_best = jnp.argmax(beam_scores.reshape(b, nb), axis=1)
+    live_flat = jnp.arange(b) * nb + live_best
+    live_lp = jnp.asarray(max_new, jnp.float32) ** gen.length_penalty
+    live_scores = beam_scores.reshape(b, nb)[jnp.arange(b), live_best] / live_lp
+    has_finished = best_score > NEG_INF / 2
+    final_codes = jnp.where(has_finished[:, None], best_codes, codes[live_flat])
+    final_len = jnp.where(has_finished, best_len, max_new)
+    return final_codes, final_len
