@@ -1,0 +1,87 @@
+"""Converter tests. The GPT-2 block mapping is validated numerically against
+HF transformers' GPT2Model with inputs_embeds (the exact core the reference
+wraps, model.py:253-274); tree flatten/unflatten round-trips are exact."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from indextts_tpu.convert import (
+    convert_gpt2_blocks,
+    flatten_tree,
+    load_params_npz,
+    save_params_npz,
+    unflatten_tree,
+)
+from indextts_tpu.models.gpt import gpt2_apply
+
+
+class TestGPT2Parity:
+    def test_matches_hf_gpt2(self):
+        torch = pytest.importorskip("torch")
+        from transformers import GPT2Config, GPT2Model
+
+        cfg = GPT2Config(
+            vocab_size=32, n_positions=64, n_ctx=64, n_embd=32, n_layer=2, n_head=4, use_cache=False
+        )
+        model = GPT2Model(cfg).eval()
+        with torch.no_grad():  # the reference nulls wpe (model.py:269-270)
+            model.wpe.weight.zero_()
+        sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+        blocks = convert_gpt2_blocks({f"gpt.{k}": v for k, v in sd.items()}, layers=2, prefix="gpt")
+        gpt_params = {
+            "blocks": jax.tree_util.tree_map(jnp.asarray, blocks),
+            "ln_f": {"weight": jnp.asarray(sd["ln_f.weight"]), "bias": jnp.asarray(sd["ln_f.bias"])},
+        }
+        rng = np.random.default_rng(0)
+        emb = rng.standard_normal((2, 10, 32)).astype(np.float32)
+        with torch.no_grad():
+            gold = model(inputs_embeds=torch.from_numpy(emb)).last_hidden_state.numpy()
+        mine = np.asarray(gpt2_apply(gpt_params, jnp.asarray(emb), heads=4))
+        np.testing.assert_allclose(mine, gold, atol=2e-4, rtol=1e-3)
+
+    def test_matches_hf_gpt2_with_attention_mask(self):
+        torch = pytest.importorskip("torch")
+        from transformers import GPT2Config, GPT2Model
+
+        cfg = GPT2Config(vocab_size=32, n_positions=64, n_embd=32, n_layer=2, n_head=4, use_cache=False)
+        model = GPT2Model(cfg).eval()
+        with torch.no_grad():
+            model.wpe.weight.zero_()
+        sd = {f"gpt.{k}": v.detach().numpy() for k, v in model.state_dict().items()}
+        blocks = convert_gpt2_blocks(sd, layers=2, prefix="gpt")
+        gpt_params = {
+            "blocks": jax.tree_util.tree_map(jnp.asarray, blocks),
+            "ln_f": {"weight": jnp.asarray(sd["gpt.ln_f.weight"]), "bias": jnp.asarray(sd["gpt.ln_f.bias"])},
+        }
+        rng = np.random.default_rng(1)
+        emb = rng.standard_normal((2, 8, 32)).astype(np.float32)
+        mask = np.array([[0, 0, 1, 1, 1, 1, 1, 1], [1, 1, 1, 1, 1, 1, 1, 1]], np.int64)
+        with torch.no_grad():
+            gold = model(
+                inputs_embeds=torch.from_numpy(emb), attention_mask=torch.from_numpy(mask)
+            ).last_hidden_state.numpy()
+        mine = np.asarray(gpt2_apply(gpt_params, jnp.asarray(emb), heads=4, attention_mask=jnp.asarray(mask)))
+        # compare only valid positions (masked positions are junk in both)
+        np.testing.assert_allclose(mine[0, 2:], gold[0, 2:], atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(mine[1], gold[1], atol=2e-4, rtol=1e-3)
+
+
+class TestTreeIO:
+    def test_flatten_round_trip(self, tmp_path):
+        tree = {
+            "a": np.arange(6, dtype=np.float32).reshape(2, 3),
+            "b": [{"w": np.ones(4)}, {"w": np.zeros(4)}],
+            "c": {"d": {"e": np.asarray(3.0)}},
+        }
+        flat = flatten_tree(tree)
+        back = unflatten_tree(flat)
+        assert isinstance(back["b"], list) and len(back["b"]) == 2
+        np.testing.assert_array_equal(back["a"], tree["a"])
+        np.testing.assert_array_equal(back["b"][1]["w"], tree["b"][1]["w"])
+        path = str(tmp_path / "p.npz")
+        save_params_npz(tree, path)
+        loaded = load_params_npz(path)
+        np.testing.assert_array_equal(loaded["c"]["d"]["e"], 3.0)
