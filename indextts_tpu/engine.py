@@ -1,0 +1,624 @@
+"""The IndexTTS inference engine (TPU-native).
+
+Public surface mirrors the reference engine (indextts/infer.py: class
+IndexTTS) — __init__(cfg_path, model_dir, is_fp16, device, use_cuda_kernel),
+infer(), infer_fast(), extract_features(), set_gr_progress_callback(),
+remove_long_silence(), bucket_sentences(), pad_tokens_cat() — with a TPU
+execution model underneath:
+
+  * every device computation is a jitted function over static shape buckets
+    (text length, batch size, latent length) so each configuration compiles
+    once and replays from cache;
+  * the AR stage runs the static KV-cache decode loop (models/gpt_decode.py),
+    not an eager token loop;
+  * dtype policy is bfloat16 on TPU (fp32 fallback), replacing the
+    reference's fp16 autocast (infer.py:39,153);
+  * `infer` also accepts an audio path for the prompt (restoring the
+    pre-fork `audio_prompt=` API the reference broke — cli.py:70 vs
+    infer.py:101).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import warnings
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from indextts_tpu.config import IndexTTSConfig, load_config
+from indextts_tpu.models.bigvgan import bigvgan_apply, init_bigvgan
+from indextts_tpu.models.ecapa import ecapa_apply
+from indextts_tpu.models.gpt import get_conditioning, init_unified_voice, unified_voice_forward
+from indextts_tpu.models.gpt_decode import GenerationConfig, generate_speech, generate_speech_beam
+from indextts_tpu.utils.audio import load_audio, read_wav, resample, write_wav
+from indextts_tpu.utils.front import TextNormalizer, TextTokenizer
+from indextts_tpu.utils.mel import MelSpectrogramFeatures
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _cast_tree(tree, dtype):
+    def cast(x):
+        x = jnp.asarray(x)
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(cast, tree)
+
+
+class IndexTTS:
+    def __init__(
+        self,
+        cfg_path: str = "checkpoints/config.yaml",
+        model_dir: str = "checkpoints",
+        is_fp16: bool = True,
+        device: Optional[str] = None,
+        use_cuda_kernel: Optional[bool] = None,
+        allow_random_init: bool = False,
+        seed: int = 0,
+    ):
+        """Device policy: jax picks the platform (TPU when present; the
+        cuda/mps/xpu/cpu cascade of infer.py:26-44 has no TPU meaning).
+        `is_fp16` maps to the bf16 compute policy; `use_cuda_kernel` maps to
+        the fused Pallas anti-alias kernel toggle."""
+        self.device = jax.devices()[0].platform
+        self.is_fp16 = bool(is_fp16) and self.device != "cpu"
+        self.dtype = jnp.bfloat16 if self.is_fp16 else jnp.float32
+        self.use_pallas_kernel = bool(use_cuda_kernel) if use_cuda_kernel is not None else (self.device == "tpu")
+
+        self.cfg: IndexTTSConfig = load_config(cfg_path) if os.path.exists(cfg_path) else IndexTTSConfig()
+        self.model_dir = model_dir
+        self.stop_mel_token = self.cfg.gpt.stop_mel_token
+
+        rng = jax.random.PRNGKey(seed)
+        gpt_path = os.path.join(model_dir, self.cfg.gpt_checkpoint)
+        bigvgan_path = os.path.join(model_dir, self.cfg.bigvgan_checkpoint)
+        if os.path.exists(gpt_path):
+            from indextts_tpu.convert import convert_unified_voice, load_torch_state_dict
+
+            self.gpt_params = jax.tree_util.tree_map(
+                jnp.asarray, convert_unified_voice(load_torch_state_dict(gpt_path), self.cfg.gpt)
+            )
+            print(">> GPT weights restored from:", gpt_path)
+        elif allow_random_init:
+            self.gpt_params = init_unified_voice(rng, self.cfg.gpt)
+            print(">> GPT randomly initialized (no checkpoint at", gpt_path, ")")
+        else:
+            raise FileNotFoundError(gpt_path)
+
+        if os.path.exists(bigvgan_path):
+            from indextts_tpu.convert import convert_bigvgan, load_torch_state_dict
+
+            self.bigvgan_params = jax.tree_util.tree_map(
+                jnp.asarray,
+                convert_bigvgan(load_torch_state_dict(bigvgan_path, key="generator"), self.cfg.bigvgan),
+            )
+            print(">> bigvgan weights restored from:", bigvgan_path)
+        elif allow_random_init:
+            self.bigvgan_params = init_bigvgan(jax.random.fold_in(rng, 1), self.cfg.bigvgan)
+            print(">> bigvgan randomly initialized (no checkpoint at", bigvgan_path, ")")
+        else:
+            raise FileNotFoundError(bigvgan_path)
+
+        if self.is_fp16:
+            self.gpt_params = _cast_tree(self.gpt_params, jnp.bfloat16)
+            self.bigvgan_params = _cast_tree(self.bigvgan_params, jnp.bfloat16)
+
+        bpe_path = os.path.join(model_dir, self.cfg.dataset.get("bpe_model", "bpe.model"))
+        self.normalizer = TextNormalizer()
+        self.normalizer.load()
+        if os.path.exists(bpe_path):
+            self.tokenizer = TextTokenizer(bpe_path, self.normalizer)
+            print(">> bpe model loaded from:", bpe_path)
+        elif allow_random_init:
+            from indextts_tpu.utils.spm import SentencePieceProcessor, build_vocab_from_pieces
+
+            pieces = [(chr(65 + i), -float(i)) for i in range(26)] + [(".", -30.0), ("▁", -31.0)]
+            self.tokenizer = TextTokenizer(
+                sp_model=SentencePieceProcessor(vocab=build_vocab_from_pieces(pieces)),
+                normalizer=self.normalizer,
+            )
+        else:
+            raise FileNotFoundError(bpe_path)
+        self.wav2mel = MelSpectrogramFeatures()
+        self.gr_progress: Optional[Callable[[float, str], None]] = None
+
+        # jit caches keyed by static shape signatures
+        self._decode_cache: Dict[Any, Callable] = {}
+        self._latent_cache: Dict[Any, Callable] = {}
+        self._vocoder_cache: Dict[Any, Callable] = {}
+        self._cond_cache: Dict[Any, Callable] = {}
+        self._rng = jax.random.PRNGKey(seed)
+
+    # ------------------------------------------------------------------
+    # progress / features
+    # ------------------------------------------------------------------
+
+    def set_gr_progress_callback(self, _callback):
+        self.gr_progress = _callback
+
+    def _set_gr_progress(self, value, desc):
+        if self.gr_progress is not None:
+            self.gr_progress(value, desc)
+
+    def extract_features(self, audio_prompt_path: str) -> np.ndarray:
+        """Prompt wav -> log-mel [1, 100, frames] (reference: infer.py:82-93;
+        mixes to mono by mean, resamples to 24 kHz)."""
+        print(f">> extracting prompt mel spectrogram: {audio_prompt_path}")
+        audio, sr = read_wav(audio_prompt_path)
+        audio = audio.mean(axis=0, keepdims=True)
+        if sr != 24000:
+            audio = resample(audio, sr, 24000)
+        cond_mel = self.wav2mel(np.clip(audio, -1, 1))
+        return cond_mel.astype(np.float32)
+
+    # ------------------------------------------------------------------
+    # host-side helpers (reference: infer.py:244-329)
+    # ------------------------------------------------------------------
+
+    def remove_long_silence(self, codes: np.ndarray, silent_token=52, max_consecutive=30):
+        """Shrink runs of the silence code and trim at the stop token
+        (reference: infer.py:244-298). Host-side: code arrays are tiny."""
+        codes = np.asarray(codes)
+        code_lens = []
+        codes_list = []
+        for i in range(codes.shape[0]):
+            code = codes[i]
+            stop_idx = np.nonzero(code == self.stop_mel_token)[0]
+            len_ = int(stop_idx[0]) if stop_idx.size else code.shape[0]
+            count = int((code[:len_] == silent_token).sum())
+            trimmed = code[:len_]
+            if count > max_consecutive:
+                keep = []
+                run = 0
+                for k in range(len_):
+                    if code[k] != silent_token:
+                        keep.append(k)
+                        run = 0
+                    elif run < 10:
+                        keep.append(k)
+                        run += 1
+                trimmed = code[keep]
+                len_ = len(trimmed)
+            codes_list.append(trimmed)
+            code_lens.append(len_)
+        max_len = max(code_lens) if code_lens else 0
+        out = np.full((len(codes_list), max_len), self.stop_mel_token, dtype=codes.dtype)
+        for i, c in enumerate(codes_list):
+            out[i, : len(c)] = c
+        return out, np.asarray(code_lens, dtype=np.int64)
+
+    def bucket_sentences(self, sentences, bucket_max_size=4) -> List[List[Dict]]:
+        """Length-sorted fixed-capacity buckets (reference: infer.py:303-315)."""
+        outputs = [{"idx": idx, "sent": sent, "len": len(sent)} for idx, sent in enumerate(sentences)]
+        if len(outputs) <= bucket_max_size:
+            return [outputs]
+        buckets: List[List[Dict]] = []
+        for sent in sorted(outputs, key=lambda x: x["len"]):
+            if not buckets or len(buckets[-1]) >= bucket_max_size:
+                buckets.append([sent])
+            else:
+                buckets[-1].append(sent)
+        return buckets
+
+    def pad_tokens_cat(self, tokens: List[np.ndarray]) -> np.ndarray:
+        stop = self.cfg.gpt.stop_text_token
+        max_len = max(t.shape[-1] for t in tokens)
+        out = np.full((len(tokens), max_len), stop, dtype=np.int32)
+        for i, t in enumerate(tokens):
+            t = np.asarray(t).reshape(-1)
+            out[i, : t.shape[0]] = t
+        return out
+
+    def torch_empty_cache(self):
+        """API-compat no-op: XLA owns HBM; there is no allocator cache to drop
+        (reference: infer.py:320-329)."""
+
+    # ------------------------------------------------------------------
+    # jitted stage wrappers (bucketed static shapes)
+    # ------------------------------------------------------------------
+
+    def _conds_for(self, prompt_mel: np.ndarray) -> jnp.ndarray:
+        """Conditioning latents for a [1, 100, frames] prompt mel, cached per
+        frame-count bucket."""
+        frames = prompt_mel.shape[-1]
+        bucket = max(_round_up(frames, 100), 100)
+        key = ("cond", bucket)
+        if key not in self._cond_cache:
+            cfg = self.cfg.gpt
+
+            @jax.jit
+            def cond_fn(params, mel, lens):
+                return get_conditioning(params, cfg, mel, lens)
+
+            self._cond_cache[key] = cond_fn
+        mel = np.zeros((1, bucket, prompt_mel.shape[1]), np.float32)
+        mel[0, :frames] = prompt_mel[0].T
+        return self._cond_cache[key](
+            self.gpt_params, jnp.asarray(mel, self.dtype), jnp.asarray([frames])
+        )
+
+    def _decode_fn(self, b: int, l: int, gen: GenerationConfig):
+        key = ("dec", b, l, gen)
+        if key not in self._decode_cache:
+            cfg = self.cfg.gpt
+            fn = generate_speech_beam if gen.num_beams > 1 else generate_speech
+            from functools import partial
+
+            jitted = jax.jit(partial(fn, cfg=cfg, gen=gen))
+            self._decode_cache[key] = jitted
+        return self._decode_cache[key]
+
+    def _latent_fn(self, b: int, l_text: int, l_code: int):
+        key = ("lat", b, l_text, l_code)
+        if key not in self._latent_cache:
+            cfg = self.cfg.gpt
+
+            @jax.jit
+            def fn(params, conds, text, text_lens, codes, wav_lens):
+                return unified_voice_forward(
+                    params, cfg, None, text, text_lens, codes, wav_lens, None,
+                    return_latent=True, conds=conds,
+                )
+
+            self._latent_cache[key] = fn
+        return self._latent_cache[key]
+
+    def _vocoder_fn(self, b: int, m: int, frames: int):
+        key = ("voc", b, m, frames)
+        if key not in self._vocoder_cache:
+            h = self.cfg.bigvgan
+
+            @jax.jit
+            def fn(params, latent, mel_ref, lens):
+                return bigvgan_apply(params, h, latent, mel_ref, lens=lens)
+
+            self._vocoder_cache[key] = fn
+        return self._vocoder_cache[key]
+
+    def _gpt_generate(self, conds, text_tokens: np.ndarray, text_lengths: np.ndarray, gen: GenerationConfig,
+                      temperature, top_p, repetition_penalty):
+        """Run the bucketed decode. text_tokens: [B, L] np int32."""
+        b, l0 = text_tokens.shape
+        l = max(_round_up(l0, 8), 8)
+        padded = np.full((b, l), self.cfg.gpt.stop_text_token, np.int32)
+        padded[:, :l0] = text_tokens
+        fn = self._decode_fn(b, l, gen)
+        conds_b = jnp.broadcast_to(conds, (b,) + conds.shape[1:]) if conds.shape[0] != b else conds
+        self._rng, sub = jax.random.split(self._rng)
+        codes, lengths = fn(
+            params=self.gpt_params,
+            conds=conds_b.astype(self.dtype),
+            text_tokens=jnp.asarray(padded),
+            text_lengths=jnp.asarray(text_lengths),
+            rng=sub,
+            temperature=jnp.float32(temperature),
+            top_p=jnp.float32(top_p),
+            repetition_penalty=jnp.float32(repetition_penalty),
+        )
+        return np.asarray(codes), np.asarray(lengths)
+
+    def _gpt_latent(self, conds, text_tokens: np.ndarray, codes: np.ndarray, code_lens: np.ndarray):
+        b, lt0 = text_tokens.shape
+        lt = max(_round_up(lt0, 8), 8)
+        text = np.full((b, lt), self.cfg.gpt.stop_text_token, np.int32)
+        text[:, :lt0] = text_tokens
+        lc0 = codes.shape[1]
+        lc = max(_round_up(lc0, 16), 16)
+        codes_p = np.full((b, lc), self.stop_mel_token, np.int32)
+        codes_p[:, :lc0] = codes
+        fn = self._latent_fn(b, lt, lc)
+        conds_b = jnp.broadcast_to(conds, (b,) + conds.shape[1:]) if conds.shape[0] != b else conds
+        wav_lens = jnp.asarray(code_lens * self.cfg.gpt.mel_length_compression)
+        latent = fn(
+            self.gpt_params,
+            conds_b.astype(self.dtype),
+            jnp.asarray(text),
+            jnp.asarray(np.full(b, lt0, np.int32)),
+            jnp.asarray(codes_p),
+            wav_lens,
+        )
+        return latent  # [B, lc, D]
+
+    def _vocode(self, latent: jnp.ndarray, n_valid: int, prompt_mel: np.ndarray) -> np.ndarray:
+        """latent [1, m, D] -> wav np [1, samples]; pads the latent to a
+        frame bucket and trims the wav back to n_valid codes * 1024 samples."""
+        m0 = latent.shape[1]
+        m = max(_round_up(m0, 16), 16)
+        if m != m0:
+            latent = jnp.pad(latent, ((0, 0), (0, m - m0), (0, 0)))
+        frames = prompt_mel.shape[-1]
+        fb = max(_round_up(frames, 100), 100)
+        mel_ref = np.zeros((latent.shape[0], fb, prompt_mel.shape[1]), np.float32)
+        mel_ref[:, :frames] = np.transpose(prompt_mel, (0, 2, 1))
+        # ECAPA masks the zero-padded prompt frames via relative lengths
+        lens = jnp.asarray([frames / fb] * latent.shape[0], jnp.float32)
+        h = self.cfg.bigvgan
+
+        fn = self._vocoder_fn(latent.shape[0], m, fb)
+        wav = fn(self.bigvgan_params, latent.astype(self.dtype), jnp.asarray(mel_ref, self.dtype), lens)
+        wav = np.asarray(wav[..., 0], np.float32)  # [B, T]
+        samples_per_code = 4 * int(np.prod(h.upsample_rates)) if h.feat_upsample else int(np.prod(h.upsample_rates))
+        return wav[:, : n_valid * samples_per_code]
+
+    # ------------------------------------------------------------------
+    # public synthesis API
+    # ------------------------------------------------------------------
+
+    def _resolve_prompt(self, prompt) -> np.ndarray:
+        """Accept a [1, 100, frames] mel array or an audio path."""
+        if isinstance(prompt, str):
+            return self.extract_features(prompt)
+        arr = np.asarray(prompt)
+        if arr.ndim == 2:
+            arr = arr[None]
+        return arr.astype(np.float32)
+
+    def infer(
+        self,
+        prompt_mel=None,
+        text: str = "",
+        output_path: Optional[str] = None,
+        max_text_tokens_per_sentence: int = 120,
+        verbose: bool = False,
+        audio_prompt: Optional[str] = None,
+        **generation_kwargs,
+    ):
+        """Sequential per-sentence synthesis (reference: infer.py:101-241)."""
+        print(">> start inference...")
+        self._set_gr_progress(0, "start inference...")
+        if verbose:
+            print(f"origin text:{text}")
+        start_time = time.perf_counter()
+        prompt_mel = self._resolve_prompt(audio_prompt if prompt_mel is None else prompt_mel)
+        cond_mel_frame = prompt_mel.shape[-1]
+
+        text_tokens_list = self.tokenizer.tokenize(text)
+        sentences = self.tokenizer.split_sentences(text_tokens_list, max_text_tokens_per_sentence)
+        if verbose:
+            print("text token count:", len(text_tokens_list))
+            print("sentences count:", len(sentences))
+            print(*sentences, sep="\n")
+        do_sample = generation_kwargs.pop("do_sample", True)
+        top_p = generation_kwargs.pop("top_p", 0.8)
+        top_k = generation_kwargs.pop("top_k", 30)
+        temperature = generation_kwargs.pop("temperature", 1.0)
+        length_penalty = generation_kwargs.pop("length_penalty", 0.0)
+        num_beams = generation_kwargs.pop("num_beams", 3)
+        repetition_penalty = generation_kwargs.pop("repetition_penalty", 10.0)
+        max_mel_tokens = generation_kwargs.pop("max_mel_tokens", 600)
+        typical_sampling = generation_kwargs.pop("typical_sampling", False)
+        typical_mass = generation_kwargs.pop("typical_mass", 0.9)
+        sampling_rate = 24000
+        gen = GenerationConfig(
+            do_sample=do_sample,
+            num_beams=num_beams,
+            top_k=int(top_k) if top_k else 0,
+            typical_sampling=typical_sampling,
+            typical_mass=typical_mass,
+            max_new_tokens=int(max_mel_tokens),
+            length_penalty=float(length_penalty),
+        )
+
+        conds = self._conds_for(prompt_mel)
+        wavs = []
+        gpt_gen_time = 0.0
+        gpt_forward_time = 0.0
+        bigvgan_time = 0.0
+        progress = 0
+        has_warned = False
+        for sent in sentences:
+            text_tokens = np.asarray(self.tokenizer.convert_tokens_to_ids(sent), np.int32)[None, :]
+            if verbose:
+                print(text_tokens)
+                print(f"text_tokens shape: {text_tokens.shape}")
+            progress += 1
+            self._set_gr_progress(
+                0.2 + 0.4 * (progress - 1) / len(sentences),
+                f"gpt inference latent... {progress}/{len(sentences)}",
+            )
+            m_start = time.perf_counter()
+            codes, code_lens = self._gpt_generate(
+                conds, text_tokens, np.asarray([text_tokens.shape[1]]), gen,
+                temperature, top_p, repetition_penalty,
+            )
+            gpt_gen_time += time.perf_counter() - m_start
+            if not has_warned and not (codes[:, -1] == self.stop_mel_token).all() and code_lens.max() >= gen.max_new_tokens:
+                warnings.warn(
+                    f"WARN: generation stopped due to exceeding `max_mel_tokens` ({max_mel_tokens}). "
+                    f"Input text tokens: {text_tokens.shape[1]}. "
+                    f"Consider reducing `max_text_tokens_per_sentence`({max_text_tokens_per_sentence}) "
+                    f"or increasing `max_mel_tokens`.",
+                    category=RuntimeWarning,
+                )
+                has_warned = True
+            codes = codes[:, : int(code_lens.max())]
+            codes, code_lens = self.remove_long_silence(codes, silent_token=52, max_consecutive=30)
+            if verbose:
+                print(f"fix codes shape: {codes.shape}, code_lens: {code_lens}")
+            self._set_gr_progress(
+                0.2 + 0.4 * progress / len(sentences), f"gpt inference speech... {progress}/{len(sentences)}"
+            )
+            m_start = time.perf_counter()
+            latent = self._gpt_latent(conds, text_tokens, codes, code_lens)
+            gpt_forward_time += time.perf_counter() - m_start
+
+            m_start = time.perf_counter()
+            n_valid = int(code_lens[0])
+            wav = self._vocode(latent[:, :codes.shape[1]], n_valid, prompt_mel)
+            bigvgan_time += time.perf_counter() - m_start
+            wav = np.clip(32767 * wav, -32767.0, 32767.0)
+            if verbose:
+                print(f"wav shape: {wav.shape}", "min:", wav.min(), "max:", wav.max())
+            wavs.append(wav)
+
+        end_time = time.perf_counter()
+        self._set_gr_progress(0.9, "save audio...")
+        wav = np.concatenate(wavs, axis=1)
+        wav_length = wav.shape[-1] / sampling_rate
+        print(f">> Reference audio length: {cond_mel_frame * 256 / sampling_rate:.2f} seconds")
+        print(f">> gpt_gen_time: {gpt_gen_time:.2f} seconds")
+        print(f">> gpt_forward_time: {gpt_forward_time:.2f} seconds")
+        print(f">> bigvgan_time: {bigvgan_time:.2f} seconds")
+        print(f">> Total inference time: {end_time - start_time:.2f} seconds")
+        print(f">> Generated audio length: {wav_length:.2f} seconds")
+        print(f">> RTF: {(end_time - start_time) / max(wav_length, 1e-9):.4f}")
+
+        return self._emit(wav, output_path, sampling_rate)
+
+    def infer_fast(
+        self,
+        prompt_mel=None,
+        text: str = "",
+        output_path: Optional[str] = None,
+        max_text_tokens_per_sentence: int = 120,
+        verbose: bool = False,
+        sentences_bucket_max_size: int = 4,
+        audio_prompt: Optional[str] = None,
+        **generation_kwargs,
+    ):
+        """Bucketed batch synthesis (reference: infer.py:332-537): sentences
+        are length-bucketed, each bucket decoded as one padded batch, latents
+        recovered per sentence, and the vocoder run over latent chunks."""
+        print(">> start fast inference...")
+        self._set_gr_progress(0, "start fast inference...")
+        if verbose:
+            print(f"origin text:{text}")
+        start_time = time.perf_counter()
+        prompt_mel = self._resolve_prompt(audio_prompt if prompt_mel is None else prompt_mel)
+        cond_mel_frame = prompt_mel.shape[-1]
+
+        text_tokens_list = self.tokenizer.tokenize(text)
+        sentences = self.tokenizer.split_sentences(text_tokens_list, max_tokens_per_sentence=max_text_tokens_per_sentence)
+        if verbose:
+            print(">> text token count:", len(text_tokens_list))
+            print("   splited sentences count:", len(sentences))
+        do_sample = generation_kwargs.pop("do_sample", True)
+        top_p = generation_kwargs.pop("top_p", 0.8)
+        top_k = generation_kwargs.pop("top_k", 30)
+        temperature = generation_kwargs.pop("temperature", 1.0)
+        length_penalty = generation_kwargs.pop("length_penalty", 0.0)
+        num_beams = generation_kwargs.pop("num_beams", 3)
+        repetition_penalty = generation_kwargs.pop("repetition_penalty", 10.0)
+        max_mel_tokens = generation_kwargs.pop("max_mel_tokens", 600)
+        typical_sampling = generation_kwargs.pop("typical_sampling", False)
+        typical_mass = generation_kwargs.pop("typical_mass", 0.9)
+        sampling_rate = 24000
+        gen = GenerationConfig(
+            do_sample=do_sample,
+            num_beams=num_beams,
+            top_k=int(top_k) if top_k else 0,
+            typical_sampling=typical_sampling,
+            typical_mass=typical_mass,
+            max_new_tokens=int(max_mel_tokens),
+            length_penalty=float(length_penalty),
+        )
+        conds = self._conds_for(prompt_mel)
+
+        wavs = []
+        gpt_gen_time = 0.0
+        gpt_forward_time = 0.0
+        bigvgan_time = 0.0
+
+        self._set_gr_progress(0.1, "text processing...")
+        bucket_max_size = sentences_bucket_max_size if self.device != "cpu" else 1
+        all_sentences = self.bucket_sentences(sentences, bucket_max_size=bucket_max_size)
+        bucket_count = len(all_sentences)
+        all_batch_num = sum(len(s) for s in all_sentences)
+        all_batch_codes = []
+        all_batch_lens = []
+        all_text_tokens: List[List[np.ndarray]] = []
+        processed_num = 0
+        for bucket in all_sentences:
+            item_tokens = [
+                np.asarray(self.tokenizer.convert_tokens_to_ids(item["sent"]), np.int32)[None, :]
+                for item in bucket
+            ]
+            all_text_tokens.append(item_tokens)
+            batch_text = self.pad_tokens_cat(item_tokens)
+            text_lens = np.asarray([t.shape[1] for t in item_tokens])
+            processed_num += len(bucket)
+            self._set_gr_progress(
+                0.2 + 0.3 * processed_num / all_batch_num,
+                f"gpt inference speech... {processed_num}/{all_batch_num}",
+            )
+            m_start = time.perf_counter()
+            codes, lens = self._gpt_generate(conds, batch_text, text_lens, gen, temperature, top_p, repetition_penalty)
+            gpt_gen_time += time.perf_counter() - m_start
+            all_batch_codes.append(codes)
+            all_batch_lens.append(lens)
+
+        self._set_gr_progress(0.5, "gpt inference latents...")
+        all_idxs = []
+        all_latents = []
+        has_warned = False
+        for batch_codes, batch_lens, batch_tokens, bucket in zip(
+            all_batch_codes, all_batch_lens, all_text_tokens, all_sentences
+        ):
+            for i in range(batch_codes.shape[0]):
+                code_row = batch_codes[i : i + 1]
+                if not has_warned and batch_lens[i] >= gen.max_new_tokens and code_row[0, -1] != self.stop_mel_token:
+                    warnings.warn(
+                        f"WARN: generation stopped due to exceeding `max_mel_tokens` ({max_mel_tokens}).",
+                        category=RuntimeWarning,
+                    )
+                    has_warned = True
+                codes, code_lens = self.remove_long_silence(code_row, silent_token=52, max_consecutive=30)
+                text_tokens = batch_tokens[i]
+                all_idxs.append(bucket[i]["idx"])
+                m_start = time.perf_counter()
+                latent = self._gpt_latent(conds, text_tokens, codes, code_lens)
+                gpt_forward_time += time.perf_counter() - m_start
+                all_latents.append((latent[:, : codes.shape[1]], int(code_lens[0])))
+
+        # restore original order
+        order = [all_idxs.index(i) for i in range(len(all_latents))]
+        all_latents = [all_latents[j] for j in order]
+        chunk_size = 2
+        chunk_latents = [all_latents[i : i + chunk_size] for i in range(0, len(all_latents), chunk_size)]
+        chunk_length = len(chunk_latents)
+
+        self._set_gr_progress(0.7, "bigvgan decode...")
+        for items in chunk_latents:
+            latent = jnp.concatenate([l for l, _ in items], axis=1)
+            n_valid = sum(n for _, n in items)
+            m_start = time.perf_counter()
+            wav = self._vocode(latent, n_valid, prompt_mel)
+            bigvgan_time += time.perf_counter() - m_start
+            wavs.append(np.clip(32767 * wav, -32767.0, 32767.0))
+
+        end_time = time.perf_counter()
+        self._set_gr_progress(0.9, "save audio...")
+        wav = np.concatenate(wavs, axis=1)
+        wav_length = wav.shape[-1] / sampling_rate
+        print(f">> Reference audio length: {cond_mel_frame * 256 / sampling_rate:.2f} seconds")
+        print(f">> gpt_gen_time: {gpt_gen_time:.2f} seconds")
+        print(f">> gpt_forward_time: {gpt_forward_time:.2f} seconds")
+        print(f">> bigvgan_time: {bigvgan_time:.2f} seconds")
+        print(f">> Total fast inference time: {end_time - start_time:.2f} seconds")
+        print(f">> Generated audio length: {wav_length:.2f} seconds")
+        print(f">> [fast] bigvgan chunk_length: {chunk_length}")
+        print(f">> [fast] batch_num: {all_batch_num} bucket_max_size: {bucket_max_size}",
+              f"bucket_count: {bucket_count}" if bucket_max_size > 1 else "")
+        print(f">> [fast] RTF: {(end_time - start_time) / max(wav_length, 1e-9):.4f}")
+
+        return self._emit(wav, output_path, sampling_rate)
+
+    def _emit(self, wav: np.ndarray, output_path: Optional[str], sampling_rate: int):
+        if output_path:
+            if os.path.isfile(output_path):
+                os.remove(output_path)
+                print(">> remove old wav file:", output_path)
+            if os.path.dirname(output_path) != "":
+                os.makedirs(os.path.dirname(output_path), exist_ok=True)
+            write_wav(output_path, wav.astype(np.int16), sampling_rate)
+            print(">> wav file saved to:", output_path)
+            return output_path
+        return (sampling_rate, wav.astype(np.int16).T)

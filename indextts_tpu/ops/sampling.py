@@ -36,14 +36,13 @@ def apply_top_k(logits: jnp.ndarray, top_k: int) -> jnp.ndarray:
     return jnp.where(logits < kth, NEG_INF, logits)
 
 
-def apply_top_p(logits: jnp.ndarray, top_p: float, min_tokens_to_keep: int = 1) -> jnp.ndarray:
+def apply_top_p(logits: jnp.ndarray, top_p, min_tokens_to_keep: int = 1) -> jnp.ndarray:
     """HF TopPLogitsWarper: remove the tail whose cumulative probability
-    (ascending order) stays within 1 - top_p."""
-    if top_p is None or top_p >= 1.0:
-        return logits
+    (ascending order) stays within 1 - top_p. top_p may be a traced scalar;
+    top_p >= 1 reduces to the identity."""
     sorted_logits = jnp.sort(logits, axis=-1)  # ascending
     cum = jnp.cumsum(jax.nn.softmax(sorted_logits.astype(jnp.float32), axis=-1), axis=-1)
-    keep_sorted = cum > (1.0 - float(top_p))
+    keep_sorted = cum > (1.0 - jnp.float32(top_p))
     keep_sorted = keep_sorted.at[..., -min_tokens_to_keep:].set(True)
     # threshold = smallest kept logit
     thresh = jnp.min(jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True)
@@ -96,16 +95,18 @@ def process_logits(
     """Full processor stack in HF order: processors (repetition penalty,
     typical) then warpers (temperature, top-k, top-p) when sampling."""
     lf = logits.astype(jnp.float32)
-    if repetition_penalty != 1.0 and seen_mask is not None:
+    # temperature/top_p/repetition_penalty may be traced scalars — the
+    # transforms below are identities at their neutral values, so they are
+    # applied unconditionally; only static structure (do_sample, top_k,
+    # typical_sampling) gates tracing.
+    if seen_mask is not None:
         lf = apply_repetition_penalty(lf, seen_mask, repetition_penalty)
     if typical_sampling:
         mtk = 2 if num_beams > 1 else 1
         lf = apply_typical(lf, typical_mass, min_tokens_to_keep=mtk)
     if do_sample:
-        if temperature != 1.0:
-            lf = apply_temperature(lf, temperature)
+        lf = apply_temperature(lf, temperature)
         if top_k:
             lf = apply_top_k(lf, top_k)
-        if top_p is not None and top_p < 1.0:
-            lf = apply_top_p(lf, top_p)
+        lf = apply_top_p(lf, top_p)
     return lf

@@ -1,0 +1,160 @@
+"""End-to-end engine tests on a tiny random-init config: text -> tokens ->
+conditioning -> AR decode -> latents -> vocoder -> wav file, for both infer()
+and infer_fast() (reference pipeline: infer.py:101-241, 332-537)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from indextts_tpu.config import (
+    BigVGANConfig,
+    ConditionModuleConfig,
+    GPTConfig,
+    IndexTTSConfig,
+    save_config,
+)
+from indextts_tpu.engine import IndexTTS
+
+
+def tiny_config() -> IndexTTSConfig:
+    return IndexTTSConfig(
+        gpt=GPTConfig(
+            layers=2,
+            model_dim=64,
+            heads=4,
+            max_text_tokens=60,
+            max_mel_tokens=48,
+            number_text_tokens=50,
+            number_mel_codes=66,
+            start_mel_token=64,
+            stop_mel_token=65,
+            condition_num_latent=8,
+            condition_type="conformer_perceiver",
+            condition_module=ConditionModuleConfig(
+                output_size=32, linear_units=64, attention_heads=4, num_blocks=1,
+                input_layer="conv2d2", perceiver_mult=2,
+            ),
+        ),
+        bigvgan=BigVGANConfig(
+            gpt_dim=64,
+            upsample_initial_channel=32,
+            upsample_rates=(4, 2),
+            upsample_kernel_sizes=(8, 4),
+            resblock="1",
+            resblock_kernel_sizes=(3,),
+            resblock_dilation_sizes=((1, 3),),
+            activation="snakebeta",
+            snake_logscale=True,
+            feat_upsample=True,
+            cond_d_vector_in_each_upsampling_layer=True,
+            num_mels=100,
+            speaker_embedding_dim=32,
+            sampling_rate=24000,
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ckpt")
+    cfg_path = str(d / "config.yaml")
+    save_config(tiny_config(), cfg_path)
+    return IndexTTS(cfg_path=cfg_path, model_dir=str(d), is_fp16=False, allow_random_init=True)
+
+
+@pytest.fixture(scope="module")
+def prompt_mel():
+    rng = np.random.default_rng(0)
+    return rng.standard_normal((1, 100, 60)).astype(np.float32)
+
+
+class TestEngine:
+    def test_infer_writes_wav(self, engine, prompt_mel, tmp_path):
+        out = str(tmp_path / "out.wav")
+        result = engine.infer(
+            prompt_mel,
+            "HELLO WORLD.",
+            out,
+            do_sample=False,
+            num_beams=1,
+            max_mel_tokens=12,
+            repetition_penalty=1.0,
+        )
+        assert result == out
+        assert os.path.exists(out)
+        from indextts_tpu.utils.audio import read_wav
+
+        wav, sr = read_wav(out)
+        assert sr == 24000
+        assert wav.shape[1] > 0
+        # samples per code = 4 * prod(upsample_rates) = 32
+        assert wav.shape[1] % 32 == 0
+
+    def test_infer_returns_tuple_without_path(self, engine, prompt_mel):
+        sr, wav = engine.infer(
+            prompt_mel, "HELLO.", None, do_sample=False, num_beams=1, max_mel_tokens=8, repetition_penalty=1.0
+        )
+        assert sr == 24000
+        assert wav.dtype == np.int16
+
+    def test_infer_fast(self, engine, prompt_mel, tmp_path):
+        out = str(tmp_path / "fast.wav")
+        result = engine.infer_fast(
+            prompt_mel,
+            "HELLO WORLD. GOOD DAY. SEE YOU.",
+            out,
+            do_sample=False,
+            num_beams=1,
+            max_mel_tokens=8,
+            repetition_penalty=1.0,
+            max_text_tokens_per_sentence=12,
+        )
+        assert result == out
+        assert os.path.exists(out)
+
+    def test_progress_callback(self, engine, prompt_mel):
+        calls = []
+        engine.set_gr_progress_callback(lambda v, d: calls.append((v, d)))
+        engine.infer(prompt_mel, "HI.", None, do_sample=False, num_beams=1, max_mel_tokens=6, repetition_penalty=1.0)
+        engine.set_gr_progress_callback(None)
+        assert len(calls) >= 2
+        assert any("save audio" in d for _, d in calls)
+
+    def test_audio_prompt_path(self, engine, tmp_path):
+        from indextts_tpu.utils.audio import write_wav
+
+        wav_path = str(tmp_path / "prompt.wav")
+        t = np.linspace(0, 0.5, 12000, endpoint=False)
+        write_wav(wav_path, (0.3 * np.sin(2 * np.pi * 220 * t) * 32767)[None, :], 24000)
+        sr, wav = engine.infer(
+            audio_prompt=wav_path, text="HI.", output_path=None,
+            do_sample=False, num_beams=1, max_mel_tokens=6, repetition_penalty=1.0,
+        )
+        assert sr == 24000
+
+    def test_remove_long_silence(self, engine):
+        stop = engine.stop_mel_token
+        row = np.asarray([[5] * 3 + [52] * 40 + [7] * 3 + [stop] + [stop] * 3], dtype=np.int32)
+        out, lens = engine.remove_long_silence(row, silent_token=52, max_consecutive=30)
+        assert int(lens[0]) == 3 + 10 + 3  # silence run shrunk to 10
+        assert (out[0, : int(lens[0])] != stop).all()
+
+    def test_remove_long_silence_no_change(self, engine):
+        stop = engine.stop_mel_token
+        row = np.asarray([[5, 6, 7, 52, 52, 8, stop, stop]], dtype=np.int32)
+        out, lens = engine.remove_long_silence(row)
+        assert int(lens[0]) == 6
+        np.testing.assert_array_equal(out[0, :6], [5, 6, 7, 52, 52, 8])
+
+    def test_bucket_sentences(self, engine):
+        sents = [["a"] * n for n in (5, 3, 9, 1, 7, 2)]
+        buckets = engine.bucket_sentences(sents, bucket_max_size=2)
+        assert all(len(b) <= 2 for b in buckets)
+        got = sorted(item["idx"] for b in buckets for item in b)
+        assert got == list(range(6))
+
+    def test_bucket_sentences_small_input(self, engine):
+        sents = [["a"], ["b", "b"]]
+        buckets = engine.bucket_sentences(sents, bucket_max_size=4)
+        assert len(buckets) == 1 and len(buckets[0]) == 2
