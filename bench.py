@@ -1,0 +1,156 @@
+"""Headline benchmark: audio-seconds generated per wall-second per chip.
+
+Measures the batch-8 serving configuration from BASELINE.json on the
+IndexTTS-1.5-scale architecture (configs/indextts_1_5.yaml): batched KV-cache
+AR decode -> teacher-forced latent pass -> BigVGAN vocoder, end to end, with
+random-initialized weights (published checkpoints are not present in this
+image; wall-clock is weight-value independent because the decode loop is run
+for a fixed token budget).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is the ratio against the 10x-real-time-per-chip target.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BATCH = int(os.environ.get("BENCH_BATCH", 8))
+TEXT_LEN = int(os.environ.get("BENCH_TEXT_LEN", 64))
+GEN_TOKENS = int(os.environ.get("BENCH_GEN_TOKENS", 200))
+COND_FRAMES = int(os.environ.get("BENCH_COND_FRAMES", 300))
+SAMPLE_RATE = 24000
+SAMPLES_PER_CODE = 1024
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from indextts_tpu.config import load_config
+    from indextts_tpu.models.bigvgan import bigvgan_apply, init_bigvgan
+    from indextts_tpu.models.gpt import get_conditioning, init_unified_voice, unified_voice_forward
+    from indextts_tpu.models.gpt_decode import GenerationConfig, generate_speech
+
+    cfg = load_config(os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs", "indextts_1_5.yaml"))
+    gpt_cfg = cfg.gpt
+    h = cfg.bigvgan
+    platform = jax.devices()[0].platform
+    dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
+
+    rng = jax.random.PRNGKey(0)
+    t0 = time.perf_counter()
+    gpt_params = init_unified_voice(rng, gpt_cfg)
+    bv_params = init_bigvgan(jax.random.fold_in(rng, 1), h)
+
+    def cast(t):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(dtype) if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else jnp.asarray(x), t
+        )
+
+    gpt_params = cast(gpt_params)
+    bv_params = cast(bv_params)
+    init_s = time.perf_counter() - t0
+
+    npr = np.random.default_rng(0)
+    cond_mel = jnp.asarray(npr.standard_normal((1, COND_FRAMES, 100)), dtype)
+    text = jnp.asarray(npr.integers(2, 8000, (BATCH, TEXT_LEN)), jnp.int32)
+    text_lens = jnp.full((BATCH,), TEXT_LEN, jnp.int32)
+
+    gen = GenerationConfig(do_sample=True, num_beams=1, top_k=30, max_new_tokens=GEN_TOKENS)
+
+    cond_fn = jax.jit(lambda p, m, l: get_conditioning(p, gpt_cfg, m, l))
+    from functools import partial
+
+    decode_fn = jax.jit(partial(generate_speech, cfg=gpt_cfg, gen=gen))
+    latent_fn = jax.jit(
+        lambda p, c, t, tl, mc, wl: unified_voice_forward(
+            p, gpt_cfg, None, t, tl, mc, wl, None, return_latent=True, conds=c
+        )
+    )
+    voc_fn = jax.jit(lambda p, lat, mel: bigvgan_apply(p, h, lat, mel))
+
+    def pipeline(key):
+        conds = cond_fn(gpt_params, cond_mel, jnp.asarray([COND_FRAMES]))
+        conds_b = jnp.broadcast_to(conds, (BATCH,) + conds.shape[1:])
+        codes, code_lens = decode_fn(
+            params=gpt_params, conds=conds_b, text_tokens=text, text_lengths=text_lens,
+            rng=key, temperature=jnp.float32(1.0), top_p=jnp.float32(0.8),
+            repetition_penalty=jnp.float32(10.0),
+        )
+        latent = latent_fn(gpt_params, conds_b, text, text_lens, codes, code_lens * gpt_cfg.mel_length_compression)
+        wav = voc_fn(bv_params, latent, jnp.broadcast_to(cond_mel, (BATCH,) + cond_mel.shape[1:]))
+        return wav, code_lens
+
+    # warmup / compile
+    t0 = time.perf_counter()
+    wav, code_lens = pipeline(jax.random.PRNGKey(1))
+    wav.block_until_ready()
+    compile_s = time.perf_counter() - t0
+
+    # timed runs
+    times = []
+    n_iters = int(os.environ.get("BENCH_ITERS", 3))
+    for i in range(n_iters):
+        t0 = time.perf_counter()
+        wav, code_lens = pipeline(jax.random.PRNGKey(2 + i))
+        wav.block_until_ready()
+        times.append(time.perf_counter() - t0)
+
+    wall = float(np.median(times))
+    # audio duration actually produced this iteration
+    total_codes = int(np.asarray(code_lens).sum())
+    audio_sec = total_codes * SAMPLES_PER_CODE / SAMPLE_RATE
+    rtf_inv = audio_sec / wall  # audio-seconds per wall-second per chip
+
+    # time-to-first-audio estimate: conditioning + 25-token decode + 1-chunk vocoder
+    t0 = time.perf_counter()
+    conds = cond_fn(gpt_params, cond_mel, jnp.asarray([COND_FRAMES]))
+    gen_s = GenerationConfig(do_sample=True, num_beams=1, top_k=30, max_new_tokens=25)
+    decode_s = jax.jit(partial(generate_speech, cfg=gpt_cfg, gen=gen_s))
+    codes_s, lens_s = decode_s(
+        params=gpt_params, conds=conds, text_tokens=text[:1], text_lengths=text_lens[:1],
+        rng=jax.random.PRNGKey(9), temperature=jnp.float32(1.0), top_p=jnp.float32(0.8),
+        repetition_penalty=jnp.float32(10.0),
+    )
+    lat_s = latent_fn(gpt_params, conds, text[:1], text_lens[:1], codes_s, lens_s * gpt_cfg.mel_length_compression)
+    w = voc_fn(bv_params, lat_s, cond_mel)
+    w.block_until_ready()
+    _ = time.perf_counter() - t0  # includes compile for the short decode
+    t0 = time.perf_counter()
+    codes_s, lens_s = decode_s(
+        params=gpt_params, conds=conds, text_tokens=text[:1], text_lengths=text_lens[:1],
+        rng=jax.random.PRNGKey(10), temperature=jnp.float32(1.0), top_p=jnp.float32(0.8),
+        repetition_penalty=jnp.float32(10.0),
+    )
+    lat_s = latent_fn(gpt_params, conds, text[:1], text_lens[:1], codes_s, lens_s * gpt_cfg.mel_length_compression)
+    w = voc_fn(bv_params, lat_s, cond_mel)
+    w.block_until_ready()
+    ttfa_ms = (time.perf_counter() - t0) * 1000.0
+
+    result = {
+        "metric": "audio_sec_per_sec_per_chip",
+        "value": round(rtf_inv, 3),
+        "unit": "audio_s/s",
+        "vs_baseline": round(rtf_inv / 10.0, 3),
+        "extra": {
+            "platform": platform,
+            "batch": BATCH,
+            "gen_tokens": GEN_TOKENS,
+            "wall_s_per_iter": round(wall, 3),
+            "audio_s_per_iter": round(audio_sec, 2),
+            "ttfa_ms": round(ttfa_ms, 1),
+            "compile_s": round(compile_s, 1),
+            "init_s": round(init_s, 1),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
