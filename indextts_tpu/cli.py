@@ -1,0 +1,72 @@
+"""Console CLI: `indextts-tpu "text" --voice prompt.wav -o out.wav`.
+
+Same flag surface as the reference CLI (indextts/cli.py:7-70) — text, -v/--voice,
+-o/--output_path, -c/--config, --model_dir, --fp16, -f/--force, -d/--device —
+with the device cascade replaced by JAX platform selection, and the engine API
+coherent again (the reference CLI calls tts.infer(audio_prompt=...) against an
+engine that only takes prompt_mel, cli.py:70 vs infer.py:101; this engine
+accepts both).
+"""
+
+import argparse
+import os
+import sys
+import warnings
+
+warnings.filterwarnings("ignore", category=UserWarning)
+warnings.filterwarnings("ignore", category=FutureWarning)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="IndexTTS (TPU) Command Line")
+    parser.add_argument("text", type=str, help="Text to be synthesized")
+    parser.add_argument("-v", "--voice", type=str, required=True, help="Path to the audio prompt file (wav format)")
+    parser.add_argument("-o", "--output_path", type=str, default="gen.wav", help="Path to the output wav file")
+    parser.add_argument(
+        "-c", "--config", type=str, default="checkpoints/config.yaml",
+        help="Path to the config file. Default is 'checkpoints/config.yaml'",
+    )
+    parser.add_argument("--model_dir", type=str, default="checkpoints", help="Path to the model directory.")
+    parser.add_argument("--fp16", action="store_true", default=True, help="Use bf16 compute on TPU (fp32 otherwise)")
+    parser.add_argument("-f", "--force", action="store_true", default=False, help="Overwrite the output file if it exists")
+    parser.add_argument(
+        "-d", "--device", type=str, default=None,
+        help="Ignored: JAX selects the platform (tpu > cpu). Kept for reference-CLI compatibility.",
+    )
+    parser.add_argument("--fast", action="store_true", default=False, help="Use bucketed batch inference (infer_fast)")
+    args = parser.parse_args(argv)
+    if len(args.text.strip()) == 0:
+        print("ERROR: Text is empty.")
+        parser.print_help()
+        sys.exit(1)
+    if not os.path.exists(args.voice):
+        print(f"Audio prompt file {args.voice} does not exist.")
+        parser.print_help()
+        sys.exit(1)
+    if not os.path.exists(args.config):
+        print(f"Config file {args.config} does not exist.")
+        parser.print_help()
+        sys.exit(1)
+
+    output_path = args.output_path
+    if os.path.exists(output_path):
+        if not args.force:
+            print(f"ERROR: Output file {output_path} already exists. Use --force to overwrite.")
+            parser.print_help()
+            sys.exit(1)
+        os.remove(output_path)
+
+    import jax
+
+    if jax.devices()[0].platform == "cpu":
+        print("WARNING: Running on CPU may be slow.")
+
+    from indextts_tpu.engine import IndexTTS
+
+    tts = IndexTTS(cfg_path=args.config, model_dir=args.model_dir, is_fp16=args.fp16, device=args.device)
+    infer = tts.infer_fast if args.fast else tts.infer
+    infer(audio_prompt=args.voice, text=args.text.strip(), output_path=output_path)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,197 @@
+"""DiscreteVAE: the mel codebook that defines the GPT's 8192-entry speech
+token vocabulary (functional JAX).
+
+Behavioral reference: indextts/vqvae/xtts_dvae.py — 1D conv VQ-VAE
+(positional_dims=1, stride-2 encoder, nearest-upsample decoder when
+use_transposed_convs=False), EMA codebook `Quantize` with straight-through
+estimator (xtts_dvae.py:51-129), get_codebook_indices / decode / infer
+(xtts_dvae.py:323-357), and training forward with reconstruction +
+commitment losses (xtts_dvae.py:362-382).
+
+The reference's only collective — torch.distributed.all_reduce over the
+codebook EMA stats (xtts_dvae.py:107-109) — becomes jax.lax.psum over a named
+mesh axis in `quantize_ema_update`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from indextts_tpu.config import DVAEConfig
+from indextts_tpu.ops.activations import relu, silu
+from indextts_tpu.ops.conv import conv1d
+
+Params = Dict[str, Any]
+
+
+def _conv_init(rng, k, cin, cout):
+    kw, kb = jax.random.split(rng)
+    bound = 1.0 / np.sqrt(cin * k)
+    return {
+        "weight": jax.random.uniform(kw, (k, cin, cout), jnp.float32, -bound, bound),
+        "bias": jax.random.uniform(kb, (cout,), jnp.float32, -bound, bound),
+    }
+
+
+def _resblock_init(rng, chan):
+    r = jax.random.split(rng, 3)
+    return {
+        "conv0": _conv_init(r[0], 3, chan, chan),
+        "conv1": _conv_init(r[1], 3, chan, chan),
+        "conv2": _conv_init(r[2], 1, chan, chan),
+    }
+
+
+def _arch(cfg: DVAEConfig):
+    enc_chans = [cfg.hidden_dim * (2**i) for i in range(cfg.num_layers)]
+    dec_chans = list(reversed(enc_chans))
+    enc_chans = [cfg.channels] + enc_chans
+    dec_init_chan = cfg.codebook_dim if cfg.num_resnet_blocks == 0 else dec_chans[0]
+    dec_chans = [dec_init_chan] + dec_chans
+    innermost = dec_chans[0] if cfg.num_layers > 0 else cfg.hidden_dim
+    return enc_chans, dec_chans, innermost
+
+
+def init_dvae(rng: jax.Array, cfg: DVAEConfig) -> Params:
+    enc_chans, dec_chans, innermost = _arch(cfg)
+    rngs = jax.random.split(rng, 4 + 2 * cfg.num_layers + 2 * cfg.num_resnet_blocks)
+    ri = iter(rngs)
+    params: Params = {"enc_convs": [], "enc_res": [], "dec_convs": [], "dec_res": []}
+    for cin, cout in zip(enc_chans[:-1], enc_chans[1:]):
+        params["enc_convs"].append(_conv_init(next(ri), cfg.kernel_size, cin, cout))
+    for _ in range(cfg.num_resnet_blocks):
+        params["enc_res"].append(_resblock_init(next(ri), innermost))
+    params["enc_out"] = _conv_init(next(ri), 1, innermost, cfg.codebook_dim)
+    if cfg.num_resnet_blocks > 0:
+        params["dec_in"] = _conv_init(next(ri), 1, cfg.codebook_dim, innermost)
+        for _ in range(cfg.num_resnet_blocks):
+            params["dec_res"].append(_resblock_init(next(ri), innermost))
+    for cin, cout in zip(dec_chans[:-1], dec_chans[1:]):
+        params["dec_convs"].append(_conv_init(next(ri), cfg.kernel_size, cin, cout))
+    params["dec_out"] = _conv_init(next(ri), 1, dec_chans[-1], cfg.channels)
+    params["codebook"] = {
+        "embed": jax.random.normal(next(ri), (cfg.codebook_dim, cfg.num_tokens), jnp.float32),
+        "cluster_size": jnp.zeros((cfg.num_tokens,), jnp.float32),
+        "embed_avg": jnp.zeros((cfg.codebook_dim, cfg.num_tokens), jnp.float32),
+    }
+    params["codebook"]["embed_avg"] = params["codebook"]["embed"]
+    return params
+
+
+def _act(cfg: DVAEConfig, x):
+    return silu(x) if cfg.activation == "silu" else relu(x)
+
+
+def _resblock(cfg, p, x):
+    """conv3-act-conv3-act-conv1 with residual (xtts_dvae.py:171-183)."""
+    h = _act(cfg, conv1d(x, p["conv0"]["weight"], p["conv0"]["bias"], padding=1))
+    h = _act(cfg, conv1d(h, p["conv1"]["weight"], p["conv1"]["bias"], padding=1))
+    h = conv1d(h, p["conv2"]["weight"], p["conv2"]["bias"])
+    return h + x
+
+
+def dvae_encode(params: Params, cfg: DVAEConfig, mel: jnp.ndarray) -> jnp.ndarray:
+    """mel [B, T, channels] -> pre-quant logits [B, T/2^L, codebook_dim]."""
+    pad = (cfg.kernel_size - 1) // 2
+    h = mel
+    for p in params["enc_convs"]:
+        h = _act(cfg, conv1d(h, p["weight"], p["bias"], stride=cfg.stride, padding=pad))
+    for p in params["enc_res"]:
+        h = _resblock(cfg, p, h)
+    return conv1d(h, params["enc_out"]["weight"], params["enc_out"]["bias"])
+
+
+def _nearest_up(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    return jnp.repeat(x, factor, axis=1)
+
+
+def dvae_decode_embeds(params: Params, cfg: DVAEConfig, h: jnp.ndarray) -> jnp.ndarray:
+    """code embeddings [B, T', codebook_dim] -> mel [B, T'*2^L, channels]."""
+    pad = (cfg.kernel_size - 1) // 2
+    if cfg.num_resnet_blocks > 0:
+        h = conv1d(h, params["dec_in"]["weight"], params["dec_in"]["bias"])
+        for p in params["dec_res"]:
+            h = _resblock(cfg, p, h)
+    for p in params["dec_convs"]:
+        if cfg.use_transposed_convs:
+            raise NotImplementedError("IndexTTS DVAE uses nearest-upsample convs")
+        h = _nearest_up(h, cfg.stride)
+        h = _act(cfg, conv1d(h, p["weight"], p["bias"], padding=pad))
+    return conv1d(h, params["dec_out"]["weight"], params["dec_out"]["bias"])
+
+
+def quantize(codebook: Params, flat: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Nearest codebook entry (xtts_dvae.py:86-92). flat: [..., dim].
+    Returns (quantized [..., dim], codes [...])."""
+    embed = codebook["embed"]  # [dim, n]
+    dist = (
+        (flat**2).sum(-1, keepdims=True)
+        - 2 * flat @ embed
+        + (embed**2).sum(0, keepdims=True)
+    )
+    codes = jnp.argmin(dist, axis=-1)
+    quantized = embed.T[codes]
+    return quantized, codes
+
+
+def get_codebook_indices(params: Params, cfg: DVAEConfig, mel: jnp.ndarray) -> jnp.ndarray:
+    """Tokenize: mel [B, T, C] -> codes [B, T/2^L] (xtts_dvae.py:323-330)."""
+    logits = dvae_encode(params, cfg, mel)
+    _, codes = quantize(params["codebook"], logits)
+    return codes
+
+
+def decode(params: Params, cfg: DVAEConfig, codes: jnp.ndarray) -> jnp.ndarray:
+    """Detokenize: codes [B, T'] -> mel [B, T, C] (xtts_dvae.py:332-351)."""
+    embeds = params["codebook"]["embed"].T[codes]
+    return dvae_decode_embeds(params, cfg, embeds)
+
+
+def dvae_infer(params: Params, cfg: DVAEConfig, mel: jnp.ndarray) -> jnp.ndarray:
+    """Round-trip tokenize -> detokenize (xtts_dvae.py:353-357)."""
+    return decode(params, cfg, get_codebook_indices(params, cfg, mel))
+
+
+def dvae_forward(params: Params, cfg: DVAEConfig, mel: jnp.ndarray):
+    """Training-style forward: (recon_loss, commitment_loss, out)
+    (xtts_dvae.py:362-382, straight-through estimator)."""
+    logits = dvae_encode(params, cfg, mel)
+    quantized, codes = quantize(params["codebook"], logits)
+    commitment = jnp.mean((jax.lax.stop_gradient(quantized) - logits) ** 2)
+    quantized_st = logits + jax.lax.stop_gradient(quantized - logits)
+    out = dvae_decode_embeds(params, cfg, quantized_st)
+    out = out[:, : mel.shape[1]]
+    recon = jnp.mean((mel - out) ** 2)
+    return recon, commitment, out
+
+
+def quantize_ema_update(
+    codebook: Params,
+    flat: jnp.ndarray,
+    n_embed: int,
+    decay: float = 0.99,
+    eps: float = 1e-5,
+    axis_name: Optional[str] = None,
+) -> Params:
+    """EMA codebook update (xtts_dvae.py:103-116). Under pmap/shard_map the
+    per-device statistics are all-reduced with jax.lax.psum over `axis_name` —
+    the TPU-native form of the reference's torch.distributed.all_reduce
+    (xtts_dvae.py:107-109)."""
+    flat2 = flat.reshape(-1, flat.shape[-1])
+    _, codes = quantize(codebook, flat2)
+    onehot = jax.nn.one_hot(codes, n_embed, dtype=flat2.dtype)
+    onehot_sum = onehot.sum(0)  # [n]
+    embed_sum = flat2.T @ onehot  # [dim, n]
+    if axis_name is not None:
+        onehot_sum = jax.lax.psum(onehot_sum, axis_name)
+        embed_sum = jax.lax.psum(embed_sum, axis_name)
+    cluster_size = codebook["cluster_size"] * decay + onehot_sum * (1 - decay)
+    embed_avg = codebook["embed_avg"] * decay + embed_sum * (1 - decay)
+    n = cluster_size.sum()
+    cluster = (cluster_size + eps) / (n + n_embed * eps) * n
+    embed = embed_avg / cluster[None, :]
+    return {"embed": embed, "cluster_size": cluster_size, "embed_avg": embed_avg}

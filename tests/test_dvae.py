@@ -1,0 +1,106 @@
+"""DVAE mel-codebook tests: tokenize/detokenize round-trip shapes, codes in
+range, straight-through training forward, EMA update with psum collective."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from indextts_tpu.config import DVAEConfig
+from indextts_tpu.models.dvae import (
+    decode,
+    dvae_forward,
+    dvae_infer,
+    get_codebook_indices,
+    init_dvae,
+    quantize,
+    quantize_ema_update,
+)
+
+
+def small_cfg():
+    return DVAEConfig(channels=80, num_tokens=64, codebook_dim=16, hidden_dim=16, num_layers=2, num_resnet_blocks=1)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = small_cfg()
+    params = init_dvae(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+rng_np = np.random.default_rng(5)
+
+
+class TestDVAE:
+    def test_tokenize_shapes(self, setup):
+        cfg, params = setup
+        mel = jnp.asarray(rng_np.standard_normal((2, 64, 80)).astype(np.float32))
+        codes = get_codebook_indices(params, cfg, mel)
+        assert codes.shape == (2, 64 // 4)  # two stride-2 layers
+        c = np.asarray(codes)
+        assert (c >= 0).all() and (c < cfg.num_tokens).all()
+
+    def test_decode_shapes(self, setup):
+        cfg, params = setup
+        codes = jnp.asarray(rng_np.integers(0, 64, (2, 16)))
+        mel = decode(params, cfg, codes)
+        assert mel.shape == (2, 64, 80)
+
+    def test_round_trip_deterministic(self, setup):
+        cfg, params = setup
+        mel = jnp.asarray(rng_np.standard_normal((1, 32, 80)).astype(np.float32))
+        a = np.asarray(dvae_infer(params, cfg, mel))
+        b = np.asarray(dvae_infer(params, cfg, mel))
+        np.testing.assert_array_equal(a, b)
+
+    def test_quantize_picks_nearest(self, setup):
+        cfg, params = setup
+        embed = np.asarray(params["codebook"]["embed"])  # [dim, n]
+        target = 7
+        flat = jnp.asarray(embed[:, target][None, :])  # exactly codebook row 7
+        q, codes = quantize(params["codebook"], flat)
+        assert int(codes[0]) == target
+        np.testing.assert_allclose(np.asarray(q[0]), embed[:, target], atol=1e-5)
+
+    def test_training_forward(self, setup):
+        cfg, params = setup
+        mel = jnp.asarray(rng_np.standard_normal((1, 32, 80)).astype(np.float32))
+        recon, commit, out = dvae_forward(params, cfg, mel)
+        assert np.isfinite(float(recon)) and np.isfinite(float(commit))
+        assert out.shape == mel.shape
+        # gradient flows through the straight-through estimator
+        g = jax.grad(lambda p: dvae_forward(p, cfg, mel)[0])(params)
+        gnorm = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
+        assert gnorm > 0
+
+    def test_ema_update_single_device(self, setup):
+        cfg, params = setup
+        flat = jnp.asarray(rng_np.standard_normal((100, 16)).astype(np.float32))
+        cb = quantize_ema_update(params["codebook"], flat, cfg.num_tokens)
+        assert cb["embed"].shape == params["codebook"]["embed"].shape
+        assert float(cb["cluster_size"].sum()) > 0
+
+    def test_ema_update_psum_matches_single(self, setup):
+        """shard_map psum over 4 devices == single-device update on the full
+        batch (the reference all_reduce contract, xtts_dvae.py:107-109)."""
+        from jax.sharding import Mesh, PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        cfg, params = setup
+        flat = jnp.asarray(rng_np.standard_normal((128, 16)).astype(np.float32))
+        gold = quantize_ema_update(params["codebook"], flat, cfg.num_tokens)
+
+        mesh = Mesh(np.asarray(jax.devices()[:4]), ("dp",))
+        fn = shard_map(
+            lambda cb, f: quantize_ema_update(cb, f, cfg.num_tokens, axis_name="dp"),
+            mesh=mesh,
+            in_specs=(P(), P("dp")),
+            out_specs=P(),
+        )
+        out = fn(params["codebook"], flat)
+        np.testing.assert_allclose(np.asarray(out["embed"]), np.asarray(gold["embed"]), atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(out["cluster_size"]), np.asarray(gold["cluster_size"]), atol=1e-4
+        )
