@@ -1,0 +1,425 @@
+"""Web server: SPA backend with async synthesis tasks and SSE progress.
+
+Same REST surface as the reference Flask app (webui.py):
+  GET  /                                   -> SPA (templates/index.html)
+  GET  /audio/<filename>                   -> synthesized audio
+  GET  /static/<path>                      -> static assets
+  GET  /api/history-audios                 -> history list
+  DELETE /api/delete-audio                 -> delete history item
+  GET/POST /api/rulesets                   -> regex replacement rulesets
+  GET/DELETE /api/rulesets/<name>
+  GET  /api/saved-voices                   -> saved voice-feature list
+  DELETE /api/saved-voices/<voice_id>
+  POST /api/save-voice-feature             -> persist cached cond-mel as .npy
+  POST /api/synthesize                     -> start async synthesis task
+  GET  /api/synthesize-stream-status/<id>  -> SSE progress stream
+
+Implementation differences vs the reference: stdlib WSGI instead of Flask
+(not available here); wav-only uploads (torchaudio's mp3/ogg decoders are
+torch-side); and the synthesis worker queue is a single worker thread guarded
+by a lock — the reference spawns a raw thread per request and shares one
+mutable progress callback across tasks (webui.py:224-283), a race this
+implementation closes by serializing jobs.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import re
+import threading
+import time
+import traceback
+import uuid
+from datetime import datetime
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from indextts_tpu.server.wsgi import App, Request, Response, SSEResponse, jsonify
+from indextts_tpu.utils.audio import read_wav, resample, write_wav
+from indextts_tpu.utils.mel import MelSpectrogramFeatures
+
+
+def sanitize_filename(name: str) -> str:
+    name = re.sub(r"[^\w\s.-]", "", str(name)).strip()
+    return re.sub(r"[-\s]+", "-", name).replace("/", "_").replace("\\", "_")
+
+
+def create_download_filename(text: str, voice_name: Optional[str] = None) -> str:
+    text_chars = re.findall(r"[\w一-鿥]", text)
+    part = "".join(text_chars)[:10] or "synthesis_result"
+    if voice_name:
+        return f"{sanitize_filename(voice_name)}_{part}"
+    return part
+
+
+def create_app(engine=None, base_dir: Optional[str] = None) -> App:
+    base_dir = base_dir or os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..")
+    base_dir = os.path.abspath(base_dir)
+    static_dir = os.path.join(base_dir, "static")
+    template_dir = os.path.join(base_dir, "templates")
+    output_dir = os.path.join(static_dir, "outputs")
+    temp_dir = os.path.join(static_dir, "temp_audio")
+    rulesets_dir = os.path.join(static_dir, "replacement_rulesets")
+    voices_dir = os.path.join(static_dir, "saved_voice_features")
+    for d in (output_dir, temp_dir, rulesets_dir, voices_dir):
+        os.makedirs(d, exist_ok=True)
+
+    app = App(static_dir=static_dir)
+    tasks_status: Dict[str, Dict[str, Any]] = {}
+    tasks_lock = threading.Lock()
+    temp_features_cache: Dict[str, Dict[str, Any]] = {}
+    temp_features_lock = threading.Lock()
+    worker_lock = threading.Lock()  # serializes engine use across tasks
+
+    # ------------------------------------------------------------------
+    @app.route("/")
+    def index(req: Request):
+        path = os.path.join(template_dir, "index.html")
+        if not os.path.exists(path):
+            return Response("<h1>indextts-tpu</h1><p>templates/index.html missing</p>")
+        with open(path, "rb") as f:
+            return Response(f.read())
+
+    @app.route("/audio/<path:filename>")
+    def serve_audio(req: Request, filename: str):
+        full = os.path.normpath(os.path.join(output_dir, filename))
+        if not full.startswith(output_dir) or not os.path.isfile(full):
+            return jsonify({"error": "not found"}, 404)
+        with open(full, "rb") as f:
+            return Response(f.read(), content_type="audio/wav")
+
+    # ------------------------------------------------------------------
+    @app.route("/api/history-audios")
+    def history_audios(req: Request):
+        if not os.path.exists(output_dir):
+            return jsonify([])
+        audio_files = []
+        for filename in os.listdir(output_dir):
+            if filename.lower().endswith((".wav", ".mp3", ".ogg")):
+                stat = os.stat(os.path.join(output_dir, filename))
+                audio_files.append(
+                    {
+                        "name": filename,
+                        "url": f"/static/outputs/{filename}",
+                        "date": datetime.fromtimestamp(stat.st_ctime).strftime("%Y-%m-%d %H:%M"),
+                    }
+                )
+        audio_files.sort(key=lambda x: x["date"], reverse=True)
+        return jsonify(audio_files)
+
+    @app.route("/api/delete-audio", methods=["DELETE"])
+    def delete_audio(req: Request):
+        data = req.get_json() or {}
+        filename = data.get("filename")
+        if not filename:
+            return jsonify({"error": "missing filename"}, 400)
+        file_path = os.path.join(output_dir, filename)
+        if not os.path.exists(file_path):
+            return jsonify({"error": "file not found"}, 404)
+        os.remove(file_path)
+        return jsonify({"success": True})
+
+    # ------------------------------------------------------------------
+    @app.route("/api/rulesets", methods=["GET"])
+    def list_rulesets(req: Request):
+        files = [f.replace(".json", "") for f in os.listdir(rulesets_dir) if f.endswith(".json")]
+        return jsonify(sorted(files))
+
+    @app.route("/api/rulesets", methods=["POST"])
+    def save_ruleset(req: Request):
+        data = req.get_json() or {}
+        name = data.get("name")
+        rules = data.get("rules")
+        if not name or not isinstance(rules, list):
+            return jsonify({"error": "Invalid data provided"}, 400)
+        safe_name = sanitize_filename(name)
+        with open(os.path.join(rulesets_dir, f"{safe_name}.json"), "w", encoding="utf-8") as f:
+            json.dump(rules, f, ensure_ascii=False, indent=2)
+        return jsonify({"message": f"Ruleset '{name}' saved successfully.", "filename": safe_name})
+
+    @app.route("/api/rulesets/<ruleset_name>", methods=["GET"])
+    def get_ruleset(req: Request, ruleset_name: str):
+        filepath = os.path.join(rulesets_dir, f"{sanitize_filename(ruleset_name)}.json")
+        if not os.path.exists(filepath):
+            return jsonify({"error": "Ruleset not found"}, 404)
+        with open(filepath, "r", encoding="utf-8") as f:
+            return jsonify(json.load(f))
+
+    @app.route("/api/rulesets/<ruleset_name>", methods=["DELETE"])
+    def delete_ruleset(req: Request, ruleset_name: str):
+        filepath = os.path.join(rulesets_dir, f"{sanitize_filename(ruleset_name)}.json")
+        if os.path.exists(filepath):
+            os.remove(filepath)
+            return jsonify({"message": f"Ruleset '{ruleset_name}' deleted."})
+        return jsonify({"error": "Ruleset not found"}, 404)
+
+    # ------------------------------------------------------------------
+    @app.route("/api/saved-voices", methods=["GET"])
+    def list_saved_voices(req: Request):
+        voices = []
+        for f_name in os.listdir(voices_dir):
+            if f_name.endswith(".meta.json"):
+                try:
+                    with open(os.path.join(voices_dir, f_name), "r", encoding="utf-8") as mf:
+                        meta = json.load(mf)
+                        voices.append(
+                            {
+                                "id": meta.get("id", f_name.replace(".meta.json", "")),
+                                "name": meta.get("user_given_name", "Unknown"),
+                            }
+                        )
+                except (json.JSONDecodeError, KeyError) as e:
+                    print(f"Warning: Could not parse meta file {f_name}: {e}")
+        return jsonify(sorted(voices, key=lambda x: x["name"]))
+
+    @app.route("/api/saved-voices/<voice_id>", methods=["DELETE"])
+    def delete_saved_voice(req: Request, voice_id: str):
+        safe_id = sanitize_filename(voice_id)
+        deleted = 0
+        for fname in (f"{safe_id}.cond_mel.npy", f"{safe_id}.meta.json"):
+            fpath = os.path.join(voices_dir, fname)
+            if os.path.exists(fpath):
+                os.remove(fpath)
+                deleted += 1
+        if deleted:
+            return jsonify({"message": f"Voice '{voice_id}' deleted."})
+        return jsonify({"error": "Voice not found"}, 404)
+
+    @app.route("/api/save-voice-feature", methods=["POST"])
+    def save_voice_feature(req: Request):
+        data = req.get_json() or {}
+        user_given_name = data.get("name")
+        source_feature_key = data.get("source_reference_identifier")
+        if not user_given_name or not source_feature_key:
+            return jsonify({"error": "Missing name or source identifier"}, 400)
+        with temp_features_lock:
+            feature = temp_features_cache.pop(source_feature_key, None)
+        if not feature or "cond_mel_numpy" not in feature:
+            return jsonify({"error": f"No cached feature for '{source_feature_key}' (may have been replaced)."}, 404)
+        safe_id = sanitize_filename(user_given_name)
+        np.save(os.path.join(voices_dir, f"{safe_id}.cond_mel.npy"), feature["cond_mel_numpy"])
+        with open(os.path.join(voices_dir, f"{safe_id}.meta.json"), "w", encoding="utf-8") as f:
+            json.dump({"id": safe_id, "user_given_name": user_given_name}, f, ensure_ascii=False, indent=2)
+        return jsonify({"message": f"Voice feature '{user_given_name}' saved.", "id": safe_id, "name": user_given_name})
+
+    # ------------------------------------------------------------------
+    def synthesis_worker(task_id, text_input, prompt_mel, output_filename, infer_mode,
+                         max_text_tokens_per_sentence, verbose_tts, kwargs):
+        def progress_callback(fraction, description):
+            with tasks_lock:
+                if task_id in tasks_status:
+                    tasks_status[task_id].update({"progress": int(fraction * 100), "message": description})
+
+        with worker_lock:
+            engine.set_gr_progress_callback(progress_callback)
+            try:
+                with tasks_lock:
+                    tasks_status[task_id].update({"status": "processing", "progress": 0, "message": "preparing..."})
+                infer = engine.infer_fast if infer_mode == "批次推理" else engine.infer
+                infer(
+                    prompt_mel=prompt_mel,
+                    text=text_input,
+                    output_path=output_filename,
+                    max_text_tokens_per_sentence=int(max_text_tokens_per_sentence),
+                    verbose=verbose_tts,
+                    **kwargs,
+                )
+                with tasks_lock:
+                    entry = tasks_status.get(task_id, {})
+                    relative_path = f"/static/outputs/{os.path.basename(output_filename)}"
+                    base = create_download_filename(text_input)
+                    _, ext = os.path.splitext(output_filename)
+                    entry.update(
+                        {
+                            "status": "completed",
+                            "progress": 100,
+                            "message": "synthesis complete!",
+                            "audio_url": relative_path,
+                            "download_filename": f"{base}{ext}",
+                        }
+                    )
+            except Exception as e:
+                print(f"Error in synthesis_worker for task {task_id}: {e}")
+                traceback.print_exc()
+                with tasks_lock:
+                    tasks_status[task_id].update({"status": "failed", "message": f"synthesis failed: {e}"})
+            finally:
+                engine.set_gr_progress_callback(None)
+
+    @app.route("/api/synthesize", methods=["POST"])
+    def synthesize(req: Request):
+        if engine is None:
+            return jsonify({"error": "TTS Engine not loaded."}, 503)
+        task_id = str(uuid.uuid4())
+        form = req.form
+        prompt_mel = None
+        is_new_upload = False
+        source_identifier_for_save = None
+        files_to_delete = []
+        try:
+            if req.files.get("referenceAudioFile") or form.get("saved_voice_identifier"):
+                with temp_features_lock:
+                    temp_features_cache.clear()
+
+            safe_voice_id = ""
+            if form.get("saved_voice_identifier"):
+                safe_voice_id = sanitize_filename(form["saved_voice_identifier"])
+                mel_path = os.path.join(voices_dir, f"{safe_voice_id}.cond_mel.npy")
+                if not os.path.exists(mel_path):
+                    return jsonify({"error": f"Saved voice '{safe_voice_id}' not found."}, 404)
+                prompt_mel = np.load(mel_path)
+            elif req.files.get("referenceAudioFile"):
+                is_new_upload = True
+                filename, data = req.files["referenceAudioFile"]
+                temp_name = f"temp_upload_{task_id}_{sanitize_filename(filename)}"
+                temp_path = os.path.join(temp_dir, temp_name)
+                with open(temp_path, "wb") as f:
+                    f.write(data)
+                source_identifier_for_save = temp_path
+                files_to_delete.append(temp_path)
+
+                target_sr = engine.cfg.bigvgan.sampling_rate
+                waveform, orig_sr = read_wav(temp_path)
+                if orig_sr != target_sr:
+                    waveform = resample(waveform, orig_sr, target_sr)
+                crop_start = form.get("cropStart")
+                crop_end = form.get("cropEnd")
+                if crop_start is not None or crop_end is not None:
+                    start = int(float(crop_start) * target_sr) if crop_start else 0
+                    end = int(float(crop_end) * target_sr) if crop_end else waveform.shape[1]
+                    if start < end and start < waveform.shape[1]:
+                        waveform = waveform[:, start:end]
+                mel = MelSpectrogramFeatures()(np.clip(waveform.mean(axis=0, keepdims=True), -1, 1))
+                prompt_mel = mel.astype(np.float32)
+                with temp_features_lock:
+                    temp_features_cache[source_identifier_for_save] = {"cond_mel_numpy": prompt_mel}
+            else:
+                return jsonify({"error": "A reference audio or saved voice feature is required."}, 400)
+
+            # typed sampling params (reference param map: webui.py:393-402)
+            kwargs_for_engine: Dict[str, Any] = {}
+            param_map = {
+                "do_sample": bool,
+                "temperature": float,
+                "top_k": int,
+                "top_p": float,
+                "repetition_penalty": float,
+                "num_beams": int,
+                "length_penalty": float,
+                "max_mel_tokens": int,
+                "typical_sampling": bool,
+            }
+            for key, target in param_map.items():
+                if key in form:
+                    try:
+                        if target is bool:
+                            kwargs_for_engine[key] = form[key].lower() in ("true", "on", "1")
+                        else:
+                            kwargs_for_engine[key] = target(form[key])
+                    except (ValueError, TypeError):
+                        print(f"Warning: bad param {key}={form[key]!r}; skipped")
+
+            text_input = form.get("text", "")
+            max_tokens = form.get("max_text_tokens_per_sentence", 100)
+            verbose_tts = str(form.get("verbose_tts", "true")).lower() in ("true", "on", "1")
+            try:
+                replacements = json.loads(form.get("replacements", "[]"))
+                for rule in replacements:
+                    if rule.get("original"):
+                        text_input = re.sub(rule["original"], rule.get("replacement", ""), text_input)
+            except (json.JSONDecodeError, TypeError) as e:
+                print(f"Warning: Could not apply replacements: {e}")
+
+            output_filename = os.path.join(output_dir, create_download_filename(text_input, safe_voice_id) + ".wav")
+            infer_mode = form.get("infer_mode", "普通推理")
+
+            with tasks_lock:
+                tasks_status[task_id] = {
+                    "status": "queued",
+                    "progress": 0,
+                    "message": "task queued",
+                    "files_to_delete": files_to_delete,
+                }
+                if is_new_upload and source_identifier_for_save:
+                    tasks_status[task_id]["is_from_new_upload"] = True
+                    tasks_status[task_id]["source_reference_identifier_for_save"] = source_identifier_for_save
+
+            threading.Thread(
+                target=synthesis_worker,
+                args=(task_id, text_input, prompt_mel, output_filename, infer_mode, max_tokens, verbose_tts,
+                      kwargs_for_engine),
+                daemon=True,
+            ).start()
+            return jsonify({"message": "synthesis task started", "task_id": task_id})
+        except Exception as e:
+            traceback.print_exc()
+            for f in files_to_delete:
+                if os.path.exists(f):
+                    try:
+                        os.remove(f)
+                    except Exception:
+                        pass
+            return jsonify({"error": f"request failed: {e}"}, 500)
+
+    @app.route("/api/synthesize-stream-status/<task_id>")
+    def synthesize_stream_status(req: Request, task_id: str):
+        def generate():
+            try:
+                while True:
+                    with tasks_lock:
+                        task_info = dict(tasks_status.get(task_id, {}))
+                    task_info.pop("files_to_delete", None)
+                    yield task_info
+                    if task_info.get("status") in ("completed", "failed", "error"):
+                        break
+                    time.sleep(0.2)
+            finally:
+                with tasks_lock:
+                    cleaned = tasks_status.pop(task_id, None)
+                if cleaned:
+                    for f_path in cleaned.get("files_to_delete", []):
+                        if os.path.exists(f_path):
+                            try:
+                                os.remove(f_path)
+                            except Exception as e:
+                                print(f"Error cleaning temp file {f_path}: {e}")
+
+        return SSEResponse(generate())
+
+    app._tasks_status = tasks_status  # exposed for tests
+    app._temp_features_cache = temp_features_cache
+    return app
+
+
+def main(argv=None):
+    import argparse
+
+    parser = argparse.ArgumentParser(description="indextts-tpu web server")
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=5000)
+    parser.add_argument("-c", "--config", default="checkpoints/config.yaml")
+    parser.add_argument("--model_dir", default="checkpoints")
+    parser.add_argument("--random-init", action="store_true", help="serve with random weights (demo/testing)")
+    args = parser.parse_args(argv)
+
+    engine = None
+    try:
+        from indextts_tpu.engine import IndexTTS
+
+        engine = IndexTTS(cfg_path=args.config, model_dir=args.model_dir, allow_random_init=args.random_init)
+        print("Successfully initialized IndexTTS TPU engine.")
+    except Exception as e:
+        print(f"ERROR: Failed to initialize IndexTTS engine: {e}")
+        traceback.print_exc()
+
+    app = create_app(engine)
+    if engine is None:
+        print("\nFATAL: TTS Engine could not be initialized; serving API errors only.")
+    app.run(args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()

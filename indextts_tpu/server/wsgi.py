@@ -1,0 +1,207 @@
+"""Minimal threaded WSGI micro-framework (stdlib only).
+
+Flask is not available in this environment, so the web server
+(server/webui.py) runs on this ~150-line routing/request/response layer:
+path-parameter routes, JSON and multipart/form-data parsing, JSON responses,
+server-sent-event streaming responses, and static file serving — the exact
+feature set the reference's Flask app uses (webui.py).
+"""
+
+from __future__ import annotations
+
+import json
+import mimetypes
+import os
+import re
+import threading
+from socketserver import ThreadingMixIn
+from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
+from urllib.parse import parse_qs, unquote
+from wsgiref.simple_server import WSGIRequestHandler, WSGIServer, make_server
+
+
+class Request:
+    def __init__(self, environ):
+        self.environ = environ
+        self.method = environ["REQUEST_METHOD"].upper()
+        self.path = environ.get("PATH_INFO", "/")
+        self.query = {k: v[0] for k, v in parse_qs(environ.get("QUERY_STRING", "")).items()}
+        self._body: Optional[bytes] = None
+        self.form: Dict[str, str] = {}
+        self.files: Dict[str, Tuple[str, bytes]] = {}  # name -> (filename, data)
+        self._parse_body()
+
+    @property
+    def body(self) -> bytes:
+        if self._body is None:
+            try:
+                length = int(self.environ.get("CONTENT_LENGTH") or 0)
+            except ValueError:
+                length = 0
+            self._body = self.environ["wsgi.input"].read(length) if length else b""
+        return self._body
+
+    @property
+    def json(self) -> Any:
+        try:
+            return json.loads(self.body.decode("utf-8"))
+        except Exception:
+            return None
+
+    def get_json(self):
+        return self.json
+
+    def _parse_body(self):
+        ctype = self.environ.get("CONTENT_TYPE", "")
+        if self.method in ("POST", "PUT", "DELETE") and ctype:
+            if ctype.startswith("application/x-www-form-urlencoded"):
+                self.form = {k: v[0] for k, v in parse_qs(self.body.decode("utf-8")).items()}
+            elif ctype.startswith("multipart/form-data"):
+                m = re.search(r'boundary="?([^";]+)"?', ctype)
+                if m:
+                    self._parse_multipart(m.group(1).encode())
+
+    def _parse_multipart(self, boundary: bytes):
+        body = self.body
+        delim = b"--" + boundary
+        for part in body.split(delim):
+            part = part.strip(b"\r\n")
+            if not part or part == b"--":
+                continue
+            if b"\r\n\r\n" not in part:
+                continue
+            head, _, data = part.partition(b"\r\n\r\n")
+            headers = {}
+            for line in head.decode("utf-8", "replace").split("\r\n"):
+                if ":" in line:
+                    k, v = line.split(":", 1)
+                    headers[k.strip().lower()] = v.strip()
+            disp = headers.get("content-disposition", "")
+            name_m = re.search(r'name="([^"]*)"', disp)
+            file_m = re.search(r'filename="([^"]*)"', disp)
+            if not name_m:
+                continue
+            name = name_m.group(1)
+            if file_m:
+                self.files[name] = (file_m.group(1), data)
+            else:
+                self.form[name] = data.decode("utf-8", "replace")
+
+
+class Response:
+    def __init__(self, body: Any = b"", status: int = 200, content_type: str = "text/html; charset=utf-8",
+                 headers: Optional[List[Tuple[str, str]]] = None):
+        if isinstance(body, str):
+            body = body.encode("utf-8")
+        self.body = body
+        self.status = status
+        self.content_type = content_type
+        self.headers = headers or []
+
+
+def jsonify(obj: Any, status: int = 200) -> Response:
+    return Response(json.dumps(obj, ensure_ascii=False), status=status, content_type="application/json; charset=utf-8")
+
+
+class SSEResponse:
+    """Streaming text/event-stream response from a generator of dicts/strings."""
+
+    def __init__(self, generator: Iterable[Any]):
+        self.generator = generator
+
+
+_STATUS = {
+    200: "200 OK", 201: "201 Created", 400: "400 Bad Request", 404: "404 Not Found",
+    405: "405 Method Not Allowed", 500: "500 Internal Server Error", 503: "503 Service Unavailable",
+}
+
+
+class ThreadingWSGIServer(ThreadingMixIn, WSGIServer):
+    daemon_threads = True
+
+
+class QuietHandler(WSGIRequestHandler):
+    def log_message(self, fmt, *args):  # keep stdout for the engine's printouts
+        pass
+
+
+class App:
+    def __init__(self, static_dir: Optional[str] = None, static_url: str = "/static"):
+        self.routes: List[Tuple[re.Pattern, List[str], Callable]] = []
+        self.static_dir = static_dir
+        self.static_url = static_url.rstrip("/")
+
+    def route(self, pattern: str, methods: Optional[List[str]] = None):
+        methods = [m.upper() for m in (methods or ["GET"])]
+        regex = re.compile("^" + re.sub(r"<(?:path:)?([a-zA-Z_]+)>",
+                                        lambda m: f"(?P<{m.group(1)}>.+)" if "path:" in m.group(0) else f"(?P<{m.group(1)}>[^/]+)",
+                                        pattern) + "$")
+
+        def deco(fn):
+            self.routes.append((regex, methods, fn))
+            return fn
+
+        return deco
+
+    def _serve_static(self, path: str):
+        rel = unquote(path[len(self.static_url) + 1 :])
+        full = os.path.normpath(os.path.join(self.static_dir, rel))
+        if not full.startswith(os.path.abspath(self.static_dir)) or not os.path.isfile(full):
+            return jsonify({"error": "not found"}, 404)
+        ctype = mimetypes.guess_type(full)[0] or "application/octet-stream"
+        with open(full, "rb") as f:
+            return Response(f.read(), content_type=ctype)
+
+    def __call__(self, environ, start_response):
+        req = Request(environ)
+        try:
+            result = self._dispatch(req)
+        except Exception as e:  # route errors -> 500 JSON like Flask's default
+            import traceback
+
+            traceback.print_exc()
+            result = jsonify({"error": str(e)}, 500)
+
+        if isinstance(result, SSEResponse):
+            start_response("200 OK", [
+                ("Content-Type", "text/event-stream"),
+                ("Cache-Control", "no-cache"),
+                ("Connection", "keep-alive"),
+                ("Access-Control-Allow-Origin", "*"),
+            ])
+
+            def stream():
+                for item in result.generator:
+                    if isinstance(item, (dict, list)):
+                        yield f"data: {json.dumps(item, ensure_ascii=False)}\n\n".encode("utf-8")
+                    else:
+                        yield str(item).encode("utf-8")
+
+            return stream()
+
+        if not isinstance(result, Response):
+            result = jsonify(result)
+        headers = [("Content-Type", result.content_type),
+                   ("Content-Length", str(len(result.body))),
+                   ("Access-Control-Allow-Origin", "*")] + result.headers
+        start_response(_STATUS.get(result.status, f"{result.status} "), headers)
+        return [result.body]
+
+    def _dispatch(self, req: Request):
+        if self.static_dir and req.path.startswith(self.static_url + "/"):
+            return self._serve_static(req.path)
+        matched_path = False
+        for regex, methods, fn in self.routes:
+            m = regex.match(req.path)
+            if m:
+                matched_path = True
+                if req.method in methods:
+                    return fn(req, **m.groupdict())
+        if matched_path:
+            return jsonify({"error": "method not allowed"}, 405)
+        return jsonify({"error": "not found"}, 404)
+
+    def run(self, host: str = "0.0.0.0", port: int = 5000):
+        srv = make_server(host, port, self, server_class=ThreadingWSGIServer, handler_class=QuietHandler)
+        print(f" * Serving on http://{host}:{port}")
+        srv.serve_forever()

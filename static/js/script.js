@@ -1,0 +1,264 @@
+/* IndexTTS-TPU single-page app: synthesis with SSE progress, saved voices,
+ * regex rulesets, history. Talks to the REST surface of server/webui.py. */
+
+const $ = (id) => document.getElementById(id);
+
+let lastUploadIdentifier = null; // server-side cache key for save-voice-feature
+let currentEventSource = null;
+
+// ---------------------------------------------------------------------------
+// rulesets
+// ---------------------------------------------------------------------------
+
+async function loadRulesets() {
+  const res = await fetch("/api/rulesets");
+  const names = await res.json();
+  const sel = $("ruleset-select");
+  const cur = sel.value;
+  sel.innerHTML = '<option value="">(none)</option>';
+  for (const n of names) {
+    const opt = document.createElement("option");
+    opt.value = n;
+    opt.textContent = n;
+    sel.appendChild(opt);
+  }
+  sel.value = cur;
+}
+
+function ruleRow(original = "", replacement = "") {
+  const row = document.createElement("div");
+  row.className = "rule-row";
+  row.innerHTML = `
+    <input class="rule-original" placeholder="正则 regex" value="${original.replace(/"/g, "&quot;")}">
+    <input class="rule-replacement" placeholder="替换 replacement" value="${replacement.replace(/"/g, "&quot;")}">
+    <button class="ghost danger rule-del">×</button>`;
+  row.querySelector(".rule-del").onclick = () => row.remove();
+  return row;
+}
+
+function currentRules() {
+  return [...document.querySelectorAll("#rules-list .rule-row")].map((row) => ({
+    original: row.querySelector(".rule-original").value,
+    replacement: row.querySelector(".rule-replacement").value,
+  })).filter((r) => r.original);
+}
+
+$("ruleset-edit-btn").onclick = () => $("ruleset-editor").classList.toggle("hidden");
+$("rule-add-btn").onclick = () => $("rules-list").appendChild(ruleRow());
+
+$("ruleset-select").onchange = async () => {
+  const name = $("ruleset-select").value;
+  $("rules-list").innerHTML = "";
+  if (!name) return;
+  const res = await fetch(`/api/rulesets/${encodeURIComponent(name)}`);
+  if (!res.ok) return;
+  const rules = await res.json();
+  $("ruleset-name").value = name;
+  for (const r of rules) $("rules-list").appendChild(ruleRow(r.original, r.replacement));
+};
+
+$("ruleset-save-btn").onclick = async () => {
+  const name = $("ruleset-name").value.trim();
+  if (!name) return alert("需要规则集名称 / ruleset name required");
+  await fetch("/api/rulesets", {
+    method: "POST",
+    headers: { "Content-Type": "application/json" },
+    body: JSON.stringify({ name, rules: currentRules() }),
+  });
+  await loadRulesets();
+  $("ruleset-select").value = name;
+};
+
+$("ruleset-delete-btn").onclick = async () => {
+  const name = $("ruleset-select").value;
+  if (!name || !confirm(`删除规则集 "${name}"?`)) return;
+  await fetch(`/api/rulesets/${encodeURIComponent(name)}`, { method: "DELETE" });
+  $("rules-list").innerHTML = "";
+  await loadRulesets();
+};
+
+// ---------------------------------------------------------------------------
+// voices
+// ---------------------------------------------------------------------------
+
+async function loadVoices() {
+  const res = await fetch("/api/saved-voices");
+  const voices = await res.json();
+  const sel = $("saved-voice-select");
+  const cur = sel.value;
+  sel.innerHTML = '<option value="">(上传新音频 upload new)</option>';
+  for (const v of voices) {
+    const opt = document.createElement("option");
+    opt.value = v.id;
+    opt.textContent = v.name;
+    sel.appendChild(opt);
+  }
+  sel.value = cur;
+}
+
+$("saved-voice-select").onchange = () => {
+  const usingSaved = !!$("saved-voice-select").value;
+  $("upload-zone").style.opacity = usingSaved ? 0.4 : 1;
+};
+
+$("voice-delete-btn").onclick = async () => {
+  const id = $("saved-voice-select").value;
+  if (!id || !confirm(`删除声音 "${id}"?`)) return;
+  await fetch(`/api/saved-voices/${encodeURIComponent(id)}`, { method: "DELETE" });
+  await loadVoices();
+};
+
+$("reference-audio").onchange = () => {
+  const file = $("reference-audio").files[0];
+  if (file) {
+    const url = URL.createObjectURL(file);
+    $("reference-preview").src = url;
+    $("reference-preview").classList.remove("hidden");
+    $("saved-voice-select").value = "";
+  }
+};
+
+$("voice-save-btn").onclick = async () => {
+  const name = $("voice-save-name").value.trim();
+  if (!name) return alert("需要声音名称 / voice name required");
+  if (!lastUploadIdentifier) return alert("请先用上传的音频合成一次 / synthesize with the upload first");
+  const res = await fetch("/api/save-voice-feature", {
+    method: "POST",
+    headers: { "Content-Type": "application/json" },
+    body: JSON.stringify({ name, source_reference_identifier: lastUploadIdentifier }),
+  });
+  const out = await res.json();
+  if (!res.ok) return alert(out.error || "保存失败");
+  lastUploadIdentifier = null;
+  $("voice-save-btn").disabled = true;
+  await loadVoices();
+  $("saved-voice-select").value = out.id;
+};
+
+// ---------------------------------------------------------------------------
+// synthesis
+// ---------------------------------------------------------------------------
+
+function setProgress(pct, msg) {
+  $("progress-wrap").classList.remove("hidden");
+  $("progress-fill").style.width = `${pct}%`;
+  $("progress-msg").textContent = msg || "";
+}
+
+$("synthesize-btn").onclick = async () => {
+  const text = $("text-input").value.trim();
+  if (!text) return alert("文本为空 / text is empty");
+
+  const form = new FormData();
+  form.append("text", text);
+  form.append("infer_mode", document.querySelector('input[name="infer-mode"]:checked').value);
+  form.append("do_sample", $("p-do-sample").checked);
+  form.append("temperature", $("p-temperature").value);
+  form.append("top_k", $("p-top-k").value);
+  form.append("top_p", $("p-top-p").value);
+  form.append("repetition_penalty", $("p-rep-pen").value);
+  form.append("num_beams", $("p-num-beams").value);
+  form.append("length_penalty", $("p-len-pen").value);
+  form.append("max_mel_tokens", $("p-max-mel").value);
+  form.append("max_text_tokens_per_sentence", $("p-max-text").value);
+  form.append("replacements", JSON.stringify(currentRules()));
+
+  const savedVoice = $("saved-voice-select").value;
+  if (savedVoice) {
+    form.append("saved_voice_identifier", savedVoice);
+  } else {
+    const file = $("reference-audio").files[0];
+    if (!file) return alert("需要参考音频或已保存声音 / reference audio or saved voice required");
+    form.append("referenceAudioFile", file);
+    if ($("crop-start").value) form.append("cropStart", $("crop-start").value);
+    if ($("crop-end").value) form.append("cropEnd", $("crop-end").value);
+  }
+
+  $("synthesize-btn").disabled = true;
+  $("result").classList.add("hidden");
+  setProgress(0, "提交任务 submitting…");
+
+  try {
+    const res = await fetch("/api/synthesize", { method: "POST", body: form });
+    const out = await res.json();
+    if (!res.ok) throw new Error(out.error || "synthesize failed");
+    watchTask(out.task_id, !savedVoice);
+  } catch (e) {
+    setProgress(0, `错误: ${e.message}`);
+    $("synthesize-btn").disabled = false;
+  }
+};
+
+function watchTask(taskId, fromUpload) {
+  if (currentEventSource) currentEventSource.close();
+  const es = new EventSource(`/api/synthesize-stream-status/${taskId}`);
+  currentEventSource = es;
+  es.onmessage = (ev) => {
+    const info = JSON.parse(ev.data);
+    setProgress(info.progress || 0, info.message || info.status || "");
+    if (info.status === "completed") {
+      es.close();
+      $("synthesize-btn").disabled = false;
+      $("result").classList.remove("hidden");
+      $("result-audio").src = `${info.audio_url}?t=${Date.now()}`;
+      $("result-download").href = info.audio_url;
+      $("result-download").download = info.download_filename || "synthesis.wav";
+      if (fromUpload && info.source_reference_identifier_for_save) {
+        lastUploadIdentifier = info.source_reference_identifier_for_save;
+        $("voice-save-btn").disabled = false;
+      } else if (fromUpload) {
+        $("voice-save-btn").disabled = false;
+      }
+      loadHistory();
+    } else if (info.status === "failed" || info.status === "error") {
+      es.close();
+      $("synthesize-btn").disabled = false;
+    } else if (fromUpload && info.source_reference_identifier_for_save && !lastUploadIdentifier) {
+      lastUploadIdentifier = info.source_reference_identifier_for_save;
+    }
+  };
+  es.onerror = () => {
+    es.close();
+    $("synthesize-btn").disabled = false;
+  };
+}
+
+// ---------------------------------------------------------------------------
+// history
+// ---------------------------------------------------------------------------
+
+async function loadHistory() {
+  const res = await fetch("/api/history-audios");
+  const items = await res.json();
+  const ul = $("history-list");
+  ul.innerHTML = "";
+  for (const item of items) {
+    const li = document.createElement("li");
+    li.innerHTML = `
+      <span class="name" title="${item.name}">${item.name}</span>
+      <span class="date">${item.date}</span>
+      <button class="ghost play">▶</button>
+      <a class="ghost" href="${item.url}" download>⬇</a>
+      <button class="ghost danger del">×</button>`;
+    li.querySelector(".play").onclick = () => {
+      $("result").classList.remove("hidden");
+      $("result-audio").src = `${item.url}?t=${Date.now()}`;
+      $("result-audio").play();
+    };
+    li.querySelector(".del").onclick = async () => {
+      if (!confirm(`删除 "${item.name}"?`)) return;
+      await fetch("/api/delete-audio", {
+        method: "DELETE",
+        headers: { "Content-Type": "application/json" },
+        body: JSON.stringify({ filename: item.name }),
+      });
+      loadHistory();
+    };
+    ul.appendChild(li);
+  }
+}
+
+// boot
+loadRulesets();
+loadVoices();
+loadHistory();

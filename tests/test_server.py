@@ -1,0 +1,240 @@
+"""Web server tests: full REST surface exercised through the WSGI app
+directly (no sockets), with a fake engine for synthesis."""
+
+import io
+import json
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from indextts_tpu.config import IndexTTSConfig
+from indextts_tpu.server.webui import create_app, create_download_filename, sanitize_filename
+from indextts_tpu.utils.audio import write_wav
+
+
+class FakeEngine:
+    def __init__(self):
+        self.cfg = IndexTTSConfig()
+        self.callback = None
+        self.calls = []
+
+    def set_gr_progress_callback(self, cb):
+        self.callback = cb
+
+    def infer(self, prompt_mel=None, text="", output_path=None, **kw):
+        self.calls.append(("infer", text, kw))
+        if self.callback:
+            self.callback(0.5, "halfway")
+        write_wav(output_path, np.zeros((1, 2400), np.int16), 24000)
+        return output_path
+
+    def infer_fast(self, prompt_mel=None, text="", output_path=None, **kw):
+        self.calls.append(("infer_fast", text, kw))
+        write_wav(output_path, np.zeros((1, 2400), np.int16), 24000)
+        return output_path
+
+
+class Client:
+    """Tiny WSGI test client."""
+
+    def __init__(self, app):
+        self.app = app
+
+    def request(self, method, path, body=b"", content_type=None):
+        environ = {
+            "REQUEST_METHOD": method,
+            "PATH_INFO": path,
+            "QUERY_STRING": "",
+            "CONTENT_LENGTH": str(len(body)),
+            "wsgi.input": io.BytesIO(body),
+        }
+        if content_type:
+            environ["CONTENT_TYPE"] = content_type
+        captured = {}
+
+        def start_response(status, headers):
+            captured["status"] = int(status.split()[0])
+            captured["headers"] = dict(headers)
+
+        result = self.app(environ, start_response)
+        return captured["status"], captured["headers"], result
+
+    def json(self, method, path, obj=None):
+        body = json.dumps(obj).encode() if obj is not None else b""
+        status, headers, result = self.request(method, path, body, "application/json")
+        data = b"".join(result)
+        return status, json.loads(data) if data else None
+
+    def multipart(self, path, fields, files=None):
+        boundary = "testboundary123"
+        parts = []
+        for k, v in fields.items():
+            parts.append(
+                f'--{boundary}\r\nContent-Disposition: form-data; name="{k}"\r\n\r\n{v}\r\n'.encode()
+            )
+        for k, (fname, data) in (files or {}).items():
+            parts.append(
+                f'--{boundary}\r\nContent-Disposition: form-data; name="{k}"; filename="{fname}"\r\n'
+                f"Content-Type: application/octet-stream\r\n\r\n".encode() + data + b"\r\n"
+            )
+        body = b"".join(parts) + f"--{boundary}--\r\n".encode()
+        status, headers, result = self.request(
+            "POST", path, body, f"multipart/form-data; boundary={boundary}"
+        )
+        data = b"".join(result)
+        return status, json.loads(data) if data else None
+
+
+@pytest.fixture()
+def server(tmp_path):
+    engine = FakeEngine()
+    app = create_app(engine, base_dir=str(tmp_path))
+    return Client(app), engine, app, str(tmp_path)
+
+
+def _wav_bytes():
+    buf_path = "/tmp/_test_prompt.wav"
+    t = np.linspace(0, 0.2, 4800, endpoint=False)
+    write_wav(buf_path, (0.3 * np.sin(2 * np.pi * 220 * t) * 32767)[None, :], 24000)
+    with open(buf_path, "rb") as f:
+        return f.read()
+
+
+class TestHelpers:
+    def test_sanitize(self):
+        assert sanitize_filename("a b/c\\d!") == "a-bcd"
+
+    def test_download_filename(self):
+        assert create_download_filename("你好 world, nice!") .startswith("你好world")
+        assert create_download_filename("!!!") == "synthesis_result"
+        assert create_download_filename("hey", "my voice").startswith("my-voice_")
+
+
+class TestRulesets:
+    def test_crud(self, server):
+        client, _, _, _ = server
+        status, data = client.json("GET", "/api/rulesets")
+        assert status == 200 and data == []
+        status, data = client.json("POST", "/api/rulesets", {"name": "t1", "rules": [{"original": "a", "replacement": "b"}]})
+        assert status == 200
+        status, data = client.json("GET", "/api/rulesets/t1")
+        assert status == 200 and data[0]["original"] == "a"
+        status, data = client.json("GET", "/api/rulesets")
+        assert data == ["t1"]
+        status, data = client.json("DELETE", "/api/rulesets/t1")
+        assert status == 200
+        status, data = client.json("GET", "/api/rulesets/t1")
+        assert status == 404
+
+    def test_invalid_post(self, server):
+        client, _, _, _ = server
+        status, data = client.json("POST", "/api/rulesets", {"name": "", "rules": "notalist"})
+        assert status == 400
+
+
+class TestVoices:
+    def test_list_empty_and_delete_missing(self, server):
+        client, _, _, _ = server
+        status, data = client.json("GET", "/api/saved-voices")
+        assert status == 200 and data == []
+        status, data = client.json("DELETE", "/api/saved-voices/nope")
+        assert status == 404
+
+
+class TestSynthesis:
+    def _drain_sse(self, app, client, task_id, timeout=10.0):
+        status, headers, result = client.request("GET", f"/api/synthesize-stream-status/{task_id}")
+        assert headers["Content-Type"].startswith("text/event-stream")
+        events = []
+        start = time.time()
+        for chunk in result:
+            for line in chunk.decode().strip().split("\n"):
+                if line.startswith("data: "):
+                    events.append(json.loads(line[6:]))
+            if time.time() - start > timeout:
+                break
+        return events
+
+    def test_upload_synthesize_and_save_voice(self, server):
+        client, engine, app, base = server
+        status, data = client.multipart(
+            "/api/synthesize",
+            {"text": "hello there.", "infer_mode": "普通推理", "temperature": "0.9", "top_k": "20",
+             "replacements": json.dumps([{"original": "there", "replacement": "world"}])},
+            files={"referenceAudioFile": ("p.wav", _wav_bytes())},
+        )
+        assert status == 200, data
+        task_id = data["task_id"]
+        events = self._drain_sse(app, client, task_id)
+        assert events[-1]["status"] == "completed"
+        assert events[-1]["audio_url"].startswith("/static/outputs/")
+        # regex replacement applied before synthesis
+        mode, text, kw = engine.calls[-1]
+        assert mode == "infer" and text == "hello world."
+        assert kw["temperature"] == 0.9 and kw["top_k"] == 20
+        # save the cached voice feature
+        src = events[-1].get("source_reference_identifier_for_save")
+        assert src
+        status, data = client.json(
+            "POST", "/api/save-voice-feature", {"name": "My Voice", "source_reference_identifier": src}
+        )
+        assert status == 200, data
+        status, voices = client.json("GET", "/api/saved-voices")
+        assert voices and voices[0]["name"] == "My Voice"
+        # synthesize again from the saved voice, batch mode
+        status, data = client.multipart(
+            "/api/synthesize",
+            {"text": "again.", "infer_mode": "批次推理", "saved_voice_identifier": voices[0]["id"]},
+        )
+        assert status == 200
+        events = self._drain_sse(app, client, data["task_id"])
+        assert events[-1]["status"] == "completed"
+        assert engine.calls[-1][0] == "infer_fast"
+
+    def test_missing_voice_400(self, server):
+        client, _, _, _ = server
+        status, data = client.multipart("/api/synthesize", {"text": "hi"})
+        assert status == 400
+
+    def test_history_and_delete(self, server):
+        client, engine, app, base = server
+        status, data = client.multipart(
+            "/api/synthesize", {"text": "make history."},
+            files={"referenceAudioFile": ("p.wav", _wav_bytes())},
+        )
+        self._drain_sse(app, client, data["task_id"])
+        status, items = client.json("GET", "/api/history-audios")
+        assert status == 200 and len(items) == 1
+        status, out = client.json("DELETE", "/api/delete-audio", {"filename": items[0]["name"]})
+        assert status == 200
+        status, items = client.json("GET", "/api/history-audios")
+        assert items == []
+
+    def test_engine_unavailable_503(self, tmp_path):
+        client = Client(create_app(None, base_dir=str(tmp_path)))
+        status, data = client.multipart("/api/synthesize", {"text": "x"})
+        assert status == 503
+
+
+class TestStatic:
+    def test_index_served(self, tmp_path):
+        # use the repo root so the real template is found
+        client = Client(create_app(FakeEngine(), base_dir="/root/repo"))
+        status, headers, result = client.request("GET", "/")
+        assert status == 200
+        body = b"".join(result)
+        assert b"IndexTTS" in body
+
+    def test_static_js_served(self):
+        client = Client(create_app(FakeEngine(), base_dir="/root/repo"))
+        status, headers, result = client.request("GET", "/static/js/script.js")
+        assert status == 200
+        assert "javascript" in headers["Content-Type"]
+
+    def test_static_traversal_blocked(self):
+        client = Client(create_app(FakeEngine(), base_dir="/root/repo"))
+        status, headers, result = client.request("GET", "/static/../SURVEY.md")
+        assert status == 404
