@@ -275,10 +275,11 @@ class IndexTTS:
         key = ("voc", b, m, frames)
         if key not in self._vocoder_cache:
             h = self.cfg.bigvgan
+            use_pallas = self.use_pallas_kernel
 
             @jax.jit
             def fn(params, latent, mel_ref, lens):
-                return bigvgan_apply(params, h, latent, mel_ref, lens=lens)
+                return bigvgan_apply(params, h, latent, mel_ref, lens=lens, use_pallas=use_pallas)
 
             self._vocoder_cache[key] = fn
         return self._vocoder_cache[key]

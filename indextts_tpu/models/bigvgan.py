@@ -129,30 +129,44 @@ def linear_interp_x4(x: jnp.ndarray) -> jnp.ndarray:
     return x[:, lo, :] * (1.0 - w) + x[:, hi, :] * w
 
 
-def _activation(p_act: Params, x: jnp.ndarray, h: BigVGANConfig) -> jnp.ndarray:
+def _activation(p_act: Params, x: jnp.ndarray, h: BigVGANConfig, use_pallas: bool = False) -> jnp.ndarray:
+    if use_pallas:
+        from indextts_tpu.ops.pallas.antialias import fused_anti_alias_snake
+
+        return fused_anti_alias_snake(
+            x,
+            p_act["alpha"],
+            p_act.get("beta"),
+            alpha_logscale=h.snake_logscale,
+            interpret=jax.default_backend() == "cpu",
+        )
     return anti_aliased_activation(
         x, p_act["alpha"], p_act.get("beta"), alpha_logscale=h.snake_logscale
     )
 
 
-def _amp_block1(p: Params, x: jnp.ndarray, h: BigVGANConfig, kernel_size: int, dilations) -> jnp.ndarray:
+def _amp_block1(
+    p: Params, x: jnp.ndarray, h: BigVGANConfig, kernel_size: int, dilations, use_pallas: bool = False
+) -> jnp.ndarray:
     """[act -> dilated conv -> act -> conv]×3 with residuals (models.py:65-74)."""
     acts1 = p["acts"][::2]
     acts2 = p["acts"][1::2]
     for c1, c2, a1, a2, d in zip(p["convs1"], p["convs2"], acts1, acts2, dilations):
-        xt = _activation(a1, x, h)
+        xt = _activation(a1, x, h, use_pallas)
         pad = (kernel_size * d - d) // 2
         xt = conv1d(xt, c1["weight"], c1["bias"], padding=pad, dilation=d)
-        xt = _activation(a2, xt, h)
+        xt = _activation(a2, xt, h, use_pallas)
         pad = (kernel_size - 1) // 2
         xt = conv1d(xt, c2["weight"], c2["bias"], padding=pad, dilation=1)
         x = xt + x
     return x
 
 
-def _amp_block2(p: Params, x: jnp.ndarray, h: BigVGANConfig, kernel_size: int, dilations) -> jnp.ndarray:
+def _amp_block2(
+    p: Params, x: jnp.ndarray, h: BigVGANConfig, kernel_size: int, dilations, use_pallas: bool = False
+) -> jnp.ndarray:
     for c, a, d in zip(p["convs"], p["acts"], dilations):
-        xt = _activation(a, x, h)
+        xt = _activation(a, x, h, use_pallas)
         pad = (kernel_size * d - d) // 2
         xt = conv1d(xt, c["weight"], c["bias"], padding=pad, dilation=d)
         x = xt + x
@@ -166,6 +180,7 @@ def bigvgan_apply(
     mel_ref: jnp.ndarray,
     lens: Optional[jnp.ndarray] = None,
     speaker_embedding: Optional[jnp.ndarray] = None,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Generator forward (reference: models.py:201-250).
 
@@ -197,14 +212,14 @@ def bigvgan_apply(
             kk = h.resblock_kernel_sizes[j]
             dd = h.resblock_dilation_sizes[j]
             out = (
-                _amp_block1(p_rb, x, h, kk, dd)
+                _amp_block1(p_rb, x, h, kk, dd, use_pallas)
                 if h.resblock == "1"
-                else _amp_block2(p_rb, x, h, kk, dd)
+                else _amp_block2(p_rb, x, h, kk, dd, use_pallas)
             )
             xs = out if xs is None else xs + out
         x = xs / num_kernels
 
-    x = _activation(params["activation_post"], x, h)
+    x = _activation(params["activation_post"], x, h, use_pallas)
     x = conv1d(x, params["conv_post"]["weight"], params["conv_post"]["bias"], padding=3)
     return tanh(x)
 

@@ -1,0 +1,63 @@
+"""Fused Pallas anti-alias kernel vs the composed XLA oracle (interpret mode
+on CPU; the compiled path is exercised on real TPU by bench/vocoder runs)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from indextts_tpu.ops.antialias import anti_aliased_activation
+from indextts_tpu.ops.pallas.antialias import fused_anti_alias_snake
+
+rng = np.random.default_rng(0)
+
+
+@pytest.mark.parametrize(
+    "b,t,c,tile_t,tile_c",
+    [
+        (2, 300, 24, 128, 128),  # unaligned T, small C (late vocoder stages)
+        (1, 1000, 130, 256, 128),  # channel padding
+        (1, 64, 8, 128, 128),  # T smaller than the tile
+        (1, 512, 256, 256, 128),  # aligned everything
+    ],
+)
+def test_matches_composed_snakebeta(b, t, c, tile_t, tile_c):
+    x = rng.standard_normal((b, t, c)).astype(np.float32)
+    alpha = (rng.standard_normal(c) * 0.3).astype(np.float32)
+    beta = (rng.standard_normal(c) * 0.3).astype(np.float32)
+    gold = np.asarray(
+        anti_aliased_activation(jnp.asarray(x), jnp.asarray(alpha), jnp.asarray(beta), alpha_logscale=True)
+    )
+    mine = np.asarray(
+        fused_anti_alias_snake(
+            jnp.asarray(x), jnp.asarray(alpha), jnp.asarray(beta),
+            alpha_logscale=True, tile_t=tile_t, tile_c=tile_c, interpret=True,
+        )
+    )
+    assert mine.shape == gold.shape
+    np.testing.assert_allclose(mine, gold, atol=2e-5)
+
+
+def test_matches_composed_snake_no_beta():
+    x = rng.standard_normal((1, 200, 16)).astype(np.float32)
+    alpha = np.abs(rng.standard_normal(16)).astype(np.float32)
+    gold = np.asarray(anti_aliased_activation(jnp.asarray(x), jnp.asarray(alpha), None, alpha_logscale=False))
+    mine = np.asarray(
+        fused_anti_alias_snake(jnp.asarray(x), jnp.asarray(alpha), None, alpha_logscale=False, tile_t=128, interpret=True)
+    )
+    np.testing.assert_allclose(mine, gold, atol=2e-5)
+
+
+def test_bigvgan_pallas_path_matches_composed():
+    """Full vocoder forward with use_pallas=True (interpret) == composed."""
+    from indextts_tpu.models.bigvgan import bigvgan_apply, init_bigvgan
+    from tests.test_vocoder import small_cfg
+
+    h = small_cfg()
+    params = init_bigvgan(jax.random.PRNGKey(1), h)
+    x = jnp.asarray(rng.standard_normal((1, 8, 16)).astype(np.float32))
+    mel = jnp.asarray(rng.standard_normal((1, 40, 100)).astype(np.float32))
+    gold = np.asarray(bigvgan_apply(params, h, x, mel))
+    mine = np.asarray(bigvgan_apply(params, h, x, mel, use_pallas=True))
+    np.testing.assert_allclose(mine, gold, atol=5e-5)
