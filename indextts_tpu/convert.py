@@ -243,6 +243,34 @@ def convert_unified_voice(sd: Dict[str, np.ndarray], cfg: GPTConfig) -> Dict[str
         params["conditioning_encoder"] = _convert_conformer(sd, cfg)
         if cfg.condition_type == "conformer_perceiver":
             params["perceiver_encoder"] = _convert_perceiver(sd, cfg)
+    elif cfg.condition_type in ("perceiver", "default"):
+        params["conditioning_encoder"] = _convert_legacy_conditioning(sd)
+        if cfg.condition_type == "perceiver":
+            params["perceiver_encoder"] = _convert_perceiver(sd, cfg)
+    return params
+
+
+def _convert_legacy_conditioning(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """AttentionBlock-stack ConditioningEncoder (model.py:210-234,
+    arch_util.py:78-120). 1x1 convs become [Cin, Cout] matrices."""
+    pfx = "conditioning_encoder"
+
+    def conv1x1(prefix):
+        return {"weight": np.ascontiguousarray(sd[f"{prefix}.weight"][:, :, 0].T), "bias": sd[f"{prefix}.bias"]}
+
+    params: Dict[str, Any] = {"init": conv1x1(f"{pfx}.init"), "attn": []}
+    i = 0
+    while f"{pfx}.attn.{i}.qkv.weight" in sd:
+        blk = {
+            "norm": _ln(sd, f"{pfx}.attn.{i}.norm"),
+            "qkv": conv1x1(f"{pfx}.attn.{i}.qkv"),
+            "proj_out": conv1x1(f"{pfx}.attn.{i}.proj_out"),
+        }
+        rp_key = f"{pfx}.attn.{i}.relative_pos_embeddings.relative_attention_bias.weight"
+        if rp_key in sd:
+            blk["rel_pos"] = {"emb": sd[rp_key]}
+        params["attn"].append(blk)
+        i += 1
     return params
 
 

@@ -97,10 +97,27 @@ def init_unified_voice(rng: jax.Array, cfg: GPTConfig) -> Params:
                 heads=cfg.condition_module.attention_heads,
                 ff_mult=cfg.condition_module.perceiver_mult,
             )
+    elif cfg.condition_type == "perceiver":
+        # legacy path (model.py:344-346): AttentionBlock stack + perceiver
+        from indextts_tpu.models.attention_block import init_conditioning_encoder
+
+        params["conditioning_encoder"] = init_conditioning_encoder(
+            r[7], 100, d, attn_blocks=6, num_attn_heads=cfg.heads
+        )
+        params["perceiver_encoder"] = init_perceiver(
+            r[8], dim=d, dim_context=d, num_latents=cfg.condition_num_latent
+        )
+    elif cfg.condition_type == "default":
+        # mean-pooled ConditioningEncoder (model.py:360, 507-518)
+        from indextts_tpu.models.attention_block import init_conditioning_encoder
+
+        params["conditioning_encoder"] = init_conditioning_encoder(
+            r[7], 100, d, attn_blocks=6, num_attn_heads=cfg.heads
+        )
     else:
         raise NotImplementedError(
-            f"condition_type={cfg.condition_type!r} not yet implemented (conformer_perceiver is the "
-            "IndexTTS-1.5 production path; legacy perceiver/gst paths tracked for a later round)"
+            f"condition_type={cfg.condition_type!r}: the reference's 'gst' branch references an "
+            "encoder it never constructs (model.py:503-506) and is unsupported there too"
         )
     return params
 
@@ -202,6 +219,20 @@ def get_conditioning(
             params["conditioning_encoder"], cfg.condition_module, speech_conditioning_mel, cond_mel_lengths
         )
         return enc
+    if cfg.condition_type == "perceiver":
+        # legacy path (model.py:491-495): AttentionBlock stack -> perceiver
+        from indextts_tpu.models.attention_block import conditioning_encoder_apply
+
+        enc = conditioning_encoder_apply(params["conditioning_encoder"], speech_conditioning_mel, cfg.heads)
+        return perceiver_apply(params["perceiver_encoder"], enc)
+    if cfg.condition_type == "default":
+        # mean-pooled single conditioning vector (model.py:507-518)
+        from indextts_tpu.models.attention_block import conditioning_encoder_apply
+
+        enc = conditioning_encoder_apply(
+            params["conditioning_encoder"], speech_conditioning_mel, cfg.heads, mean=True
+        )
+        return enc[:, None, :]
     raise NotImplementedError(cfg.condition_type)
 
 

@@ -180,17 +180,31 @@ def generate_speech(
     temperature=1.0,
     top_p=0.8,
     repetition_penalty=10.0,
+    input_tokens: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy / sampled generation (num_beams == 1).
 
     Returns (codes [B, max_new_tokens] right-padded with stop_mel_token,
     code_lengths [B] counting tokens up to and including the stop token).
     Matches HF generate() semantics for do_sample/greedy with
-    eos=pad=stop_mel_token (model.py:698-703).
+    eos=pad=stop_mel_token (model.py:698-703). `input_tokens` [B, S0] are
+    forced mel-code prefixes appended after start_mel (model.py:673-688);
+    they occupy mel positions 1..S0 in the prefill and the returned codes
+    exclude them (the reference truncates at trunc_index, model.py:704-708).
     """
     b, l = text_tokens.shape
     v = cfg.number_mel_codes
     emb, prefill_mask = prepare_gpt_inputs(params, cfg, conds, text_tokens, text_lengths)
+    if input_tokens is not None:
+        s0 = input_tokens.shape[1]
+        prefix_emb = (
+            params["mel_embedding"][input_tokens.astype(jnp.int32)]
+            + params["mel_pos_embedding"][1 : s0 + 1][None]
+        )
+        emb = jnp.concatenate([emb, prefix_emb.astype(emb.dtype)], axis=1)
+        prefill_mask = jnp.concatenate([prefill_mask, jnp.ones((b, s0), bool)], axis=1)
+    else:
+        s0 = 0
     p = emb.shape[1]
     max_new = gen.max_new_tokens
     s_max = p + max_new
@@ -201,6 +215,8 @@ def generate_speech(
     # input_ids row — the fake inputs are all 1s with a trailing start_mel
     # (model.py:645-653), so ids {1, start_mel} start out "seen".
     seen0 = jnp.zeros((b, v), bool).at[:, 1].set(True).at[:, cfg.start_mel_token].set(True)
+    if input_tokens is not None:
+        seen0 = seen0.at[jnp.arange(b)[:, None], input_tokens.astype(jnp.int32)].set(True)
 
     cache_positions = jnp.arange(s_max)[None, :]  # [1, S]
     prefill_valid = jnp.pad(prefill_mask, ((0, 0), (0, s_max - p)))
@@ -233,10 +249,12 @@ def generate_speech(
 
     def body_fn(state):
         i, codes, cache, done, seen, cur = state
-        # decode token g_{i+1} at cache slot p+i, mel position (i+1)+1
+        # decode token g_{i+1} at cache slot p+i; mel position (i+1)+1 (+s0
+        # when a forced prefix was prefilled) — the reference's positional
+        # skip (model.py:151-155)
         write_pos = p + i
         valid = prefill_valid | ((cache_positions >= p) & (cache_positions <= write_pos))
-        logits, cache = _decode_step(params, cfg, cur, i + 2, cache, write_pos, valid)
+        logits, cache = _decode_step(params, cfg, cur, i + 2 + s0, cache, write_pos, valid)
         nxt = sample_from(logits, seen, rng, i + 1).astype(jnp.int32)
         nxt = jnp.where(done, cfg.stop_mel_token, nxt)
         codes = codes.at[:, i + 1].set(nxt)
@@ -253,6 +271,75 @@ def generate_speech(
     first_stop = jnp.argmax(is_stop, axis=1)
     lengths = jnp.where(any_stop, first_stop + 1, max_new)
     return codes, lengths
+
+
+def inference_speech(
+    params: Params,
+    cfg: GPTConfig,
+    speech_conditioning_mel: jnp.ndarray,
+    text_inputs: jnp.ndarray,
+    text_lengths: jnp.ndarray,
+    cond_mel_lengths: Optional[jnp.ndarray] = None,
+    input_tokens: Optional[jnp.ndarray] = None,
+    num_return_sequences: int = 1,
+    max_generate_length: Optional[int] = None,
+    typical_sampling: bool = False,
+    typical_mass: float = 0.9,
+    do_sample: bool = True,
+    top_k: int = 30,
+    top_p: float = 0.8,
+    temperature: float = 1.0,
+    num_beams: int = 1,
+    repetition_penalty: float = 10.0,
+    length_penalty: float = 0.0,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """High-level generation mirroring UnifiedVoice.inference_speech
+    (model.py:655-708): conditioning -> prepare inputs -> generate, with
+    num_return_sequences realized as row tiling (rows sample independently)
+    and optional forced `input_tokens` prefixes."""
+    from indextts_tpu.models.gpt import get_conditioning
+
+    if speech_conditioning_mel.ndim == 2:
+        speech_conditioning_mel = speech_conditioning_mel[None]
+    if cond_mel_lengths is None:
+        cond_mel_lengths = jnp.asarray([speech_conditioning_mel.shape[1]])
+    conds = get_conditioning(params, cfg, speech_conditioning_mel, cond_mel_lengths)
+    b = text_inputs.shape[0]
+    if conds.shape[0] == 1 and b > 1:
+        conds = jnp.broadcast_to(conds, (b,) + conds.shape[1:])
+    if num_return_sequences > 1:
+        reps = num_return_sequences // b if b > 1 else num_return_sequences
+        conds = jnp.repeat(conds, reps, axis=0)
+        text_inputs = jnp.repeat(text_inputs, reps, axis=0)
+        text_lengths = jnp.repeat(text_lengths, reps, axis=0)
+        if input_tokens is not None:
+            if input_tokens.ndim == 1:
+                input_tokens = input_tokens[None]
+            input_tokens = jnp.repeat(
+                input_tokens, conds.shape[0] // input_tokens.shape[0], axis=0
+            )
+    max_new = max_generate_length if max_generate_length is not None else cfg.max_mel_tokens - 1
+    gen = GenerationConfig(
+        do_sample=do_sample,
+        num_beams=num_beams,
+        top_k=int(top_k) if top_k else 0,
+        typical_sampling=typical_sampling,
+        typical_mass=typical_mass,
+        max_new_tokens=int(max_new),
+        length_penalty=float(length_penalty),
+    )
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    if num_beams > 1:
+        return generate_speech_beam(
+            params, cfg, gen, conds, text_inputs, text_lengths, rng,
+            temperature=temperature, top_p=top_p, repetition_penalty=repetition_penalty,
+        )
+    return generate_speech(
+        params, cfg, gen, conds, text_inputs, text_lengths, rng,
+        temperature=temperature, top_p=top_p, repetition_penalty=repetition_penalty,
+        input_tokens=input_tokens,
+    )
 
 
 # ---------------------------------------------------------------------------
