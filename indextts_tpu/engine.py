@@ -612,6 +612,128 @@ class IndexTTS:
 
         return self._emit(wav, output_path, sampling_rate)
 
+    # ------------------------------------------------------------------
+    # streaming synthesis (new capability; the reference has no streaming —
+    # BASELINE.json config #4: chunked vocoder decode overlapped with AR
+    # generation for low time-to-first-audio)
+    # ------------------------------------------------------------------
+
+    def _stream_fns(self, b: int, l: int, gen: GenerationConfig, n_steps: int):
+        key = ("stream", b, l, gen, n_steps)
+        if key not in self._decode_cache:
+            cfg = self.cfg.gpt
+            from indextts_tpu.models.gpt_decode import (
+                continue_decode,
+                prefill_decode_state,
+            )
+
+            @jax.jit
+            def prefill_fn(params, conds, text, lens, rng, temperature, top_p, repetition_penalty):
+                state, aux = prefill_decode_state(
+                    params, cfg, gen, conds, text, lens, rng,
+                    temperature=temperature, top_p=top_p, repetition_penalty=repetition_penalty,
+                )
+                return state, aux["prefill_valid"]
+
+            @jax.jit
+            def step_fn(params, state, prefill_valid, rng, temperature, top_p, repetition_penalty):
+                from indextts_tpu.models.gpt_decode import decode_steps
+                from indextts_tpu.ops.sampling import greedy_token, process_logits, sample_token
+
+                def sample_from(logits, seen, key_, step):
+                    lf = process_logits(
+                        logits, seen_mask=seen, repetition_penalty=repetition_penalty,
+                        typical_sampling=gen.typical_sampling, typical_mass=gen.typical_mass,
+                        temperature=temperature, top_k=gen.top_k if gen.do_sample else 0,
+                        top_p=top_p, do_sample=gen.do_sample,
+                    )
+                    if gen.do_sample:
+                        return sample_token(jax.random.fold_in(key_, step), lf)
+                    return greedy_token(lf)
+
+                p = prefill_valid.shape[1] - gen.max_new_tokens
+                return decode_steps(
+                    params, cfg, state, n_steps, p, 0, prefill_valid, sample_from, rng, gen.max_new_tokens
+                )
+
+            self._decode_cache[key] = (prefill_fn, step_fn)
+        return self._decode_cache[key]
+
+    def infer_stream(
+        self,
+        prompt_mel=None,
+        text: str = "",
+        max_text_tokens_per_sentence: int = 120,
+        first_chunk_codes: int = 24,
+        chunk_codes: int = 96,
+        overlap_codes: int = 8,
+        audio_prompt: Optional[str] = None,
+        **generation_kwargs,
+    ):
+        """Generator yielding float32 wav chunks [samples] as soon as codes
+        are available — the AR decode advances `chunk_codes` tokens at a time
+        and the vocoder runs on each new latent window (with `overlap_codes`
+        of left context trimmed from the output). Sampling params mirror
+        infer(); beam search is not streamable."""
+        prompt_mel = self._resolve_prompt(audio_prompt if prompt_mel is None else prompt_mel)
+        do_sample = generation_kwargs.pop("do_sample", True)
+        top_p = generation_kwargs.pop("top_p", 0.8)
+        top_k = generation_kwargs.pop("top_k", 30)
+        temperature = generation_kwargs.pop("temperature", 1.0)
+        repetition_penalty = generation_kwargs.pop("repetition_penalty", 10.0)
+        max_mel_tokens = generation_kwargs.pop("max_mel_tokens", 600)
+        typical_sampling = generation_kwargs.pop("typical_sampling", False)
+        gen = GenerationConfig(
+            do_sample=do_sample, num_beams=1, top_k=int(top_k) if top_k else 0,
+            typical_sampling=typical_sampling, max_new_tokens=int(max_mel_tokens),
+        )
+        conds = self._conds_for(prompt_mel)
+        sentences = self.tokenizer.split_sentences(
+            self.tokenizer.tokenize(text), max_text_tokens_per_sentence
+        )
+        for sent in sentences:
+            tokens0 = np.asarray(self.tokenizer.convert_tokens_to_ids(sent), np.int32)[None, :]
+            l0 = tokens0.shape[1]
+            l = max(_round_up(l0, 8), 8)
+            padded = np.full((1, l), self.cfg.gpt.stop_text_token, np.int32)
+            padded[:, :l0] = tokens0
+            prefill_fn, step_fn = self._stream_fns(1, l, gen, chunk_codes)
+            first_fn = self._stream_fns(1, l, gen, first_chunk_codes)[1]
+            self._rng, sub = jax.random.split(self._rng)
+            args = (jnp.float32(temperature), jnp.float32(top_p), jnp.float32(repetition_penalty))
+            state, prefill_valid = prefill_fn(
+                self.gpt_params, conds.astype(self.dtype), jnp.asarray(padded), jnp.asarray([l0]), sub, *args
+            )
+            emitted = 0
+            first = True
+            while True:
+                fn = first_fn if first else step_fn
+                state = fn(self.gpt_params, state, prefill_valid, sub, *args)
+                first = False
+                i, codes_buf, _, done, _, _ = state
+                n_codes = int(i) + 1
+                all_done = bool(np.asarray(done).all())
+                # only vocode completed (non-stop) codes
+                codes_np = np.asarray(codes_buf[:, :n_codes])
+                stop_pos = np.nonzero(codes_np[0] == self.stop_mel_token)[0]
+                valid_n = int(stop_pos[0]) if stop_pos.size else n_codes
+                if valid_n > emitted or (all_done and valid_n > 0 and emitted == 0):
+                    start = max(emitted - overlap_codes, 0)
+                    latent = self._gpt_latent(
+                        conds, tokens0, codes_np[:, :valid_n], np.asarray([valid_n])
+                    )
+                    window = latent[:, start:valid_n]
+                    wav = self._vocode(window, valid_n - start, prompt_mel)
+                    h = self.cfg.bigvgan
+                    samples_per_code = (4 if h.feat_upsample else 1) * int(np.prod(h.upsample_rates))
+                    trim = (emitted - start) * samples_per_code  # drop overlap context
+                    chunk = wav[0, trim:]
+                    if chunk.size:
+                        yield chunk.astype(np.float32)
+                    emitted = valid_n
+                if all_done or n_codes >= gen.max_new_tokens:
+                    break
+
     def _emit(self, wav: np.ndarray, output_path: Optional[str], sampling_rate: int):
         if output_path:
             if os.path.isfile(output_path):

@@ -243,12 +243,34 @@ def generate_speech(
     codes0 = codes0.at[:, 0].set(tok1)
     seen1 = seen0.at[jnp.arange(b), tok1].set(True)
 
-    def cond_fn(state):
-        i, codes, cache, done, seen, cur = state
-        return jnp.logical_and(i < max_new - 1, ~jnp.all(done))
+    state = (jnp.asarray(0), codes0, cache, done0, seen1, tok1)
+    state = decode_steps(params, cfg, state, max_new - 1, p, s0, prefill_valid, sample_from, rng, max_new)
+    _, codes, _, done, _, _ = state
 
-    def body_fn(state):
-        i, codes, cache, done, seen, cur = state
+    # lengths: index of first stop + 1 (HF keeps the eos in the sequence)
+    is_stop = codes == cfg.stop_mel_token
+    any_stop = jnp.any(is_stop, axis=1)
+    first_stop = jnp.argmax(is_stop, axis=1)
+    lengths = jnp.where(any_stop, first_stop + 1, max_new)
+    return codes, lengths
+
+
+def decode_steps(params, cfg, state, n_steps, p, s0, prefill_valid, sample_from, rng, max_new):
+    """Run up to `n_steps` decode iterations from `state`, stopping early when
+    every row has emitted stop_mel_token or the code buffer is full. The
+    resumable unit behind both full generation and streaming synthesis."""
+    s_max = prefill_valid.shape[1]
+    cache_positions = jnp.arange(s_max)[None, :]
+    start_i = state[0]
+
+    def cond_fn(st):
+        i, codes, cache, done, seen, cur = st
+        return jnp.logical_and(
+            jnp.logical_and(i < max_new - 1, i < start_i + n_steps), ~jnp.all(done)
+        )
+
+    def body_fn(st):
+        i, codes, cache, done, seen, cur = st
         # decode token g_{i+1} at cache slot p+i; mel position (i+1)+1 (+s0
         # when a forced prefix was prefilled) — the reference's positional
         # skip (model.py:151-155)
@@ -259,18 +281,63 @@ def generate_speech(
         nxt = jnp.where(done, cfg.stop_mel_token, nxt)
         codes = codes.at[:, i + 1].set(nxt)
         done = done | (nxt == cfg.stop_mel_token)
-        seen = seen.at[jnp.arange(b), nxt].set(True)
+        seen = seen.at[jnp.arange(codes.shape[0]), nxt].set(True)
         return (i + 1, codes, cache, done, seen, nxt)
 
-    state = (jnp.asarray(0), codes0, cache, done0, seen1, tok1)
-    _, codes, _, done, _, _ = jax.lax.while_loop(cond_fn, body_fn, state)
+    return jax.lax.while_loop(cond_fn, body_fn, state)
 
-    # lengths: index of first stop + 1 (HF keeps the eos in the sequence)
-    is_stop = codes == cfg.stop_mel_token
-    any_stop = jnp.any(is_stop, axis=1)
-    first_stop = jnp.argmax(is_stop, axis=1)
-    lengths = jnp.where(any_stop, first_stop + 1, max_new)
-    return codes, lengths
+
+def prefill_decode_state(
+    params: Params,
+    cfg: GPTConfig,
+    gen: GenerationConfig,
+    conds: jnp.ndarray,
+    text_tokens: jnp.ndarray,
+    text_lengths: jnp.ndarray,
+    rng: jax.Array,
+    temperature=1.0,
+    top_p=0.8,
+    repetition_penalty=10.0,
+):
+    """Prefill + first token; returns (state, aux) where aux carries the
+    static context needed by `continue_decode`. Used by the streaming engine
+    path to interleave vocoding with generation."""
+    b, l = text_tokens.shape
+    v = cfg.number_mel_codes
+    emb, prefill_mask = prepare_gpt_inputs(params, cfg, conds, text_tokens, text_lengths)
+    p = emb.shape[1]
+    max_new = gen.max_new_tokens
+    s_max = p + max_new
+    logits0, cache = _prefill(params, cfg, emb, prefill_mask, s_max)
+    seen0 = jnp.zeros((b, v), bool).at[:, 1].set(True).at[:, cfg.start_mel_token].set(True)
+    prefill_valid = jnp.pad(prefill_mask, ((0, 0), (0, s_max - p)))
+
+    def sample_from(logits, seen, key, step):
+        lf = process_logits(
+            logits, seen_mask=seen, repetition_penalty=repetition_penalty,
+            typical_sampling=gen.typical_sampling, typical_mass=gen.typical_mass,
+            temperature=temperature, top_k=gen.top_k if gen.do_sample else 0,
+            top_p=top_p, do_sample=gen.do_sample,
+        )
+        if gen.do_sample:
+            return sample_token(jax.random.fold_in(key, step), lf)
+        return greedy_token(lf)
+
+    tok1 = sample_from(logits0, seen0, rng, 0).astype(jnp.int32)
+    done0 = tok1 == cfg.stop_mel_token
+    codes0 = jnp.full((b, max_new), cfg.stop_mel_token, jnp.int32).at[:, 0].set(tok1)
+    seen1 = seen0.at[jnp.arange(b), tok1].set(True)
+    state = (jnp.asarray(0), codes0, cache, done0, seen1, tok1)
+    aux = {"p": p, "prefill_valid": prefill_valid, "sample_from": sample_from, "rng": rng, "max_new": max_new}
+    return state, aux
+
+
+def continue_decode(params, cfg, state, aux, n_steps: int):
+    """Advance a streaming decode by up to n_steps tokens."""
+    return decode_steps(
+        params, cfg, state, n_steps, aux["p"], 0, aux["prefill_valid"],
+        aux["sample_from"], aux["rng"], aux["max_new"],
+    )
 
 
 def inference_speech(
