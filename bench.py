@@ -45,16 +45,28 @@ def main():
 
     rng = jax.random.PRNGKey(0)
     t0 = time.perf_counter()
-    gpt_params = init_unified_voice(rng, gpt_cfg)
-    bv_params = init_bigvgan(jax.random.fold_in(rng, 1), h)
 
-    def cast(t):
-        return jax.tree_util.tree_map(
-            lambda x: x.astype(dtype) if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else jnp.asarray(x), t
-        )
+    # fast deterministic weights: values are irrelevant for wall-clock, and
+    # threefry generation of ~500M params on-device costs minutes on this
+    # platform — build sin(iota)-patterned arrays from eval_shape instead
+    def fast_params_like(init_fn):
+        shapes = jax.eval_shape(init_fn)
 
-    gpt_params = cast(gpt_params)
-    bv_params = cast(bv_params)
+        @jax.jit
+        def build():
+            def mk(s):
+                if jnp.issubdtype(s.dtype, jnp.floating):
+                    n = int(np.prod(s.shape)) if s.shape else 1
+                    i = jax.lax.broadcasted_iota(jnp.float32, (max(n, 1),), 0)
+                    return (0.02 * jnp.sin(i * 0.37 + 1.0)).reshape(s.shape).astype(dtype)
+                return jnp.zeros(s.shape, s.dtype)
+
+            return jax.tree_util.tree_map(mk, shapes)
+
+        return build()
+
+    gpt_params = fast_params_like(lambda: init_unified_voice(rng, gpt_cfg))
+    bv_params = fast_params_like(lambda: init_bigvgan(jax.random.fold_in(rng, 1), h))
     init_s = time.perf_counter() - t0
 
     npr = np.random.default_rng(0)
@@ -73,7 +85,8 @@ def main():
             p, gpt_cfg, None, t, tl, mc, wl, None, return_latent=True, conds=c
         )
     )
-    voc_fn = jax.jit(lambda p, lat, mel: bigvgan_apply(p, h, lat, mel))
+    use_pallas = platform == "tpu" and os.environ.get("BENCH_PALLAS", "1") == "1"
+    voc_fn = jax.jit(lambda p, lat, mel: bigvgan_apply(p, h, lat, mel, use_pallas=use_pallas))
 
     def pipeline(key):
         conds = cond_fn(gpt_params, cond_mel, jnp.asarray([COND_FRAMES]))

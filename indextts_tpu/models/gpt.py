@@ -143,10 +143,12 @@ def _attn(q, k, v, bias):
 
 def _block_full(layer_p: Params, x: jnp.ndarray, bias: jnp.ndarray, heads: int) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """One GPT-2 block over a full sequence. Returns output and (k, v)."""
+    from indextts_tpu.ops.quant import matmul_maybe_quantized
+
     b, t, d = x.shape
     dh = d // heads
     h = layer_norm(x, layer_p["ln_1"]["weight"], layer_p["ln_1"]["bias"])
-    qkv = h @ layer_p["attn_qkv"]["weight"].astype(h.dtype) + layer_p["attn_qkv"]["bias"].astype(h.dtype)
+    qkv = matmul_maybe_quantized(h, layer_p["attn_qkv"])
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
     def heads_split(y):
@@ -155,11 +157,11 @@ def _block_full(layer_p: Params, x: jnp.ndarray, bias: jnp.ndarray, heads: int) 
     q, k, v = heads_split(q), heads_split(k), heads_split(v)
     a = _attn(q, k, v, bias)
     a = a.transpose(0, 2, 1, 3).reshape(b, t, d)
-    a = a @ layer_p["attn_proj"]["weight"].astype(a.dtype) + layer_p["attn_proj"]["bias"].astype(a.dtype)
+    a = matmul_maybe_quantized(a, layer_p["attn_proj"])
     x = x + a
     h = layer_norm(x, layer_p["ln_2"]["weight"], layer_p["ln_2"]["bias"])
-    h = gelu_new(h @ layer_p["mlp_fc"]["weight"].astype(h.dtype) + layer_p["mlp_fc"]["bias"].astype(h.dtype))
-    h = h @ layer_p["mlp_proj"]["weight"].astype(h.dtype) + layer_p["mlp_proj"]["bias"].astype(h.dtype)
+    h = gelu_new(matmul_maybe_quantized(h, layer_p["mlp_fc"]))
+    h = matmul_maybe_quantized(h, layer_p["mlp_proj"])
     return x + h, (k, v)
 
 

@@ -106,8 +106,10 @@ def prepare_gpt_inputs(
 
 def _mel_logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
     """lm_head = final_norm -> mel_head (reference: model.py:48)."""
+    from indextts_tpu.ops.quant import matmul_maybe_quantized
+
     h = layer_norm(hidden, params["final_norm"]["weight"], params["final_norm"]["bias"])
-    return h @ params["mel_head"]["weight"].astype(h.dtype) + params["mel_head"]["bias"].astype(h.dtype)
+    return matmul_maybe_quantized(h, params["mel_head"])
 
 
 def _prefill(params: Params, cfg: GPTConfig, emb: jnp.ndarray, mask: jnp.ndarray, cache_len: int):
@@ -122,37 +124,43 @@ def _prefill(params: Params, cfg: GPTConfig, emb: jnp.ndarray, mask: jnp.ndarray
     return logits, (k, v)
 
 
-def _decode_block(layer_p, x, k_cache, v_cache, pos, attn_bias, heads):
-    """Single-token GPT-2 block against the cache. x: [B, D]. Returns
-    (out [B, D], k_new [B, H, Dh], v_new [B, H, Dh])."""
+def _decode_block(layer_p, x, k_cache, v_cache, attn_bias, heads):
+    """Single-token GPT-2 block against a read-only cache. x: [B, D].
+    The new token's K/V are NOT written here — attention treats them as an
+    extra (S+1)-th logit and they are returned for a single batched cache
+    write after the layer scan (writing the full cache back through the scan
+    costs ~B*H*S*Dh per layer per step of pure HBM write traffic).
+    Returns (out [B, D], k_new [B, H, Dh], v_new [B, H, Dh])."""
+    from indextts_tpu.ops.quant import matmul_maybe_quantized
+
     b, d = x.shape
     dh = d // heads
     h = layer_norm(x, layer_p["ln_1"]["weight"], layer_p["ln_1"]["bias"])
-    qkv = h @ layer_p["attn_qkv"]["weight"].astype(h.dtype) + layer_p["attn_qkv"]["bias"].astype(h.dtype)
+    qkv = matmul_maybe_quantized(h, layer_p["attn_qkv"])
     q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
     q = q.reshape(b, heads, dh)
     k_new = k_new.reshape(b, heads, dh)
     v_new = v_new.reshape(b, heads, dh)
-    # write into cache at `pos`
-    k_cache = jax.lax.dynamic_update_slice(k_cache, k_new[:, :, None, :], (0, 0, pos, 0))
-    v_cache = jax.lax.dynamic_update_slice(v_cache, v_new[:, :, None, :], (0, 0, pos, 0))
-    scores = jnp.einsum("bhd,bhsd->bhs", q, k_cache) / math.sqrt(dh)
-    scores = scores.astype(jnp.float32) + attn_bias  # [B, H, S]
+    scale = 1.0 / math.sqrt(dh)
+    scores_c = jnp.einsum("bhd,bhsd->bhs", q, k_cache).astype(jnp.float32) * scale + attn_bias
+    score_self = (jnp.sum(q * k_new, axis=-1, keepdims=True)).astype(jnp.float32) * scale  # [B, H, 1]
+    scores = jnp.concatenate([scores_c, score_self], axis=-1)  # [B, H, S+1]
     attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    a = jnp.einsum("bhs,bhsd->bhd", attn, v_cache).reshape(b, d)
-    a = a @ layer_p["attn_proj"]["weight"].astype(a.dtype) + layer_p["attn_proj"]["bias"].astype(a.dtype)
+    a = jnp.einsum("bhs,bhsd->bhd", attn[..., :-1], v_cache) + attn[..., -1:] * v_new
+    a = matmul_maybe_quantized(a.reshape(b, d), layer_p["attn_proj"])
     x = x + a
     h = layer_norm(x, layer_p["ln_2"]["weight"], layer_p["ln_2"]["bias"])
-    h = gelu_new(h @ layer_p["mlp_fc"]["weight"].astype(h.dtype) + layer_p["mlp_fc"]["bias"].astype(h.dtype))
-    h = h @ layer_p["mlp_proj"]["weight"].astype(h.dtype) + layer_p["mlp_proj"]["bias"].astype(h.dtype)
-    return x + h, k_cache, v_cache
+    h = gelu_new(matmul_maybe_quantized(h, layer_p["mlp_fc"]))
+    h = matmul_maybe_quantized(h, layer_p["mlp_proj"])
+    return x + h, k_new, v_new
 
 
 def _decode_step(params: Params, cfg: GPTConfig, token, mel_pos, cache, pos, base_mask):
     """One decode step. token: [B] int32; mel_pos: scalar mel-position index;
     cache: (k [L,B,H,S,Dh], v); pos: scalar write index in the cache;
-    base_mask: [B, S] bool validity of cache positions (True = attend),
-    already including all generated positions <= pos.
+    base_mask: [B, S] bool validity of already-written cache positions
+    (True = attend; position `pos` itself must be False — the new token's
+    K/V are handled as the extra attention logit inside the block).
     Returns (logits [B, V], cache)."""
     x = params["mel_embedding"][token] + params["mel_pos_embedding"][mel_pos]
     k_all, v_all = cache
@@ -160,10 +168,13 @@ def _decode_step(params: Params, cfg: GPTConfig, token, mel_pos, cache, pos, bas
 
     def body(x, layer):
         layer_p, kc, vc = layer
-        out, kc, vc = _decode_block(layer_p, x, kc, vc, pos, attn_bias, cfg.heads)
-        return out, (kc, vc)
+        out, k_new, v_new = _decode_block(layer_p, x, kc, vc, attn_bias, cfg.heads)
+        return out, (k_new, v_new)
 
-    x, (k_all, v_all) = jax.lax.scan(body, x, (params["gpt"]["blocks"], k_all, v_all))
+    x, (k_news, v_news) = jax.lax.scan(body, x, (params["gpt"]["blocks"], k_all, v_all))
+    # one column write for all layers: [L, B, H, Dh] -> cache[:, :, :, pos]
+    k_all = jax.lax.dynamic_update_slice(k_all, k_news[:, :, :, None, :], (0, 0, 0, pos, 0))
+    v_all = jax.lax.dynamic_update_slice(v_all, v_news[:, :, :, None, :], (0, 0, 0, pos, 0))
     x = layer_norm(x, params["gpt"]["ln_f"]["weight"], params["gpt"]["ln_f"]["bias"])
     logits = _mel_logits(params, x)
     return logits, (k_all, v_all)
@@ -275,7 +286,7 @@ def decode_steps(params, cfg, state, n_steps, p, s0, prefill_valid, sample_from,
         # when a forced prefix was prefilled) — the reference's positional
         # skip (model.py:151-155)
         write_pos = p + i
-        valid = prefill_valid | ((cache_positions >= p) & (cache_positions <= write_pos))
+        valid = prefill_valid | ((cache_positions >= p) & (cache_positions < write_pos))
         logits, cache = _decode_step(params, cfg, cur, i + 2 + s0, cache, write_pos, valid)
         nxt = sample_from(logits, seen, rng, i + 1).astype(jnp.int32)
         nxt = jnp.where(done, cfg.stop_mel_token, nxt)
@@ -554,7 +565,7 @@ def generate_speech_beam(
         write_pos = p + i
         # prefill masks are identical across beams of one batch row, so the
         # pre-gather mask stays valid after beam reordering
-        valid = prefill_valid | ((cache_positions >= p) & (cache_positions <= write_pos))
+        valid = prefill_valid | ((cache_positions >= p) & (cache_positions < write_pos))
         logits, cache2 = _decode_step(params, cfg, cur, i + 2, cache, write_pos, valid)
         codes, beam_scores, seen, done_best, flat_src, nxt = step_beams(
             i + 1, logits, (codes, beam_scores, seen, done_best)

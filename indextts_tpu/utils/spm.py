@@ -192,7 +192,12 @@ def serialize_model_proto(vocab: SentencePieceVocab) -> bytes:
 class SentencePieceProcessor:
     """Drop-in subset of sentencepiece.SentencePieceProcessor."""
 
-    def __init__(self, model_file: Optional[str] = None, vocab: Optional[SentencePieceVocab] = None):
+    def __init__(
+        self,
+        model_file: Optional[str] = None,
+        vocab: Optional[SentencePieceVocab] = None,
+        use_native: bool = True,
+    ):
         if vocab is None:
             if model_file is None:
                 raise ValueError("need model_file or vocab")
@@ -204,6 +209,22 @@ class SentencePieceProcessor:
         self._user_defined = {
             p for p, t in zip(self.v.pieces, self.v.types) if t == USER_DEFINED
         }
+        # optional C++ merge engine (indextts_tpu/native); only for plain BPE
+        # vocabs (no user-defined pre-split, no byte fallback) — identical
+        # semantics, pure-Python fallback otherwise
+        self._native = None
+        if (
+            use_native
+            and self.v.model_type == 2
+            and not self._user_defined
+            and not self.v.byte_fallback
+        ):
+            try:
+                from indextts_tpu.native import NativeBPE
+
+                self._native = NativeBPE(self.v.pieces, self.v.scores, self.v.types, self.v.unk_id)
+            except Exception:
+                self._native = None
 
     # -- vocab accessors -------------------------------------------------
     def GetPieceSize(self) -> int:
@@ -344,6 +365,8 @@ class SentencePieceProcessor:
         return self._encode_bpe(text)
 
     def EncodeAsIds(self, text: str) -> List[int]:
+        if self._native is not None:
+            return self._native.encode(self._normalize(text))
         return [self.PieceToId(p) for p in self.EncodeAsPieces(text)]
 
     def Encode(self, text, out_type=int, **kwargs):
