@@ -85,7 +85,10 @@ def main():
             p, gpt_cfg, None, t, tl, mc, wl, None, return_latent=True, conds=c
         )
     )
-    use_pallas = platform == "tpu" and os.environ.get("BENCH_PALLAS", "1") == "1"
+    # measured: XLA's in-graph fusion of the composed anti-alias path slightly
+    # beats the standalone Pallas kernel inside the full vocoder (47.2 vs
+    # 44.0 audio-s/s), so the kernel stays opt-in here
+    use_pallas = platform == "tpu" and os.environ.get("BENCH_PALLAS", "0") == "1"
     voc_fn = jax.jit(lambda p, lat, mel: bigvgan_apply(p, h, lat, mel, use_pallas=use_pallas))
 
     def pipeline(key):

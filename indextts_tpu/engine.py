@@ -71,7 +71,9 @@ class IndexTTS:
         self.device = jax.devices()[0].platform
         self.is_fp16 = bool(is_fp16) and self.device != "cpu"
         self.dtype = jnp.bfloat16 if self.is_fp16 else jnp.float32
-        self.use_pallas_kernel = bool(use_cuda_kernel) if use_cuda_kernel is not None else (self.device == "tpu")
+        # fused Pallas anti-alias kernel: opt-in (XLA's fusion of the composed
+        # path measures slightly faster inside the full vocoder graph)
+        self.use_pallas_kernel = bool(use_cuda_kernel) if use_cuda_kernel is not None else False
 
         self.cfg: IndexTTSConfig = load_config(cfg_path) if os.path.exists(cfg_path) else IndexTTSConfig()
         self.model_dir = model_dir

@@ -130,7 +130,10 @@ def linear_interp_x4(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _activation(p_act: Params, x: jnp.ndarray, h: BigVGANConfig, use_pallas: bool = False) -> jnp.ndarray:
-    if use_pallas:
+    # the fused kernel puts channels in lanes; below 128 channels the lane
+    # padding wastes more HBM traffic than the fusion saves, so narrow late
+    # stages stay on the composed XLA path
+    if use_pallas and x.shape[-1] >= 128:
         from indextts_tpu.ops.pallas.antialias import fused_anti_alias_snake
 
         return fused_anti_alias_snake(
