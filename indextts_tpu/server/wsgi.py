@@ -163,10 +163,11 @@ class App:
             result = jsonify({"error": str(e)}, 500)
 
         if isinstance(result, SSEResponse):
+            # no Connection header: hop-by-hop headers are forbidden by the
+            # WSGI spec and wsgiref enforces it (found by live driving)
             start_response("200 OK", [
                 ("Content-Type", "text/event-stream"),
                 ("Cache-Control", "no-cache"),
-                ("Connection", "keep-alive"),
                 ("Access-Control-Allow-Origin", "*"),
             ])
 

@@ -158,3 +158,15 @@ class TestEngine:
         sents = [["a"], ["b", "b"]]
         buckets = engine.bucket_sentences(sents, bucket_max_size=4)
         assert len(buckets) == 1 and len(buckets[0]) == 2
+
+    def test_infer_with_beams(self, engine, prompt_mel):
+        """Default reference sampling config uses num_beams=3 (infer.py:122)."""
+        sr, wav = engine.infer(
+            prompt_mel, "HI.", None, do_sample=False, num_beams=2, max_mel_tokens=8,
+            repetition_penalty=1.0,
+        )
+        assert sr == 24000
+        assert wav.shape[0] >= 0  # beam may legally finish immediately
+
+    def test_infer_stream_entrypoint_exists(self, engine):
+        assert hasattr(engine, "infer_stream")
