@@ -293,9 +293,23 @@ class IndexTTS:
         l = max(_round_up(l0, 8), 8)
         padded = np.full((b, l), self.cfg.gpt.stop_text_token, np.int32)
         padded[:, :l0] = text_tokens
-        fn = self._decode_fn(b, l, gen)
         conds_b = jnp.broadcast_to(conds, (b,) + conds.shape[1:]) if conds.shape[0] != b else conds
         self._rng, sub = jax.random.split(self._rng)
+        seg = 160
+        if gen.num_beams == 1 and gen.max_new_tokens >= 2 * seg:
+            # segment-growing KV cache: per-step attention reads scale with
+            # generated length rather than the max_mel_tokens budget
+            from indextts_tpu.models.gpt_decode import generate_speech_segmented
+
+            codes, lengths = generate_speech_segmented(
+                self.gpt_params, self.cfg.gpt, gen,
+                conds_b.astype(self.dtype), jnp.asarray(padded), jnp.asarray(text_lengths), sub,
+                temperature=jnp.float32(temperature), top_p=jnp.float32(top_p),
+                repetition_penalty=jnp.float32(repetition_penalty),
+                segment=seg, jit_cache=self._decode_cache,
+            )
+            return np.asarray(codes), np.asarray(lengths)
+        fn = self._decode_fn(b, l, gen)
         codes, lengths = fn(
             params=self.gpt_params,
             conds=conds_b.astype(self.dtype),

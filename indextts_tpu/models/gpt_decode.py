@@ -309,16 +309,18 @@ def prefill_decode_state(
     temperature=1.0,
     top_p=0.8,
     repetition_penalty=10.0,
+    cache_len: Optional[int] = None,
 ):
     """Prefill + first token; returns (state, aux) where aux carries the
     static context needed by `continue_decode`. Used by the streaming engine
-    path to interleave vocoding with generation."""
+    path and by segmented decoding (cache_len < p + max_new allocates a
+    smaller cache to be grown later with `grow_cache`)."""
     b, l = text_tokens.shape
     v = cfg.number_mel_codes
     emb, prefill_mask = prepare_gpt_inputs(params, cfg, conds, text_tokens, text_lengths)
     p = emb.shape[1]
     max_new = gen.max_new_tokens
-    s_max = p + max_new
+    s_max = cache_len if cache_len is not None else p + max_new
     logits0, cache = _prefill(params, cfg, emb, prefill_mask, s_max)
     seen0 = jnp.zeros((b, v), bool).at[:, 1].set(True).at[:, cfg.start_mel_token].set(True)
     prefill_valid = jnp.pad(prefill_mask, ((0, 0), (0, s_max - p)))
@@ -349,6 +351,106 @@ def continue_decode(params, cfg, state, aux, n_steps: int):
         params, cfg, state, n_steps, aux["p"], 0, aux["prefill_valid"],
         aux["sample_from"], aux["rng"], aux["max_new"],
     )
+
+
+def grow_cache(state, prefill_valid, extra: int):
+    """Extend a decode state's KV cache and validity mask by `extra` slots
+    (the segmented-decode transition: each segment runs against the smallest
+    cache that fits, so attention never streams unused slots)."""
+    i, codes, (k, v), done, seen, cur = state
+    k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, extra), (0, 0)))
+    v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, extra), (0, 0)))
+    prefill_valid = jnp.pad(prefill_valid, ((0, 0), (0, extra)))
+    return (i, codes, (k, v), done, seen, cur), prefill_valid
+
+
+def generate_speech_segmented(
+    params: Params,
+    cfg: GPTConfig,
+    gen: GenerationConfig,
+    conds: jnp.ndarray,
+    text_tokens: jnp.ndarray,
+    text_lengths: jnp.ndarray,
+    rng: jax.Array,
+    temperature=1.0,
+    top_p=0.8,
+    repetition_penalty=10.0,
+    segment: int = 160,
+    jit_cache: Optional[Dict[Any, Any]] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """generate_speech with segment-growing KV cache (host-side driver).
+
+    Identical sampling state machine and outputs as generate_speech, but the
+    cache starts at p + segment and grows by `segment` between device calls,
+    so per-step attention reads scale with generated length instead of
+    max_new_tokens. Worth it when max_new_tokens >> typical generation
+    length; each (segment index) compiles once per shape bucket.
+    """
+    b, l = text_tokens.shape
+    max_new = gen.max_new_tokens
+    n_segments = -(-max_new // segment)
+    cache = jit_cache if jit_cache is not None else {}
+    # p is static from shapes: c + l + 2 + 1
+    p = conds.shape[1] + l + 2 + 1
+
+    def seg_fns(seg_idx: int):
+        cache_len = p + min(segment * (seg_idx + 1), max_new)
+        key = ("seg", b, l, gen, segment, seg_idx)
+        if key not in cache:
+            if seg_idx == 0:
+                @jax.jit
+                def prefill_fn(params, conds, text_tokens, text_lengths, rng, temperature, top_p, repetition_penalty):
+                    state, aux = prefill_decode_state(
+                        params, cfg, gen, conds, text_tokens, text_lengths, rng,
+                        temperature=temperature, top_p=top_p, repetition_penalty=repetition_penalty,
+                        cache_len=cache_len,
+                    )
+                    state = decode_steps(
+                        params, cfg, state, segment - 1, aux["p"], 0, aux["prefill_valid"],
+                        aux["sample_from"], rng, max_new,
+                    )
+                    return state, aux["prefill_valid"]
+
+                cache[key] = prefill_fn
+            else:
+                n_steps = min(segment * (seg_idx + 1), max_new) - segment * seg_idx
+
+                @jax.jit
+                def step_fn(params, state, prefill_valid, rng, temperature, top_p, repetition_penalty):
+                    def sample_from(logits, seen, key_, step):
+                        lf = process_logits(
+                            logits, seen_mask=seen, repetition_penalty=repetition_penalty,
+                            typical_sampling=gen.typical_sampling, typical_mass=gen.typical_mass,
+                            temperature=temperature, top_k=gen.top_k if gen.do_sample else 0,
+                            top_p=top_p, do_sample=gen.do_sample,
+                        )
+                        if gen.do_sample:
+                            return sample_token(jax.random.fold_in(key_, step), lf)
+                        return greedy_token(lf)
+
+                    state2, prefill_valid2 = grow_cache(state, prefill_valid, cache_len - prefill_valid.shape[1])
+                    state2 = decode_steps(
+                        params, cfg, state2, n_steps, p, 0, prefill_valid2, sample_from, rng, max_new
+                    )
+                    return state2, prefill_valid2
+
+                cache[key] = step_fn
+        return cache[key]
+
+    args = (jnp.float32(temperature), jnp.float32(top_p), jnp.float32(repetition_penalty))
+    state, prefill_valid = seg_fns(0)(params, conds, text_tokens, text_lengths, rng, *args)
+    for k_seg in range(1, n_segments):
+        i, codes, _, done, _, _ = state
+        if bool(jax.device_get(jnp.all(done))):
+            break
+        state, prefill_valid = seg_fns(k_seg)(params, state, prefill_valid, rng, *args)
+
+    _, codes, _, done, _, _ = state
+    is_stop = codes == cfg.stop_mel_token
+    any_stop = jnp.any(is_stop, axis=1)
+    first_stop = jnp.argmax(is_stop, axis=1)
+    lengths = jnp.where(any_stop, first_stop + 1, max_new)
+    return codes, lengths
 
 
 def inference_speech(
