@@ -32,6 +32,7 @@ class ConditionModuleConfig:
     num_blocks: int = 6
     input_layer: str = "conv2d2"
     perceiver_mult: int = 2
+    pos_enc_layer_type: str = "rel_pos"  # rel_pos | abs_pos | no_pos
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "ConditionModuleConfig":

@@ -146,6 +146,17 @@ class IndexTTS:
     def set_gr_progress_callback(self, _callback):
         self.gr_progress = _callback
 
+    def start_profiling(self, logdir: str = "/tmp/indextts_trace"):
+        """Capture an XLA/jax profiler trace of subsequent synthesis calls
+        (view with tensorboard / xprof). The reference has wall-clock prints
+        only (infer.py:129-131,217-223); this exposes real device traces."""
+        jax.profiler.start_trace(logdir)
+        self._trace_dir = logdir
+
+    def stop_profiling(self) -> Optional[str]:
+        jax.profiler.stop_trace()
+        return getattr(self, "_trace_dir", None)
+
     def _set_gr_progress(self, value, desc):
         if self.gr_progress is not None:
             self.gr_progress(value, desc)

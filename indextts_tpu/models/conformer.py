@@ -85,6 +85,21 @@ def init_subsampling(rng, input_layer: str, idim: int, odim: int) -> Params:
             "conv1": _conv2d_init(r[1], 3, odim, odim),
             "out": _linear_init(r[2], odim * f_out, odim),
         }
+    if input_layer == "conv2d6":  # 1/6: 3x3 s2 then 5x5 s3 (subsampling.py:251-297)
+        f_out = (((idim - 1) // 2) - 2) // 3
+        return {
+            "conv0": _conv2d_init(r[0], 3, 1, odim),
+            "conv1": _conv2d_init(r[1], 5, odim, odim),
+            "out": _linear_init(r[2], odim * f_out, odim),
+        }
+    if input_layer == "conv2d8":  # 1/8: three 3x3 s2 convs (subsampling.py:300-348)
+        f_out = ((((idim - 1) // 2 - 1) // 2) - 1) // 2
+        return {
+            "conv0": _conv2d_init(r[0], 3, 1, odim),
+            "conv1": _conv2d_init(r[1], 3, odim, odim),
+            "conv2": _conv2d_init(r[2], 3, odim, odim),
+            "out": _linear_init(r[3], odim * f_out, odim),
+        }
     raise ValueError(f"unsupported input_layer: {input_layer}")
 
 
@@ -122,6 +137,23 @@ def subsampling_apply(
         h = h.transpose(0, 1, 3, 2).reshape(b, t, c * f)
         out = linear(p["out"], h)
         return out, mask[:, :, 2::2][:, :, 2::2]
+    if kind == "conv2d6":
+        h = x[..., None]
+        h = relu(conv2d(h, p["conv0"]["weight"], p["conv0"]["bias"], stride=2))
+        h = relu(conv2d(h, p["conv1"]["weight"], p["conv1"]["bias"], stride=3))
+        b, t, f, c = h.shape
+        h = h.transpose(0, 1, 3, 2).reshape(b, t, c * f)
+        out = linear(p["out"], h)
+        return out, mask[:, :, 2::2][:, :, 4::3]
+    if kind == "conv2d8":
+        h = x[..., None]
+        h = relu(conv2d(h, p["conv0"]["weight"], p["conv0"]["bias"], stride=2))
+        h = relu(conv2d(h, p["conv1"]["weight"], p["conv1"]["bias"], stride=2))
+        h = relu(conv2d(h, p["conv2"]["weight"], p["conv2"]["bias"], stride=2))
+        b, t, f, c = h.shape
+        h = h.transpose(0, 1, 3, 2).reshape(b, t, c * f)
+        out = linear(p["out"], h)
+        return out, mask[:, :, 2::2][:, :, 2::2][:, :, 2::2]
     raise ValueError(kind)
 
 
@@ -231,10 +263,42 @@ def init_ffn(rng, d_model: int, hidden: int) -> Params:
     return {"w1": _linear_init(r[0], d_model, hidden), "w2": _linear_init(r[1], hidden, d_model)}
 
 
-def init_conformer_layer(rng, d_model: int, heads: int, linear_units: int, cnn_kernel: int = 15) -> Params:
+def init_plain_mha(rng, heads: int, d_model: int) -> Params:
+    """Absolute-position MultiHeadedAttention (reference: attention.py:26-186)."""
+    r = jax.random.split(rng, 4)
+    return {
+        "linear_q": _linear_init(r[0], d_model, d_model),
+        "linear_k": _linear_init(r[1], d_model, d_model),
+        "linear_v": _linear_init(r[2], d_model, d_model),
+        "linear_out": _linear_init(r[3], d_model, d_model),
+    }
+
+
+def plain_mha_apply(p: Params, x: jnp.ndarray, mask: jnp.ndarray, heads: int) -> jnp.ndarray:
+    b, t, d = x.shape
+    d_k = d // heads
+
+    def split_heads(y):
+        return y.reshape(b, -1, heads, d_k).transpose(0, 2, 1, 3)
+
+    q = split_heads(linear(p["linear_q"], x))
+    k = split_heads(linear(p["linear_k"], x))
+    v = split_heads(linear(p["linear_v"], x))
+    scores = jnp.einsum("bhtd,bhsd->bhts", q, k) / math.sqrt(d_k)
+    key_invalid = ~mask[:, 0, :][:, None, None, :]
+    scores = jnp.where(key_invalid, -jnp.inf, scores)
+    attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+    attn = jnp.where(key_invalid, 0.0, attn)
+    out = jnp.einsum("bhts,bhsd->bhtd", attn, v)
+    return linear(p["linear_out"], out.transpose(0, 2, 1, 3).reshape(b, t, d))
+
+
+def init_conformer_layer(
+    rng, d_model: int, heads: int, linear_units: int, cnn_kernel: int = 15, rel_pos: bool = True
+) -> Params:
     r = jax.random.split(rng, 3)
     return {
-        "attn": init_rel_mha(r[0], heads, d_model),
+        "attn": init_rel_mha(r[0], heads, d_model) if rel_pos else init_plain_mha(r[0], heads, d_model),
         "ff": init_ffn(r[1], d_model, linear_units),
         "conv": init_conv_module(r[2], d_model, cnn_kernel),
         "norm_mha": _ln_init(d_model),
@@ -245,12 +309,16 @@ def init_conformer_layer(rng, d_model: int, heads: int, linear_units: int, cnn_k
 
 
 def conformer_layer_apply(
-    p: Params, x: jnp.ndarray, pos_emb: jnp.ndarray, mask: jnp.ndarray, heads: int, cnn_kernel: int = 15
+    p: Params, x: jnp.ndarray, pos_emb: jnp.ndarray, mask: jnp.ndarray, heads: int,
+    cnn_kernel: int = 15, rel_pos: bool = True,
 ) -> jnp.ndarray:
     """normalize_before, no macaron (reference: conformer_encoder.py:232-313)."""
     # MHA
     h = layer_norm(x, p["norm_mha"]["weight"], p["norm_mha"]["bias"])
-    x = x + rel_mha_apply(p["attn"], h, pos_emb, mask, heads)
+    if rel_pos:
+        x = x + rel_mha_apply(p["attn"], h, pos_emb, mask, heads)
+    else:
+        x = x + plain_mha_apply(p["attn"], h, mask, heads)
     # conv module
     h = layer_norm(x, p["norm_conv"]["weight"], p["norm_conv"]["bias"])
     x = x + conv_module_apply(p["conv"], h, mask, cnn_kernel)
@@ -268,10 +336,13 @@ def conformer_layer_apply(
 
 def init_conformer(rng, cfg: ConditionModuleConfig, input_size: int = 100) -> Params:
     r = jax.random.split(rng, cfg.num_blocks + 2)
+    rel = cfg.pos_enc_layer_type == "rel_pos"
     return {
         "embed": init_subsampling(r[0], cfg.input_layer, input_size, cfg.output_size),
         "layers": [
-            init_conformer_layer(r[i + 1], cfg.output_size, cfg.attention_heads, cfg.linear_units)
+            init_conformer_layer(
+                r[i + 1], cfg.output_size, cfg.attention_heads, cfg.linear_units, rel_pos=rel
+            )
             for i in range(cfg.num_blocks)
         ],
         "after_norm": _ln_init(cfg.output_size),
@@ -290,11 +361,17 @@ def conformer_apply(
     b, t, _ = xs.shape
     masks = ~make_pad_mask(xs_lens, t)[:, None, :]  # [B, 1, T]
     xs, masks = subsampling_apply(params["embed"], xs, masks, cfg.input_layer)
-    # rel_pos encoding: scale input, take table prefix (embedding.py:129-143)
     xscale = math.sqrt(cfg.output_size)
-    xs = xs * xscale
     pos_emb = params["pe"][None, : xs.shape[1], :].astype(xs.dtype)
+    rel = cfg.pos_enc_layer_type == "rel_pos"
+    if cfg.pos_enc_layer_type == "abs_pos":
+        # absolute PE added to the input (embedding.py:57-75)
+        xs = xs * xscale + pos_emb
+    elif rel:
+        # rel_pos: scale input, feed table prefix to attention (embedding.py:129-143)
+        xs = xs * xscale
+    # no_pos: input used as-is
     for layer in params["layers"]:
-        xs = conformer_layer_apply(layer, xs, pos_emb, masks, cfg.attention_heads)
+        xs = conformer_layer_apply(layer, xs, pos_emb, masks, cfg.attention_heads, rel_pos=rel)
     xs = layer_norm(xs, params["after_norm"]["weight"], params["after_norm"]["bias"])
     return xs, masks

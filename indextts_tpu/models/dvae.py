@@ -169,6 +169,21 @@ def dvae_forward(params: Params, cfg: DVAEConfig, mel: jnp.ndarray):
     return recon, commitment, out
 
 
+def discretization_loss(
+    soft_onehot: jnp.ndarray, dim: int, expected_variance: float
+) -> jnp.ndarray:
+    """Fit discrete-bin utilization to a normal PDF (reference:
+    xtts_dvae.py:135-168 without the store_past accumulator): average the
+    soft assignments over all other dims, center, and sum the negative
+    normal log-likelihood."""
+    other = tuple(i for i in range(soft_onehot.ndim) if i != dim)
+    averaged = soft_onehot.sum(axis=other) / soft_onehot.sum()
+    averaged = averaged - averaged.mean()
+    scale = expected_variance
+    log_prob = -0.5 * (averaged / scale) ** 2 - jnp.log(scale) - 0.5 * jnp.log(2 * jnp.pi)
+    return jnp.sum(-log_prob)
+
+
 def quantize_ema_update(
     codebook: Params,
     flat: jnp.ndarray,

@@ -123,6 +123,69 @@ def init_unified_voice(rng: jax.Array, cfg: GPTConfig) -> Params:
 
 
 # ---------------------------------------------------------------------------
+# MelEncoder: the use_mel_codes_as_input=False alternative input path
+# (reference: model.py:21-37, 277-297 — conv/ResBlock stack, 4x reduction).
+# Vestigial in the reference too (inference always uses mel codes); provided
+# for capability parity.
+# ---------------------------------------------------------------------------
+
+
+def init_mel_encoder(rng: jax.Array, channels: int, mel_channels: int = 80, resblocks_per_reduction: int = 1) -> Params:
+    from indextts_tpu.models.conformer import _conv_init_1d
+
+    r = jax.random.split(rng, 3 + 3 * resblocks_per_reduction * 2)
+    ri = iter(r)
+
+    def resblock(chan):
+        return {
+            "conv0": _conv_init_1d(next(ri), 3, chan, chan),
+            "conv1": _conv_init_1d(next(ri), 3, chan, chan),
+            "gn0": {"weight": jnp.ones((chan,)), "bias": jnp.zeros((chan,))},
+            "gn1": {"weight": jnp.ones((chan,)), "bias": jnp.zeros((chan,))},
+        }
+
+    c4, c2 = channels // 4, channels // 2
+    return {
+        "conv_in": _conv_init_1d(next(ri), 3, mel_channels, c4),
+        "res0": [resblock(c4) for _ in range(resblocks_per_reduction)],
+        "down0": _conv_init_1d(next(ri), 3, c4, c2),
+        "gn_a": {"weight": jnp.ones((c2,)), "bias": jnp.zeros((c2,))},
+        "res1": [resblock(c2) for _ in range(resblocks_per_reduction)],
+        "down1": _conv_init_1d(next(ri), 3, c2, channels),
+        "gn_b": {"weight": jnp.ones((channels,)), "bias": jnp.zeros((channels,))},
+        "res2": [resblock(channels) for _ in range(resblocks_per_reduction)],
+    }
+
+
+def mel_encoder_apply(params: Params, mel: jnp.ndarray, channels: int) -> jnp.ndarray:
+    """mel [B, T, mel_channels] -> embeddings [B, T/4, channels]."""
+    from indextts_tpu.ops.conv import conv1d
+    from indextts_tpu.ops.norms import group_norm
+
+    def resblock(p, x, chan):
+        h = conv1d(x, p["conv0"]["weight"], p["conv0"]["bias"], padding=1)
+        h = group_norm(h, p["gn0"]["weight"], p["gn0"]["bias"], num_groups=chan // 8)
+        h = jnp.maximum(h, 0)
+        h = conv1d(h, p["conv1"]["weight"], p["conv1"]["bias"], padding=1)
+        h = group_norm(h, p["gn1"]["weight"], p["gn1"]["bias"], num_groups=chan // 8)
+        return jnp.maximum(h + x, 0)
+
+    c4, c2 = channels // 4, channels // 2
+    h = conv1d(mel, params["conv_in"]["weight"], params["conv_in"]["bias"], padding=1)
+    for p in params["res0"]:
+        h = resblock(p, h, c4)
+    h = conv1d(h, params["down0"]["weight"], params["down0"]["bias"], stride=2, padding=1)
+    h = jnp.maximum(group_norm(h, params["gn_a"]["weight"], params["gn_a"]["bias"], num_groups=channels // 16), 0)
+    for p in params["res1"]:
+        h = resblock(p, h, c2)
+    h = conv1d(h, params["down1"]["weight"], params["down1"]["bias"], stride=2, padding=1)
+    h = jnp.maximum(group_norm(h, params["gn_b"]["weight"], params["gn_b"]["bias"], num_groups=channels // 8), 0)
+    for p in params["res2"]:
+        h = resblock(p, h, channels)
+    return h
+
+
+# ---------------------------------------------------------------------------
 # GPT-2 core
 # ---------------------------------------------------------------------------
 
@@ -268,15 +331,19 @@ def unified_voice_forward(
     return_latent: bool = True,
     text_first: bool = True,
     conds: Optional[jnp.ndarray] = None,
+    types: Optional[jnp.ndarray] = None,
 ):
     """Teacher-forced forward (reference: model.py:521-589).
 
     Either returns mel latents [B, T_mel, D] (return_latent=True — the
     stage-2 path of the engine) or (loss_text, loss_mel, mel_logits).
     `conds` may be precomputed conditioning latents ([B, 32, D]).
+    `types` expands the text embedding space per row (model.py:541-543).
     """
     if conds is None:
         conds = get_conditioning(params, cfg, speech_conditioning_mel, cond_mel_lengths)
+    if types is not None:
+        text_inputs = text_inputs * (1 + types)[:, None]
     d = cfg.model_dim
 
     # mel padding from wav lengths (model.py:557: ceil(wav/compression)+1)

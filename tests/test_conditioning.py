@@ -207,3 +207,43 @@ class TestPerceiver:
         x = jnp.asarray(rng.standard_normal((1, 1, 64)).astype(np.float32))
         out = perceiver_apply(params, x, heads=4)
         assert out.shape == (1, 32, 96)
+
+
+class TestConformerVariants:
+    @pytest.mark.parametrize("input_layer,factor", [("conv2d6", 6), ("conv2d8", 8), ("linear", 1)])
+    def test_subsampling_variants(self, input_layer, factor):
+        cfg = ConditionModuleConfig(
+            output_size=32, linear_units=64, attention_heads=4, num_blocks=1, input_layer=input_layer
+        )
+        params = init_conformer(jax.random.PRNGKey(0), cfg, input_size=100)
+        t = 49
+        x = jnp.asarray(rng.standard_normal((1, t, 100)).astype(np.float32))
+        out, mask = conformer_apply(params, cfg, x, jnp.asarray([t]))
+        assert out.shape[-1] == 32
+        assert out.shape[1] == mask.shape[2]
+        if factor > 1:
+            assert abs(out.shape[1] - t // factor) <= 2
+        assert np.isfinite(np.asarray(out)).all()
+
+    @pytest.mark.parametrize("pos_type", ["abs_pos", "no_pos"])
+    def test_pos_enc_variants(self, pos_type):
+        cfg = ConditionModuleConfig(
+            output_size=32, linear_units=64, attention_heads=4, num_blocks=1,
+            input_layer="conv2d2", pos_enc_layer_type=pos_type,
+        )
+        params = init_conformer(jax.random.PRNGKey(0), cfg, input_size=100)
+        x = jnp.asarray(rng.standard_normal((2, 33, 100)).astype(np.float32))
+        out, mask = conformer_apply(params, cfg, x, jnp.asarray([33, 20]))
+        assert out.shape == (2, 16, 32)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestMelEncoder:
+    def test_shapes(self):
+        from indextts_tpu.models.gpt import init_mel_encoder, mel_encoder_apply
+
+        params = init_mel_encoder(jax.random.PRNGKey(0), channels=64, mel_channels=80)
+        mel = jnp.asarray(rng.standard_normal((2, 32, 80)).astype(np.float32))
+        out = mel_encoder_apply(params, mel, channels=64)
+        assert out.shape == (2, 8, 64)  # 4x reduction
+        assert np.isfinite(np.asarray(out)).all()

@@ -104,3 +104,15 @@ class TestDVAE:
         np.testing.assert_allclose(
             np.asarray(out["cluster_size"]), np.asarray(gold["cluster_size"]), atol=1e-4
         )
+
+
+def test_discretization_loss():
+    from indextts_tpu.models.dvae import discretization_loss
+
+    soft = jnp.asarray(np.abs(rng_np.standard_normal((50, 64))).astype(np.float32))
+    loss = discretization_loss(soft, dim=1, expected_variance=1.0 / 128)
+    assert np.isfinite(float(loss))
+    # perfectly uniform utilization gives the minimum possible loss
+    uniform = jnp.ones((50, 64), jnp.float32)
+    l_uniform = discretization_loss(uniform, dim=1, expected_variance=1.0 / 128)
+    assert float(l_uniform) <= float(loss)
