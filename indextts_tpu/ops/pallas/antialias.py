@@ -14,13 +14,16 @@ everything is VPU shift-multiply-adds over one VMEM-resident tile:
 
 where X is the input pre-padded by PAD=16 replicate frames (edge replication
 matches LowPassFilter1d/UpSample1d padding, alias_free_torch/resample.py).
-This is exactly one HBM read + one HBM write of the activation — the
-composed XLA path (ops/antialias.py) reads/writes ~6 intermediate arrays.
+The composed XLA path (ops/antialias.py) makes ~10 HBM passes over the
+activation; this kernel makes 3 (the input is read twice — see below — plus
+one write).
 
-Layout: [B, T, C] (channels in lanes, time in sublanes). The grid is
-(B, T/Tt, C/Ct); each program DMAs its [Tt+2*PAD, Ct] input window from HBM
-(windows overlap by the halo, hence manual DMA instead of a BlockSpec
-partition) and writes a disjoint [Tt, Ct] output block.
+Layout: [B, T, C] (channels in lanes, time in sublanes); grid (B, T/Tt, C/Ct).
+The halo problem (each tile needs 2*PAD extra frames) is solved by passing
+the padded input TWICE with shifted BlockSpec index maps — block ti and block
+ti+1 — so Pallas's automatic double-buffered pipeline feeds both the tile and
+its right neighbor; the kernel slices the halo off the neighbor block.
+(A manual-DMA double-buffer variant measured slower than this under Mosaic.)
 
 The composed path is the correctness oracle; see tests/test_pallas.py.
 """
@@ -49,25 +52,11 @@ def _taps():
     return tap_e, tap_o, tap_ye, tap_yo
 
 
-def _kernel(x_hbm, alpha_ref, beta_ref, out_ref, scratch, sem, *, tile_t: int, tile_c: int):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    b = pl.program_id(0)
-    ti = pl.program_id(1)
-    ci = pl.program_id(2)
-
-    # load the overlapping input window [Tt + 2*PAD, Ct]
-    copy = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(ti * tile_t, tile_t + 2 * PAD), pl.ds(ci * tile_c, tile_c)],
-        scratch,
-        sem,
-    )
-    copy.start()
-    copy.wait()
-
+def _kernel(x_ref, xn_ref, alpha_ref, beta_ref, out_ref, *, tile_t: int):
+    """x_ref: this tile's [1, Tt, Ct] window of the padded input; xn_ref: the
+    right-neighbor block (provides the 2*PAD halo). Output block [1, Tt, Ct]."""
     tap_e, tap_o, tap_ye, tap_yo = _taps()
-    s = scratch[:].astype(jnp.float32)  # [Tt+2P, Ct]
+    s = jnp.concatenate([x_ref[0], xn_ref[0, : 2 * PAD]], axis=0).astype(jnp.float32)
     l = tile_t + 8  # phase-array length
 
     ue = tap_e[0] * s[9 : 9 + l]
@@ -116,34 +105,36 @@ def fused_anti_alias_snake(
     else:
         a, bt = alpha, beta
 
-    # pad channels to the lane tile and time to the sublane tile
+    # pad: PAD replicate on the left; right side needs PAD halo + alignment +
+    # one extra tile so the "neighbor block" exists for the last tile
     c_pad = -c % tile_c
     t_pad = -t % tile_t
     xp = jnp.pad(x, ((0, 0), (PAD, PAD + t_pad), (0, 0)), mode="edge")
+    # xp time length = t + 2*PAD + t_pad; blocks of tile_t must cover index
+    # range [0, tp_out + tile_t) where tp_out = t + t_pad
+    tp_out = t + t_pad
+    total = tp_out + tile_t  # center blocks [0, tp_out) + one neighbor block
+    xp = jnp.pad(xp, ((0, 0), (0, total - xp.shape[1]), (0, 0)))
     if c_pad:
         xp = jnp.pad(xp, ((0, 0), (0, 0), (0, c_pad)))
         a = jnp.pad(a, (0, c_pad), constant_values=1.0)
         bt = jnp.pad(bt, (0, c_pad), constant_values=1.0)
-    tp = t + t_pad
     cp = c + c_pad
 
-    grid = (b, tp // tile_t, cp // tile_c)
+    grid = (b, tp_out // tile_t, cp // tile_c)
     out = pl.pallas_call(
-        functools.partial(_kernel, tile_t=tile_t, tile_c=tile_c),
+        functools.partial(_kernel, tile_t=tile_t),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # manually DMA'd (halo overlap)
+            pl.BlockSpec((1, tile_t, tile_c), lambda b, ti, ci: (b, ti, ci), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_t, tile_c), lambda b, ti, ci: (b, ti + 1, ci), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_c), lambda b, ti, ci: (0, ci), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_c), lambda b, ti, ci: (0, ci), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tile_t, tile_c), lambda b, ti, ci: (b, ti, ci), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, tp, cp), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((tile_t + 2 * PAD, tile_c), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
+        out_shape=jax.ShapeDtypeStruct((b, tp_out, cp), x.dtype),
         interpret=interpret,
-    )(xp, a[None, :], bt[None, :])
+    )(xp, xp, a[None, :], bt[None, :])
     out = out[:, :t, :c]
 
     # Edge exactness: the composed path replicates the *upsampled* signal at
@@ -155,9 +146,8 @@ def fused_anti_alias_snake(
 
     edge = min(4, t)
     win = min(64, t)
-    raw_beta = None if beta is None else beta
-    head = anti_aliased_activation(x[:, :win], alpha, raw_beta, alpha_logscale=alpha_logscale)
-    tail = anti_aliased_activation(x[:, -win:], alpha, raw_beta, alpha_logscale=alpha_logscale)
+    head = anti_aliased_activation(x[:, :win], alpha, beta, alpha_logscale=alpha_logscale)
+    tail = anti_aliased_activation(x[:, -win:], alpha, beta, alpha_logscale=alpha_logscale)
     out = out.at[:, :edge].set(head[:, :edge])
     out = out.at[:, -edge:].set(tail[:, -edge:])
     return out
