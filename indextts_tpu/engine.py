@@ -63,6 +63,8 @@ class IndexTTS:
         use_cuda_kernel: Optional[bool] = None,
         allow_random_init: bool = False,
         seed: int = 0,
+        use_mesh: Optional[bool] = None,
+        tp: Optional[int] = None,
     ):
         """Device policy: jax picks the platform (TPU when present; the
         cuda/mps/xpu/cpu cascade of infer.py:26-44 has no TPU meaning).
@@ -112,6 +114,21 @@ class IndexTTS:
         if self.is_fp16:
             self.gpt_params = _cast_tree(self.gpt_params, jnp.bfloat16)
             self.bigvgan_params = _cast_tree(self.bigvgan_params, jnp.bfloat16)
+
+        # multi-chip: tensor-parallel GPT over a (data, model) mesh. The
+        # reference tops out at single-device (SURVEY §2.6 — DeepSpeed
+        # mp_size=1); here GSPMD shards the matmuls and inserts the ICI
+        # collectives once the params carry NamedShardings.
+        self.mesh = None
+        if use_mesh is None:
+            use_mesh = len(jax.devices()) > 1 and self.device == "tpu"
+        if use_mesh and len(jax.devices()) > 1:
+            from indextts_tpu.parallel.mesh import make_mesh, replicated, shard_gpt_params
+
+            self.mesh = make_mesh(tp=tp)
+            self.gpt_params = shard_gpt_params(self.gpt_params, self.mesh)
+            self.bigvgan_params = jax.device_put(self.bigvgan_params, replicated(self.mesh))
+            print(f">> mesh: {dict(zip(self.mesh.axis_names, self.mesh.devices.shape))} (tensor-parallel GPT)")
 
         bpe_path = os.path.join(model_dir, self.cfg.dataset.get("bpe_model", "bpe.model"))
         self.normalizer = TextNormalizer()
