@@ -84,12 +84,21 @@ class IndexTTS:
         rng = jax.random.PRNGKey(seed)
         gpt_path = os.path.join(model_dir, self.cfg.gpt_checkpoint)
         bigvgan_path = os.path.join(model_dir, self.cfg.bigvgan_checkpoint)
-        if os.path.exists(gpt_path):
-            from indextts_tpu.convert import convert_unified_voice, load_torch_state_dict
+        if os.path.exists(gpt_path + ".npz"):
+            # converted-weight cache: torch-free startup after first load
+            from indextts_tpu.convert import load_params_npz
 
-            self.gpt_params = jax.tree_util.tree_map(
-                jnp.asarray, convert_unified_voice(load_torch_state_dict(gpt_path), self.cfg.gpt)
-            )
+            self.gpt_params = jax.tree_util.tree_map(jnp.asarray, load_params_npz(gpt_path + ".npz"))
+            print(">> GPT weights restored from cache:", gpt_path + ".npz")
+        elif os.path.exists(gpt_path):
+            from indextts_tpu.convert import convert_unified_voice, load_torch_state_dict, save_params_npz
+
+            converted = convert_unified_voice(load_torch_state_dict(gpt_path), self.cfg.gpt)
+            try:
+                save_params_npz(converted, gpt_path + ".npz")
+            except OSError:
+                pass
+            self.gpt_params = jax.tree_util.tree_map(jnp.asarray, converted)
             print(">> GPT weights restored from:", gpt_path)
         elif allow_random_init:
             self.gpt_params = init_unified_voice(rng, self.cfg.gpt)
@@ -97,13 +106,20 @@ class IndexTTS:
         else:
             raise FileNotFoundError(gpt_path)
 
-        if os.path.exists(bigvgan_path):
-            from indextts_tpu.convert import convert_bigvgan, load_torch_state_dict
+        if os.path.exists(bigvgan_path + ".npz"):
+            from indextts_tpu.convert import load_params_npz
 
-            self.bigvgan_params = jax.tree_util.tree_map(
-                jnp.asarray,
-                convert_bigvgan(load_torch_state_dict(bigvgan_path, key="generator"), self.cfg.bigvgan),
-            )
+            self.bigvgan_params = jax.tree_util.tree_map(jnp.asarray, load_params_npz(bigvgan_path + ".npz"))
+            print(">> bigvgan weights restored from cache:", bigvgan_path + ".npz")
+        elif os.path.exists(bigvgan_path):
+            from indextts_tpu.convert import convert_bigvgan, load_torch_state_dict, save_params_npz
+
+            converted = convert_bigvgan(load_torch_state_dict(bigvgan_path, key="generator"), self.cfg.bigvgan)
+            try:
+                save_params_npz(converted, bigvgan_path + ".npz")
+            except OSError:
+                pass
+            self.bigvgan_params = jax.tree_util.tree_map(jnp.asarray, converted)
             print(">> bigvgan weights restored from:", bigvgan_path)
         elif allow_random_init:
             self.bigvgan_params = init_bigvgan(jax.random.fold_in(rng, 1), self.cfg.bigvgan)
@@ -350,8 +366,11 @@ class IndexTTS:
         )
         return np.asarray(codes), np.asarray(lengths)
 
-    def _gpt_latent(self, conds, text_tokens: np.ndarray, codes: np.ndarray, code_lens: np.ndarray):
+    def _gpt_latent(self, conds, text_tokens: np.ndarray, codes: np.ndarray, code_lens: np.ndarray,
+                    text_lengths: Optional[np.ndarray] = None):
         b, lt0 = text_tokens.shape
+        if text_lengths is None:
+            text_lengths = np.full(b, lt0, np.int32)  # rows fully valid (per-row callers)
         lt = max(_round_up(lt0, 8), 8)
         text = np.full((b, lt), self.cfg.gpt.stop_text_token, np.int32)
         text[:, :lt0] = text_tokens
@@ -366,7 +385,7 @@ class IndexTTS:
             self.gpt_params,
             conds_b.astype(self.dtype),
             jnp.asarray(text),
-            jnp.asarray(np.full(b, lt0, np.int32)),
+            jnp.asarray(np.asarray(text_lengths, np.int32)),
             jnp.asarray(codes_p),
             wav_lens,
         )
