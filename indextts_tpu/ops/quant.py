@@ -26,10 +26,29 @@ def quantize_weight(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     return {"weight": q, "scale": scale.astype(jnp.float32)}
 
 
-def matmul_maybe_quantized(x: jnp.ndarray, wp: Dict[str, Any], bias_key: str = "bias") -> jnp.ndarray:
-    """x @ W (+ b) where wp holds either a plain weight or {weight:int8, scale}."""
+import os
+
+# trace-time toggle: route int8 matmuls through the Pallas streaming kernel
+PALLAS_INT8 = os.environ.get("INDEXTTS_PALLAS_INT8", "0") == "1"
+
+
+def matmul_maybe_quantized(
+    x: jnp.ndarray, wp: Dict[str, Any], bias_key: str = "bias", use_pallas: Optional[bool] = None
+) -> jnp.ndarray:
+    """x @ W (+ b) where wp holds either a plain weight or {weight:int8, scale}.
+    With use_pallas, 2D int8 matmuls route through the Pallas kernel that
+    streams weights from HBM as int8 (ops/pallas/qmatmul.py)."""
+    if use_pallas is None:
+        use_pallas = PALLAS_INT8
     w = wp["weight"]
     if "scale" in wp and w.dtype == jnp.int8:
+        if use_pallas and x.ndim == 2 and w.ndim == 2:
+            from indextts_tpu.ops.pallas.qmatmul import int8_matmul
+
+            return int8_matmul(
+                x, w, wp["scale"], bias=wp.get(bias_key),
+                interpret=jax.default_backend() == "cpu",
+            )
         w = w.astype(x.dtype) * wp["scale"].astype(x.dtype)
     else:
         w = w.astype(x.dtype)

@@ -60,3 +60,32 @@ class TestQuantizedDecode:
         # greedy paths usually agree at this scale; require at least the
         # first token to match (distribution-level parity, not byte-exact)
         assert int(q_codes[0, 0]) == int(fp_codes[0, 0])
+
+
+class TestPallasInt8Matmul:
+    def test_matches_dequantized_matmul(self):
+        from indextts_tpu.ops.pallas.qmatmul import int8_matmul
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((8, 300)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((300, 700)).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal(700).astype(np.float32))
+        qd = quantize_weight(w)
+        gold = np.asarray(x @ (np.asarray(qd["weight"], np.float32) * np.asarray(qd["scale"])) + b)
+        mine = np.asarray(
+            int8_matmul(x, qd["weight"], qd["scale"], bias=b, tile_n=256, tile_k=128, interpret=True)
+        )
+        rel = np.abs(mine - gold).max() / np.abs(gold).max()
+        assert rel < 5e-3  # bf16 MXU accumulation noise
+
+    def test_route_flag(self):
+        from indextts_tpu.ops.quant import matmul_maybe_quantized
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((4, 64)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((64, 96)).astype(np.float32))
+        qd = quantize_weight(w)
+        wp = {"weight": qd["weight"], "scale": qd["scale"], "bias": jnp.zeros(96)}
+        a = np.asarray(matmul_maybe_quantized(x, wp, use_pallas=False))
+        b = np.asarray(matmul_maybe_quantized(x, wp, use_pallas=True))
+        np.testing.assert_allclose(a, b, atol=0.05, rtol=0.01)
