@@ -527,7 +527,7 @@ def inference_speech(
 # ---------------------------------------------------------------------------
 
 
-def generate_speech_beam(
+def _generate_speech_beam_dense(
     params: Params,
     cfg: GPTConfig,
     gen: GenerationConfig,
@@ -539,11 +539,14 @@ def generate_speech_beam(
     top_p=0.8,
     repetition_penalty=10.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Beam decode with per-beam KV cache gathering (replaces HF
-    `_reorder_cache`, model.py:194-207). With do_sample=True this is HF's
-    beam_sample (warped logits, stochastic successor draw); otherwise
-    deterministic beam search. Length penalty per HF:
-    score = logprob_sum / (len ** length_penalty).
+    """Reference implementation of beam decode: the whole (prefill +
+    generated) KV cache is gathered on every beam reorder (replaces HF
+    `_reorder_cache`, model.py:194-207). Superseded as the default by
+    `generate_speech_beam` (split-cache), which it oracles in tests.
+
+    With do_sample=True this is HF's beam_sample (warped logits, stochastic
+    successor draw); otherwise deterministic beam search. Length penalty per
+    HF: score = logprob_sum / (len ** length_penalty).
 
     Returns (codes [B, max_new], lengths [B]) for the best finished beam.
     """
@@ -675,7 +678,10 @@ def generate_speech_beam(
         cache2 = jax.tree_util.tree_map(lambda t: t[:, flat_src], cache2)
         return (i + 1, codes, beam_scores, cache2, seen, nxt, done_best)
 
-    state = (jnp.asarray(1), codes, beam_scores, cache, seen, cur, done_best)
+    # counter semantics match the greedy loop: body iteration i consumes the
+    # (i+1)-th generated token, writes its K/V at cache slot p+i with mel
+    # position i+2, and step_beams(i+1) records the successor at codes[:, i+1]
+    state = (jnp.asarray(0), codes, beam_scores, cache, seen, cur, done_best)
     i, codes, beam_scores, cache, seen, cur, (best_score, best_codes, best_len) = jax.lax.while_loop(
         cond_fn, body_fn, state
     )
@@ -685,6 +691,195 @@ def generate_speech_beam(
     live_flat = jnp.arange(b) * nb + live_best
     live_lp = jnp.asarray(max_new, jnp.float32) ** gen.length_penalty
     live_scores = beam_scores.reshape(b, nb)[jnp.arange(b), live_best] / live_lp
+    has_finished = best_score > NEG_INF / 2
+    final_codes = jnp.where(has_finished[:, None], best_codes, codes[live_flat])
+    final_len = jnp.where(has_finished, best_len, max_new)
+    return final_codes, final_len
+
+
+def _decode_block_beam(layer_p, x, kp, vp, kg, vg, bias_p, bias_g, heads, nb):
+    """Beam decode block with a split cache. x: [B*nb, D]; kp/vp: the shared
+    prefill cache [B, H, P, Dh] (identical for all beams of a row, so never
+    gathered on reorders); kg/vg: the generated-region cache
+    [B*nb, H, N, Dh]. bias_p: [B, P] additive; bias_g: [1, N] additive.
+    Returns (out [B*nb, D], k_new, v_new)."""
+    from indextts_tpu.ops.quant import matmul_maybe_quantized
+
+    bn, d = x.shape
+    b = bn // nb
+    dh = d // heads
+    h = layer_norm(x, layer_p["ln_1"]["weight"], layer_p["ln_1"]["bias"])
+    qkv = matmul_maybe_quantized(h, layer_p["attn_qkv"])
+    q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(bn, heads, dh)
+    k_new = k_new.reshape(bn, heads, dh)
+    v_new = v_new.reshape(bn, heads, dh)
+    scale = 1.0 / math.sqrt(dh)
+
+    # beams are laid out row-major (row*nb + beam), matching jnp.repeat
+    qb = q.reshape(b, nb, heads, dh)
+    sp = jnp.einsum("bnhd,bhpd->bnhp", qb, kp).astype(jnp.float32) * scale
+    sp = sp + bias_p[:, None, None, :]
+    p_len = kp.shape[2]
+    sp = sp.reshape(bn, heads, p_len)
+    sg = jnp.einsum("bhd,bhsd->bhs", q, kg).astype(jnp.float32) * scale + bias_g[:, None, :]
+    ss = jnp.sum(q * k_new, axis=-1, keepdims=True).astype(jnp.float32) * scale
+    scores = jnp.concatenate([sp, sg, ss], axis=-1)
+    attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    ap = attn[..., :p_len].reshape(b, nb, heads, p_len)
+    op = jnp.einsum("bnhp,bhpd->bnhd", ap, vp).reshape(bn, heads, dh)
+    og = jnp.einsum("bhs,bhsd->bhd", attn[..., p_len:-1], vg)
+    out = op + og + attn[..., -1:] * v_new
+    a = matmul_maybe_quantized(out.reshape(bn, d), layer_p["attn_proj"])
+    x = x + a
+    h = layer_norm(x, layer_p["ln_2"]["weight"], layer_p["ln_2"]["bias"])
+    h = gelu_new(matmul_maybe_quantized(h, layer_p["mlp_fc"]))
+    h = matmul_maybe_quantized(h, layer_p["mlp_proj"])
+    return x + h, k_new, v_new
+
+
+def generate_speech_beam(
+    params: Params,
+    cfg: GPTConfig,
+    gen: GenerationConfig,
+    conds: jnp.ndarray,
+    text_tokens: jnp.ndarray,
+    text_lengths: jnp.ndarray,
+    rng: jax.Array,
+    temperature=1.0,
+    top_p=0.8,
+    repetition_penalty=10.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Beam decode with a split KV cache: the prefill runs once per batch row
+    (not per beam) and its cache is shared read-only across beams, so beam
+    reorders gather only the generated-region cache [L, B*nb, H, max_new, Dh]
+    — the HF `_reorder_cache` equivalent (model.py:194-207) without copying
+    the prompt K/V every step. Sampling semantics identical to
+    `_generate_speech_beam_dense` (the oracle in tests/test_beam_oracle.py).
+
+    Returns (codes [B, max_new], lengths [B]) for the best finished beam.
+    """
+    nb = gen.num_beams
+    b, l = text_tokens.shape
+    v = cfg.number_mel_codes
+    bb = b * nb
+    max_new = gen.max_new_tokens
+    d = cfg.model_dim
+    heads = cfg.heads
+    dh = d // heads
+    layers = cfg.layers
+
+    emb, prefill_mask = prepare_gpt_inputs(params, cfg, conds, text_tokens, text_lengths)
+    p = emb.shape[1]
+    # prefill on B rows only; cache stays [L, B, H, P, Dh]
+    logits0_b, (kp, vp) = _prefill(params, cfg, emb, prefill_mask, p)
+    logits0 = jnp.repeat(logits0_b, nb, axis=0)  # [bb, V]
+
+    kg = jnp.zeros((layers, bb, heads, max_new, dh), emb.dtype)
+    vg = jnp.zeros_like(kg)
+
+    seen0 = jnp.zeros((bb, v), bool).at[:, 1].set(True).at[:, cfg.start_mel_token].set(True)
+    bias_p = jnp.where(prefill_mask, 0.0, NEG_INF).astype(jnp.float32)  # [B, P]
+    gen_positions = jnp.arange(max_new)[None, :]
+
+    def warp(logits, seen):
+        lf = process_logits(
+            logits, seen_mask=seen, repetition_penalty=repetition_penalty,
+            typical_sampling=gen.typical_sampling, typical_mass=gen.typical_mass,
+            temperature=temperature, top_k=gen.top_k if gen.do_sample else 0,
+            top_p=top_p, do_sample=gen.do_sample, num_beams=nb,
+        )
+        return jax.nn.log_softmax(lf, axis=-1)
+
+    def select_successors(logp_joint, key, step):
+        k = 2 * nb
+        if gen.do_sample:
+            g = -jnp.log(-jnp.log(jax.random.uniform(jax.random.fold_in(key, step), logp_joint.shape) + 1e-20) + 1e-20)
+            _, idx = jax.lax.top_k(logp_joint + g, k)
+            vals = jnp.take_along_axis(logp_joint, idx, axis=1)
+            order = jnp.argsort(-vals, axis=1)
+            return jnp.take_along_axis(vals, order, axis=1), jnp.take_along_axis(idx, order, axis=1)
+        return jax.lax.top_k(logp_joint, k)
+
+    beam_scores0 = jnp.tile(jnp.array([0.0] + [NEG_INF] * (nb - 1), jnp.float32), (b,))
+    codes0 = jnp.full((bb, max_new), cfg.stop_mel_token, jnp.int32)
+    best0 = (jnp.full((b,), NEG_INF, jnp.float32), jnp.full((b, max_new), cfg.stop_mel_token, jnp.int32),
+             jnp.zeros((b,), jnp.int32))
+
+    def step_beams(si, logits, codes, beam_scores, seen, done_best):
+        best_score, best_codes, best_len = done_best
+        logp = warp(logits, seen)
+        cand = (beam_scores[:, None] + logp).reshape(b, nb * v)
+        vals, idx = select_successors(cand, rng, si)
+        src_beam = idx // v
+        tok = (idx % v).astype(jnp.int32)
+        is_eos = tok == cfg.stop_mel_token
+        cur_len = jnp.asarray(si + 1, jnp.float32)
+        lp = jnp.where(cur_len > 0, cur_len**gen.length_penalty, 1.0)
+        finished_scores = jnp.where(is_eos, vals / lp, NEG_INF)
+        fbest = jnp.max(finished_scores, axis=1)
+        fargmax = jnp.argmax(finished_scores, axis=1)
+        improve = fbest > best_score
+        fin_beam = jnp.take_along_axis(src_beam, fargmax[:, None], axis=1)[:, 0]
+        fin_tok = jnp.take_along_axis(tok, fargmax[:, None], axis=1)[:, 0]
+        flat_fin = jnp.arange(b) * nb + fin_beam
+        fin_codes = codes[flat_fin].at[:, si].set(fin_tok)
+        best_codes = jnp.where(improve[:, None], fin_codes, best_codes)
+        best_len = jnp.where(improve, si + 1, best_len)
+        best_score = jnp.where(improve, fbest, best_score)
+        cont_scores = jnp.where(is_eos, NEG_INF, vals)
+        cont_vals, cont_pick = jax.lax.top_k(cont_scores, nb)
+        new_beam = jnp.take_along_axis(src_beam, cont_pick, axis=1)
+        new_tok = jnp.take_along_axis(tok, cont_pick, axis=1).astype(jnp.int32)
+        flat_src = (jnp.arange(b)[:, None] * nb + new_beam).reshape(-1)
+        codes = codes[flat_src].at[:, si].set(new_tok.reshape(-1))
+        seen = seen[flat_src].at[jnp.arange(bb), new_tok.reshape(-1)].set(True)
+        return codes, cont_vals.reshape(-1), seen, (best_score, best_codes, best_len), flat_src, new_tok.reshape(-1)
+
+    codes, beam_scores, seen, done_best, flat_src, cur = step_beams(
+        0, logits0, codes0, beam_scores0, seen0, best0
+    )
+    # nothing written to kg/vg yet -> no gather needed for the first reorder
+
+    def cond_fn(state):
+        i, codes, beam_scores, kg, vg, seen, cur, (best_score, _, _) = state
+        if not gen.early_stopping:
+            return i < max_new - 1
+        lp = jnp.asarray(max_new, jnp.float32) ** gen.length_penalty
+        best_possible = jnp.max(beam_scores.reshape(b, nb), axis=1) / lp
+        return jnp.logical_and(i < max_new - 1, jnp.any(best_possible > best_score))
+
+    def body_fn(state):
+        i, codes, beam_scores, kg, vg, seen, cur, done_best = state
+        x = params["mel_embedding"][cur] + params["mel_pos_embedding"][i + 2]
+        bias_g = jnp.where(gen_positions < i, 0.0, NEG_INF).astype(jnp.float32)  # [1, N]
+
+        def scan_body(x, layer):
+            layer_p, kgl, vgl, kpl, vpl = layer
+            out, k_new, v_new = _decode_block_beam(
+                layer_p, x, kpl, vpl, kgl, vgl, bias_p, bias_g, heads, nb
+            )
+            return out, (k_new, v_new)
+
+        x, (k_news, v_news) = jax.lax.scan(scan_body, x, (params["gpt"]["blocks"], kg, vg, kp, vp))
+        kg2 = jax.lax.dynamic_update_slice(kg, k_news[:, :, :, None, :], (0, 0, 0, i, 0))
+        vg2 = jax.lax.dynamic_update_slice(vg, v_news[:, :, :, None, :], (0, 0, 0, i, 0))
+        x = layer_norm(x, params["gpt"]["ln_f"]["weight"], params["gpt"]["ln_f"]["bias"])
+        logits = _mel_logits(params, x)
+        codes, beam_scores, seen, done_best, flat_src, nxt = step_beams(
+            i + 1, logits, codes, beam_scores, seen, done_best
+        )
+        kg2 = kg2[:, flat_src]
+        vg2 = vg2[:, flat_src]
+        return (i + 1, codes, beam_scores, kg2, vg2, seen, nxt, done_best)
+
+    state = (jnp.asarray(0), codes, beam_scores, kg, vg, seen, cur, done_best)
+    i, codes, beam_scores, kg, vg, seen, cur, (best_score, best_codes, best_len) = jax.lax.while_loop(
+        cond_fn, body_fn, state
+    )
+
+    live_best = jnp.argmax(beam_scores.reshape(b, nb), axis=1)
+    live_flat = jnp.arange(b) * nb + live_best
     has_finished = best_score > NEG_INF / 2
     final_codes = jnp.where(has_finished[:, None], best_codes, codes[live_flat])
     final_len = jnp.where(has_finished, best_len, max_new)

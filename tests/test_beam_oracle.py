@@ -1,0 +1,154 @@
+"""Beam search correctness: a slow full-recompute Python beam oracle (exact
+HF-style scoring over gpt2_apply) must match both beam implementations, and
+split-cache must equal dense exactly."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from indextts_tpu.models.gpt import get_conditioning, gpt2_apply, init_unified_voice
+from indextts_tpu.models.gpt_decode import (
+    GenerationConfig,
+    _generate_speech_beam_dense,
+    _mel_logits,
+    generate_speech_beam,
+    prepare_gpt_inputs,
+)
+from indextts_tpu.ops.sampling import apply_repetition_penalty
+from tests.test_gpt import tiny_cfg
+
+NEG = float(np.finfo(np.float32).min)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_cfg()
+    params = init_unified_voice(jax.random.PRNGKey(0), cfg)
+    rng_np = np.random.default_rng(11)
+    mel = jnp.asarray(rng_np.standard_normal((1, 40, 100)).astype(np.float32))
+    conds = get_conditioning(params, cfg, mel, jnp.asarray([40]))
+    return cfg, params, conds
+
+
+def oracle_beam(params, cfg, conds, text, lens, nb, max_new, length_penalty=0.0, rep_pen=1.0):
+    """Deterministic beam search by full recomputation, mirroring the jitted
+    drivers' semantics (2*nb candidates, best finished tracked, early stop)."""
+    emb0, mask0 = prepare_gpt_inputs(params, cfg, conds, text, lens)
+    stop = cfg.stop_mel_token
+    v = cfg.number_mel_codes
+
+    def logits_for(seq):
+        embs = [emb0]
+        if seq:
+            toks = jnp.asarray(np.asarray(seq, np.int32)[None, :])
+            pos = jnp.asarray([t + 2 for t in range(len(seq))])
+            embs.append(params["mel_embedding"][toks] + params["mel_pos_embedding"][pos][None])
+        e = jnp.concatenate(embs, axis=1)
+        m = jnp.concatenate([mask0, jnp.ones((1, len(seq)), bool)], axis=1)
+        hidden = gpt2_apply(params["gpt"], e, cfg.heads, attention_mask=m)
+        lg = np.asarray(_mel_logits(params, hidden[:, -1]).astype(jnp.float32))[0]
+        seen = np.zeros(v, bool)
+        seen[1] = True
+        seen[cfg.start_mel_token] = True
+        seen[np.asarray(seq, np.int64)] = True
+        if rep_pen != 1.0:
+            lg = np.asarray(
+                apply_repetition_penalty(jnp.asarray(lg[None]), jnp.asarray(seen[None]), rep_pen)
+            )[0]
+        return np.asarray(jax.nn.log_softmax(jnp.asarray(lg)))
+
+    beams = [([], 0.0)] + [([], NEG)] * (nb - 1)
+    best = (NEG, None)
+    for step in range(max_new):
+        cand = []
+        for bi, (seq, score) in enumerate(beams):
+            logp = logits_for(seq) if score > NEG / 2 else np.full(v, NEG)
+            joint = score + logp if score > NEG / 2 else np.full(v, NEG)
+            for tok in np.argsort(-joint)[: 2 * nb]:
+                cand.append((joint[tok], bi, int(tok)))
+        cand.sort(key=lambda x: -x[0])
+        cand = cand[: 2 * nb]
+        lp = (step + 1) ** length_penalty if step + 1 > 0 else 1.0
+        cont = []
+        for score, bi, tok in cand:
+            if tok == stop:
+                if score / lp > best[0]:
+                    best = (score / lp, beams[bi][0] + [tok])
+            else:
+                cont.append((beams[bi][0] + [tok], score))
+        cont = cont[:nb]
+        while len(cont) < nb:
+            cont.append(([], NEG))
+        beams = cont
+        # early stop: best live can't beat best finished
+        live_best = max(s for _, s in beams)
+        if best[1] is not None and live_best / (max_new**length_penalty) <= best[0]:
+            break
+    if best[1] is None:
+        seq = max(beams, key=lambda x: x[1])[0]
+        return seq, len(seq)
+    return best[1], len(best[1])
+
+
+class TestBeamOracle:
+    @pytest.mark.parametrize("nb", [2, 3])
+    def test_dense_matches_oracle(self, setup, nb):
+        cfg, params, conds = setup
+        text = jnp.asarray([[5, 6, 7, 8, 9, 1]], jnp.int32)
+        lens = jnp.asarray([5])
+        gen = GenerationConfig(do_sample=False, num_beams=nb, max_new_tokens=10)
+        codes, length = _generate_speech_beam_dense(
+            params, cfg, gen, conds, text, lens, jax.random.PRNGKey(0), repetition_penalty=1.0
+        )
+        gold_seq, gold_len = oracle_beam(params, cfg, conds, text, lens, nb, 10)
+        got = list(np.asarray(codes[0, : int(length[0])]))
+        # oracle records the eos in the sequence; driver pads codes with stop
+        if gold_len and gold_seq[-1] == cfg.stop_mel_token:
+            assert got[: gold_len] == gold_seq, (got, gold_seq)
+        else:
+            assert got[: gold_len] == gold_seq[:gold_len], (got, gold_seq)
+
+    def test_split_matches_dense_greedy(self, setup):
+        cfg, params, conds = setup
+        text = jnp.asarray([[5, 6, 7, 8, 9, 1]], jnp.int32)
+        lens = jnp.asarray([5])
+        for nb in (2, 3):
+            gen = GenerationConfig(do_sample=False, num_beams=nb, max_new_tokens=12)
+            a, la = _generate_speech_beam_dense(
+                params, cfg, gen, conds, text, lens, jax.random.PRNGKey(0), repetition_penalty=10.0
+            )
+            bcodes, lb = generate_speech_beam(
+                params, cfg, gen, conds, text, lens, jax.random.PRNGKey(0), repetition_penalty=10.0
+            )
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(bcodes))
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+    def test_split_matches_dense_sampled(self, setup):
+        cfg, params, conds = setup
+        text = jnp.asarray([[5, 6, 7, 8, 9, 1]], jnp.int32)
+        lens = jnp.asarray([5])
+        gen = GenerationConfig(do_sample=True, num_beams=3, top_k=30, max_new_tokens=10)
+        a, _ = _generate_speech_beam_dense(
+            params, cfg, gen, conds, text, lens, jax.random.PRNGKey(4)
+        )
+        bcodes, _ = generate_speech_beam(
+            params, cfg, gen, conds, text, lens, jax.random.PRNGKey(4)
+        )
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(bcodes))
+
+    def test_split_batched(self, setup):
+        cfg, params, conds = setup
+        texts = jnp.asarray([[5, 6, 7, 8, 9, 1], [10, 11, 12, 1, 1, 1]], jnp.int32)
+        lens = jnp.asarray([5, 3])
+        conds2 = jnp.concatenate([conds, conds], axis=0)
+        gen = GenerationConfig(do_sample=False, num_beams=2, max_new_tokens=8)
+        a, la = _generate_speech_beam_dense(
+            params, cfg, gen, conds2, texts, lens, jax.random.PRNGKey(0), repetition_penalty=1.0
+        )
+        bcodes, lb = generate_speech_beam(
+            params, cfg, gen, conds2, texts, lens, jax.random.PRNGKey(0), repetition_penalty=1.0
+        )
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(bcodes))
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
