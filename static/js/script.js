@@ -108,6 +108,82 @@ $("voice-delete-btn").onclick = async () => {
   await loadVoices();
 };
 
+// ---------------------------------------------------------------------------
+// waveform display + drag-to-crop (parity with the reference UI's waveform)
+// ---------------------------------------------------------------------------
+
+let waveDuration = 0;
+let dragStart = null;
+
+async function drawWaveform(file) {
+  const canvas = $("waveform");
+  const ctx2d = canvas.getContext("2d");
+  try {
+    const buf = await file.arrayBuffer();
+    const actx = new (window.AudioContext || window.webkitAudioContext)();
+    const audio = await actx.decodeAudioData(buf);
+    waveDuration = audio.duration;
+    const data = audio.getChannelData(0);
+    const w = canvas.width, h = canvas.height;
+    ctx2d.clearRect(0, 0, w, h);
+    ctx2d.fillStyle = "#10131b";
+    ctx2d.fillRect(0, 0, w, h);
+    ctx2d.strokeStyle = "#4f8cff";
+    ctx2d.beginPath();
+    const step = Math.max(1, Math.floor(data.length / w));
+    for (let x = 0; x < w; x++) {
+      let min = 1, max = -1;
+      for (let i = x * step; i < (x + 1) * step && i < data.length; i++) {
+        if (data[i] < min) min = data[i];
+        if (data[i] > max) max = data[i];
+      }
+      ctx2d.moveTo(x, (1 - max) * h / 2);
+      ctx2d.lineTo(x, (1 - min) * h / 2);
+    }
+    ctx2d.stroke();
+    drawCropOverlay();
+    canvas.classList.remove("hidden");
+  } catch (e) {
+    canvas.classList.add("hidden");
+  }
+}
+
+function drawCropOverlay() {
+  const canvas = $("waveform");
+  if (!waveDuration) return;
+  const ctx2d = canvas.getContext("2d");
+  const s = parseFloat($("crop-start").value) || 0;
+  const e = parseFloat($("crop-end").value) || waveDuration;
+  const x0 = (s / waveDuration) * canvas.width;
+  const x1 = (e / waveDuration) * canvas.width;
+  ctx2d.fillStyle = "rgba(79, 140, 255, 0.18)";
+  ctx2d.fillRect(x0, 0, Math.max(x1 - x0, 1), canvas.height);
+}
+
+$("waveform").addEventListener("mousedown", (ev) => {
+  if (!waveDuration) return;
+  const rect = $("waveform").getBoundingClientRect();
+  dragStart = ((ev.clientX - rect.left) / rect.width) * waveDuration;
+});
+$("waveform").addEventListener("mouseup", (ev) => {
+  if (dragStart === null || !waveDuration) return;
+  const rect = $("waveform").getBoundingClientRect();
+  const end = ((ev.clientX - rect.left) / rect.width) * waveDuration;
+  $("crop-start").value = Math.min(dragStart, end).toFixed(2);
+  $("crop-end").value = Math.max(dragStart, end).toFixed(2);
+  dragStart = null;
+  const file = $("reference-audio").files[0];
+  if (file) drawWaveform(file);
+});
+$("crop-start").addEventListener("change", () => {
+  const f = $("reference-audio").files[0];
+  if (f) drawWaveform(f);
+});
+$("crop-end").addEventListener("change", () => {
+  const f = $("reference-audio").files[0];
+  if (f) drawWaveform(f);
+});
+
 $("reference-audio").onchange = () => {
   const file = $("reference-audio").files[0];
   if (file) {
@@ -115,6 +191,9 @@ $("reference-audio").onchange = () => {
     $("reference-preview").src = url;
     $("reference-preview").classList.remove("hidden");
     $("saved-voice-select").value = "";
+    $("crop-start").value = "";
+    $("crop-end").value = "";
+    drawWaveform(file);
   }
 };
 
