@@ -340,12 +340,17 @@ class IndexTTS:
         conds_b = jnp.broadcast_to(conds, (b,) + conds.shape[1:]) if conds.shape[0] != b else conds
         self._rng, sub = jax.random.split(self._rng)
         seg = 160
-        if gen.num_beams == 1 and gen.max_new_tokens >= 2 * seg:
-            # segment-growing KV cache: per-step attention reads scale with
-            # generated length rather than the max_mel_tokens budget
-            from indextts_tpu.models.gpt_decode import generate_speech_segmented
+        if gen.max_new_tokens >= 2 * seg:
+            # segment-growing KV cache: per-step attention/gather traffic
+            # scales with generated length rather than the max_mel_tokens
+            # budget (both sampling and beam paths)
+            from indextts_tpu.models.gpt_decode import (
+                generate_speech_beam_segmented,
+                generate_speech_segmented,
+            )
 
-            codes, lengths = generate_speech_segmented(
+            seg_fn = generate_speech_beam_segmented if gen.num_beams > 1 else generate_speech_segmented
+            codes, lengths = seg_fn(
                 self.gpt_params, self.cfg.gpt, gen,
                 conds_b.astype(self.dtype), jnp.asarray(padded), jnp.asarray(text_lengths), sub,
                 temperature=jnp.float32(temperature), top_p=jnp.float32(top_p),

@@ -884,3 +884,227 @@ def generate_speech_beam(
     final_codes = jnp.where(has_finished[:, None], best_codes, codes[live_flat])
     final_len = jnp.where(has_finished, best_len, max_new)
     return final_codes, final_len
+
+
+def generate_speech_beam_segmented(
+    params: Params,
+    cfg: GPTConfig,
+    gen: GenerationConfig,
+    conds: jnp.ndarray,
+    text_tokens: jnp.ndarray,
+    text_lengths: jnp.ndarray,
+    rng: jax.Array,
+    temperature=1.0,
+    top_p=0.8,
+    repetition_penalty=10.0,
+    segment: int = 160,
+    jit_cache: Optional[Dict[Any, Any]] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Split-cache beam decode with segment-growing generated cache: the
+    per-step beam-reorder gather touches only p-free cache slots that can
+    actually be written in the current segment. Host-driven like
+    generate_speech_segmented; identical sampling state machine to
+    generate_speech_beam (which it matches bit-exactly — see tests)."""
+    nb = gen.num_beams
+    b, l = text_tokens.shape
+    bb = b * nb
+    max_new = gen.max_new_tokens
+    n_segments = -(-max_new // segment)
+    cache = jit_cache if jit_cache is not None else {}
+
+    def seg_fn(seg_idx: int):
+        key = ("bseg", b, l, gen, segment, seg_idx)
+        if key in cache:
+            return cache[key]
+        cache_len = min(segment * (seg_idx + 1), max_new)
+        if seg_idx == 0:
+            n_steps = cache_len - 1
+
+            @jax.jit
+            def first_fn(params, conds, text_tokens, text_lengths, rng, temperature, top_p, repetition_penalty):
+                return _beam_segment_run(
+                    params, cfg, gen, conds, text_tokens, text_lengths, rng,
+                    temperature, top_p, repetition_penalty,
+                    cache_len=cache_len, n_steps=n_steps, init=True, state=None,
+                )
+
+            cache[key] = first_fn
+        else:
+            n_steps = cache_len - segment * seg_idx
+
+            @jax.jit
+            def step_fn(params, state, aux_arrays, rng, temperature, top_p, repetition_penalty):
+                return _beam_segment_run(
+                    params, cfg, gen, None, None, None, rng,
+                    temperature, top_p, repetition_penalty,
+                    cache_len=cache_len, n_steps=n_steps, init=False,
+                    state=(state, aux_arrays),
+                )
+
+            cache[key] = step_fn
+        return cache[key]
+
+    import numpy as np
+
+    args = (jnp.float32(temperature), jnp.float32(top_p), jnp.float32(repetition_penalty))
+    state, aux_arrays = seg_fn(0)(params, conds, text_tokens, text_lengths, rng, *args)
+    for k_seg in range(1, n_segments):
+        i, codes, beam_scores, kg, vg, seen, cur, (best_score, _, _) = state
+        # host-side early exit mirroring the device cond
+        lp = float(max_new) ** gen.length_penalty
+        bp = np.max(np.asarray(beam_scores).reshape(b, nb), axis=1) / lp
+        if gen.early_stopping and not bool((bp > np.asarray(best_score)).any()):
+            break
+        if int(i) >= max_new - 1:
+            break
+        state, aux_arrays = seg_fn(k_seg)(params, state, aux_arrays, rng, *args)
+
+    i, codes, beam_scores, kg, vg, seen, cur, (best_score, best_codes, best_len) = state
+    live_best = jnp.argmax(beam_scores.reshape(b, nb), axis=1)
+    live_flat = jnp.arange(b) * nb + live_best
+    has_finished = best_score > NEG_INF / 2
+    final_codes = jnp.where(has_finished[:, None], best_codes, codes[live_flat])
+    final_len = jnp.where(has_finished, best_len, max_new)
+    return final_codes, final_len
+
+
+def _beam_segment_run(params, cfg, gen, conds, text_tokens, text_lengths, rng,
+                      temperature, top_p, repetition_penalty, *,
+                      cache_len, n_steps, init, state):
+    """One jitted beam segment: optionally prefill+first-token, then up to
+    n_steps decode iterations against a generated cache of size cache_len."""
+    nb = gen.num_beams
+    max_new = gen.max_new_tokens
+    heads = cfg.heads
+    d = cfg.model_dim
+    dh = d // heads
+    layers = cfg.layers
+    v = cfg.number_mel_codes
+
+    def warp(logits, seen):
+        lf = process_logits(
+            logits, seen_mask=seen, repetition_penalty=repetition_penalty,
+            typical_sampling=gen.typical_sampling, typical_mass=gen.typical_mass,
+            temperature=temperature, top_k=gen.top_k if gen.do_sample else 0,
+            top_p=top_p, do_sample=gen.do_sample, num_beams=nb,
+        )
+        return jax.nn.log_softmax(lf, axis=-1)
+
+    def select_successors(logp_joint, key, step, b):
+        k = 2 * nb
+        if gen.do_sample:
+            g = -jnp.log(-jnp.log(jax.random.uniform(jax.random.fold_in(key, step), logp_joint.shape) + 1e-20) + 1e-20)
+            _, idx = jax.lax.top_k(logp_joint + g, k)
+            vals = jnp.take_along_axis(logp_joint, idx, axis=1)
+            order = jnp.argsort(-vals, axis=1)
+            return jnp.take_along_axis(vals, order, axis=1), jnp.take_along_axis(idx, order, axis=1)
+        return jax.lax.top_k(logp_joint, k)
+
+    if init:
+        b = text_tokens.shape[0]
+        bb = b * nb
+        emb, prefill_mask = prepare_gpt_inputs(params, cfg, conds, text_tokens, text_lengths)
+        p = emb.shape[1]
+        logits0_b, (kp, vp) = _prefill(params, cfg, emb, prefill_mask, p)
+        logits0 = jnp.repeat(logits0_b, nb, axis=0)
+        kg = jnp.zeros((layers, bb, heads, cache_len, dh), emb.dtype)
+        vg = jnp.zeros_like(kg)
+        seen0 = jnp.zeros((bb, v), bool).at[:, 1].set(True).at[:, cfg.start_mel_token].set(True)
+        bias_p = jnp.where(prefill_mask, 0.0, NEG_INF).astype(jnp.float32)
+        beam_scores0 = jnp.tile(jnp.array([0.0] + [NEG_INF] * (nb - 1), jnp.float32), (b,))
+        codes0 = jnp.full((bb, max_new), cfg.stop_mel_token, jnp.int32)
+        best0 = (jnp.full((b,), NEG_INF, jnp.float32),
+                 jnp.full((b, max_new), cfg.stop_mel_token, jnp.int32),
+                 jnp.zeros((b,), jnp.int32))
+        codes, beam_scores, seen, done_best, flat_src, cur = _beam_step(
+            cfg, gen, 0, logits0, codes0, beam_scores0, seen0, best0, warp,
+            lambda lj, key, s: select_successors(lj, key, s, b), rng, b, nb,
+        )
+        st = (jnp.asarray(0), codes, beam_scores, kg, vg, seen, cur, done_best)
+        aux = (kp, vp, bias_p)
+    else:
+        st, aux = state
+        i, codes, beam_scores, kg, vg, seen, cur, done_best = st
+        extra = cache_len - kg.shape[3]
+        kg = jnp.pad(kg, ((0, 0), (0, 0), (0, 0), (0, extra), (0, 0)))
+        vg = jnp.pad(vg, ((0, 0), (0, 0), (0, 0), (0, extra), (0, 0)))
+        st = (i, codes, beam_scores, kg, vg, seen, cur, done_best)
+        kp, vp, bias_p = aux
+        bb = kg.shape[1]
+        b = bb // nb
+
+    kp, vp, bias_p = aux
+    gen_positions = jnp.arange(cache_len)[None, :]
+    start_i = st[0]
+
+    def cond_fn(s):
+        i, codes, beam_scores, kg, vg, seen, cur, (best_score, _, _) = s
+        bound = jnp.logical_and(i < max_new - 1, i < start_i + n_steps)
+        bound = jnp.logical_and(bound, i < cache_len - 0)  # cache capacity
+        if not gen.early_stopping:
+            return bound
+        lp = jnp.asarray(max_new, jnp.float32) ** gen.length_penalty
+        best_possible = jnp.max(beam_scores.reshape(b, nb), axis=1) / lp
+        return jnp.logical_and(bound, jnp.any(best_possible > best_score))
+
+    def body_fn(s):
+        i, codes, beam_scores, kg, vg, seen, cur, done_best = s
+        x = params["mel_embedding"][cur] + params["mel_pos_embedding"][i + 2]
+        bias_g = jnp.where(gen_positions < i, 0.0, NEG_INF).astype(jnp.float32)
+
+        def scan_body(x, layer):
+            layer_p, kgl, vgl, kpl, vpl = layer
+            out, k_new, v_new = _decode_block_beam(
+                layer_p, x, kpl, vpl, kgl, vgl, bias_p, bias_g, heads, nb
+            )
+            return out, (k_new, v_new)
+
+        x, (k_news, v_news) = jax.lax.scan(scan_body, x, (params["gpt"]["blocks"], kg, vg, kp, vp))
+        kg2 = jax.lax.dynamic_update_slice(kg, k_news[:, :, :, None, :], (0, 0, 0, i, 0))
+        vg2 = jax.lax.dynamic_update_slice(vg, v_news[:, :, :, None, :], (0, 0, 0, i, 0))
+        x = layer_norm(x, params["gpt"]["ln_f"]["weight"], params["gpt"]["ln_f"]["bias"])
+        logits = _mel_logits(params, x)
+        codes, beam_scores, seen, done_best, flat_src, nxt = _beam_step(
+            cfg, gen, i + 1, logits, codes, beam_scores, seen, done_best, warp,
+            lambda lj, key, s_: select_successors(lj, key, s_, b), rng, b, nb,
+        )
+        kg2 = kg2[:, flat_src]
+        vg2 = vg2[:, flat_src]
+        return (i + 1, codes, beam_scores, kg2, vg2, seen, nxt, done_best)
+
+    st = jax.lax.while_loop(cond_fn, body_fn, st)
+    return st, (kp, vp, bias_p)
+
+
+def _beam_step(cfg, gen, si, logits, codes, beam_scores, seen, done_best, warp, select, rng, b, nb):
+    """One beam-successor selection step (shared by split/segmented drivers)."""
+    bb = b * nb
+    v = cfg.number_mel_codes
+    best_score, best_codes, best_len = done_best
+    logp = warp(logits, seen)
+    cand = (beam_scores[:, None] + logp).reshape(b, nb * v)
+    vals, idx = select(cand, rng, si)
+    src_beam = idx // v
+    tok = (idx % v).astype(jnp.int32)
+    is_eos = tok == cfg.stop_mel_token
+    cur_len = jnp.asarray(si + 1, jnp.float32)
+    lp = jnp.where(cur_len > 0, cur_len**gen.length_penalty, 1.0)
+    finished_scores = jnp.where(is_eos, vals / lp, NEG_INF)
+    fbest = jnp.max(finished_scores, axis=1)
+    fargmax = jnp.argmax(finished_scores, axis=1)
+    improve = fbest > best_score
+    fin_beam = jnp.take_along_axis(src_beam, fargmax[:, None], axis=1)[:, 0]
+    fin_tok = jnp.take_along_axis(tok, fargmax[:, None], axis=1)[:, 0]
+    flat_fin = jnp.arange(b) * nb + fin_beam
+    fin_codes = codes[flat_fin].at[:, si].set(fin_tok)
+    best_codes = jnp.where(improve[:, None], fin_codes, best_codes)
+    best_len = jnp.where(improve, si + 1, best_len)
+    best_score = jnp.where(improve, fbest, best_score)
+    cont_scores = jnp.where(is_eos, NEG_INF, vals)
+    cont_vals, cont_pick = jax.lax.top_k(cont_scores, nb)
+    new_beam = jnp.take_along_axis(src_beam, cont_pick, axis=1)
+    new_tok = jnp.take_along_axis(tok, cont_pick, axis=1).astype(jnp.int32)
+    flat_src = (jnp.arange(b)[:, None] * nb + new_beam).reshape(-1)
+    codes = codes[flat_src].at[:, si].set(new_tok.reshape(-1))
+    seen = seen[flat_src].at[jnp.arange(bb), new_tok.reshape(-1)].set(True)
+    return codes, cont_vals.reshape(-1), seen, (best_score, best_codes, best_len), flat_src, new_tok.reshape(-1)

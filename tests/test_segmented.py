@@ -68,3 +68,22 @@ def test_batched(setup):
         params, cfg, gen, conds2, texts, lens, jax.random.PRNGKey(0), segment=5
     )
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("do_sample,nb", [(False, 2), (True, 3)])
+def test_beam_segmented_matches_split(setup, do_sample, nb):
+    from indextts_tpu.models.gpt_decode import (
+        generate_speech_beam,
+        generate_speech_beam_segmented,
+    )
+
+    cfg, params, conds = setup
+    text = jnp.asarray([[5, 6, 7, 8, 9, 1]], jnp.int32)
+    lens = jnp.asarray([5])
+    gen = GenerationConfig(do_sample=do_sample, num_beams=nb, top_k=30, max_new_tokens=20)
+    a, la = generate_speech_beam(params, cfg, gen, conds, text, lens, jax.random.PRNGKey(3))
+    b, lb = generate_speech_beam_segmented(
+        params, cfg, gen, conds, text, lens, jax.random.PRNGKey(3), segment=6
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
