@@ -15,8 +15,20 @@ GPT2InferenceModel, model.py:40-207) with a TPU-native design:
     (model.py:151-155: generated token t receives mel position t+1, position
     1 is never used) is reproduced exactly for checkpoint parity.
 
-Beam search (num_beams>1, HF beam_sample/beam_search) lives in
-`generate_speech_beam`.
+Entry points:
+  * generate_speech / generate_speech_segmented — greedy & sampling, the
+    segmented variant grows the KV cache so per-step attention reads scale
+    with generated length (bit-exact vs the monolithic loop).
+  * generate_speech_beam / generate_speech_beam_segmented — HF-style
+    beam_search / beam_sample with a split cache: the prefill K/V are shared
+    read-only across beams; reorders gather only the generated region.
+    `_generate_speech_beam_dense` is the straightforward full-gather
+    implementation kept as the in-repo oracle (tests/test_beam_oracle.py
+    additionally checks it against an independent Python beam search).
+  * prefill_decode_state / decode_steps / continue_decode — the resumable
+    state machine behind streaming synthesis (engine.infer_stream).
+  * inference_speech — the reference-signature high-level wrapper
+    (num_return_sequences, input_tokens, typical sampling).
 """
 
 from __future__ import annotations
