@@ -31,10 +31,9 @@ import numpy as np
 
 from indextts_tpu.config import IndexTTSConfig, load_config
 from indextts_tpu.models.bigvgan import bigvgan_apply, init_bigvgan
-from indextts_tpu.models.ecapa import ecapa_apply
 from indextts_tpu.models.gpt import get_conditioning, init_unified_voice, unified_voice_forward
 from indextts_tpu.models.gpt_decode import GenerationConfig, generate_speech, generate_speech_beam
-from indextts_tpu.utils.audio import load_audio, read_wav, resample, write_wav
+from indextts_tpu.utils.audio import read_wav, resample, write_wav
 from indextts_tpu.utils.front import TextNormalizer, TextTokenizer
 from indextts_tpu.utils.mel import MelSpectrogramFeatures
 

@@ -19,7 +19,6 @@ TPU-first design decisions (not a port):
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax

@@ -13,7 +13,6 @@ import json
 import mimetypes
 import os
 import re
-import threading
 from socketserver import ThreadingMixIn
 from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
 from urllib.parse import parse_qs, unquote

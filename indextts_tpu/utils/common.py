@@ -7,7 +7,6 @@ pad-mask construction, safe_log).
 from __future__ import annotations
 
 import re
-from typing import List
 
 import jax.numpy as jnp
 import numpy as np
