@@ -37,7 +37,7 @@ from typing import Any, Dict, Optional
 
 import numpy as np
 
-from indextts_tpu.server.wsgi import App, Request, Response, SSEResponse, jsonify
+from indextts_tpu.server.wsgi import App, Request, Response, SSEResponse, StreamResponse, jsonify
 from indextts_tpu.utils.audio import read_wav, resample, write_wav
 from indextts_tpu.utils.mel import MelSpectrogramFeatures
 
@@ -363,6 +363,70 @@ def create_app(engine=None, base_dir: Optional[str] = None) -> App:
                     except Exception:
                         pass
             return jsonify({"error": f"request failed: {e}"}, 500)
+
+    @app.route("/api/synthesize-stream", methods=["POST"])
+    def synthesize_stream(req: Request):
+        """Streaming synthesis (new capability — the reference has no audio
+        streaming): returns a chunked WAV whose PCM arrives as the AR decode
+        produces codes (engine.infer_stream). Uses the max-size RIFF length
+        trick so players start before the total length is known."""
+        if engine is None:
+            return jsonify({"error": "TTS Engine not loaded."}, 503)
+        form = req.form
+        text_input = form.get("text", "")
+        if not text_input.strip():
+            return jsonify({"error": "text is empty"}, 400)
+        prompt_mel = None
+        if form.get("saved_voice_identifier"):
+            safe_voice_id = sanitize_filename(form["saved_voice_identifier"])
+            mel_path = os.path.join(voices_dir, f"{safe_voice_id}.cond_mel.npy")
+            if not os.path.exists(mel_path):
+                return jsonify({"error": f"Saved voice '{safe_voice_id}' not found."}, 404)
+            prompt_mel = np.load(mel_path)
+        elif req.files.get("referenceAudioFile"):
+            filename, data = req.files["referenceAudioFile"]
+            tmp = os.path.join(temp_dir, f"stream_{uuid.uuid4()}_{sanitize_filename(filename)}")
+            with open(tmp, "wb") as f:
+                f.write(data)
+            try:
+                waveform, orig_sr = read_wav(tmp)
+                target_sr = engine.cfg.bigvgan.sampling_rate
+                if orig_sr != target_sr:
+                    waveform = resample(waveform, orig_sr, target_sr)
+                prompt_mel = MelSpectrogramFeatures()(
+                    np.clip(waveform.mean(axis=0, keepdims=True), -1, 1)
+                ).astype(np.float32)
+            finally:
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+        else:
+            return jsonify({"error": "A reference audio or saved voice feature is required."}, 400)
+
+        kwargs: Dict[str, Any] = {}
+        for key, target in (("do_sample", bool), ("temperature", float), ("top_k", int),
+                            ("top_p", float), ("repetition_penalty", float), ("max_mel_tokens", int)):
+            if key in form:
+                try:
+                    kwargs[key] = (form[key].lower() in ("true", "on", "1")) if target is bool else target(form[key])
+                except (ValueError, TypeError):
+                    pass
+
+        def wav_stream():
+            import struct
+
+            sr = 24000
+            # RIFF header with max sizes: players treat it as "until EOF"
+            yield (b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVEfmt "
+                   + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+                   + b"data" + struct.pack("<I", 0xFFFFFFFF))
+            with worker_lock:
+                for chunk in engine.infer_stream(prompt_mel, text_input, **kwargs):
+                    pcm = np.clip(chunk * 32767.0, -32767, 32767).astype("<i2")
+                    yield pcm.tobytes()
+
+        return StreamResponse(wav_stream(), content_type="audio/wav")
 
     @app.route("/api/synthesize-stream-status/<task_id>")
     def synthesize_stream_status(req: Request, task_id: str):

@@ -109,6 +109,14 @@ class SSEResponse:
         self.generator = generator
 
 
+class StreamResponse:
+    """Raw chunked byte stream (e.g. progressive WAV audio)."""
+
+    def __init__(self, generator: Iterable[bytes], content_type: str = "application/octet-stream"):
+        self.generator = generator
+        self.content_type = content_type
+
+
 _STATUS = {
     200: "200 OK", 201: "201 Created", 400: "400 Bad Request", 404: "404 Not Found",
     405: "405 Method Not Allowed", 500: "500 Internal Server Error", 503: "503 Service Unavailable",
@@ -160,6 +168,14 @@ class App:
 
             traceback.print_exc()
             result = jsonify({"error": str(e)}, 500)
+
+        if isinstance(result, StreamResponse):
+            start_response("200 OK", [
+                ("Content-Type", result.content_type),
+                ("Cache-Control", "no-cache"),
+                ("Access-Control-Allow-Origin", "*"),
+            ])
+            return (bytes(chunk) for chunk in result.generator)
 
         if isinstance(result, SSEResponse):
             # no Connection header: hop-by-hop headers are forbidden by the

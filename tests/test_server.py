@@ -238,3 +238,56 @@ class TestStatic:
         client = Client(create_app(FakeEngine(), base_dir="/root/repo"))
         status, headers, result = client.request("GET", "/static/../SURVEY.md")
         assert status == 404
+
+
+class TestAudioStreaming:
+    def test_synthesize_stream_returns_progressive_wav(self, server):
+        client, engine, app, base = server
+
+        # fake engine gains a streaming generator
+        def fake_stream(prompt_mel, text, **kw):
+            engine.calls.append(("infer_stream", text, kw))
+            for _ in range(3):
+                yield np.zeros(800, np.float32)
+
+        engine.infer_stream = fake_stream
+        status, headers, result = client.request(
+            "POST",
+            "/api/synthesize-stream",
+            *_multipart_body({"text": "stream me."}, {"referenceAudioFile": ("p.wav", _wav_bytes())}),
+        )
+        assert status == 200
+        assert headers["Content-Type"] == "audio/wav"
+        chunks = [bytes(c) for c in result]
+        assert chunks[0].startswith(b"RIFF")
+        total_pcm = sum(len(c) for c in chunks[1:])
+        assert total_pcm == 3 * 800 * 2  # 3 chunks of int16 PCM
+        assert engine.calls[-1][0] == "infer_stream"
+
+    def test_stream_requires_voice(self, server):
+        client, engine, app, base = server
+        status, data = client.multipart("/api/synthesize-stream", {"text": "hi"})
+        assert status == 400
+
+    def test_stream_requires_text(self, server):
+        client, engine, app, base = server
+        status, data = client.multipart(
+            "/api/synthesize-stream", {"text": "  "}, files={"referenceAudioFile": ("p.wav", _wav_bytes())}
+        )
+        assert status == 400
+
+
+def _multipart_body(fields, files=None):
+    boundary = "testboundary123"
+    parts = []
+    for k, v in fields.items():
+        parts.append(
+            f'--{boundary}\r\nContent-Disposition: form-data; name="{k}"\r\n\r\n{v}\r\n'.encode()
+        )
+    for k, (fname, data) in (files or {}).items():
+        parts.append(
+            f'--{boundary}\r\nContent-Disposition: form-data; name="{k}"; filename="{fname}"\r\n'
+            f"Content-Type: application/octet-stream\r\n\r\n".encode() + data + b"\r\n"
+        )
+    body = b"".join(parts) + f"--{boundary}--\r\n".encode()
+    return body, f"multipart/form-data; boundary={boundary}"
