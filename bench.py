@@ -29,6 +29,7 @@ SAMPLES_PER_CODE = 1024
 
 
 def main():
+    globals()["_BENCH_START"] = time.perf_counter()
     import jax
     import jax.numpy as jnp
 
@@ -124,30 +125,36 @@ def main():
     audio_sec = total_codes * SAMPLES_PER_CODE / SAMPLE_RATE
     rtf_inv = audio_sec / wall  # audio-seconds per wall-second per chip
 
-    # time-to-first-audio estimate: conditioning + 25-token decode + 1-chunk vocoder
-    t0 = time.perf_counter()
-    conds = cond_fn(gpt_params, cond_mel, jnp.asarray([COND_FRAMES]))
-    gen_s = GenerationConfig(do_sample=True, num_beams=1, top_k=30, max_new_tokens=25)
-    decode_s = jax.jit(partial(generate_speech, cfg=gpt_cfg, gen=gen_s))
-    codes_s, lens_s = decode_s(
-        params=gpt_params, conds=conds, text_tokens=text[:1], text_lengths=text_lens[:1],
-        rng=jax.random.PRNGKey(9), temperature=jnp.float32(1.0), top_p=jnp.float32(0.8),
-        repetition_penalty=jnp.float32(10.0),
-    )
-    lat_s = latent_fn(gpt_params, conds, text[:1], text_lens[:1], codes_s, lens_s * gpt_cfg.mel_length_compression)
-    w = voc_fn(bv_params, lat_s, cond_mel)
-    w.block_until_ready()
-    _ = time.perf_counter() - t0  # includes compile for the short decode
-    t0 = time.perf_counter()
-    codes_s, lens_s = decode_s(
-        params=gpt_params, conds=conds, text_tokens=text[:1], text_lengths=text_lens[:1],
-        rng=jax.random.PRNGKey(10), temperature=jnp.float32(1.0), top_p=jnp.float32(0.8),
-        repetition_penalty=jnp.float32(10.0),
-    )
-    lat_s = latent_fn(gpt_params, conds, text[:1], text_lens[:1], codes_s, lens_s * gpt_cfg.mel_length_compression)
-    w = voc_fn(bv_params, lat_s, cond_mel)
-    w.block_until_ready()
-    ttfa_ms = (time.perf_counter() - t0) * 1000.0
+    # time-to-first-audio: conditioning + 25-token decode + 1-chunk vocoder.
+    # Needs one extra decode compile (minutes on this platform), so it is
+    # skipped when the run is close to the driver's time budget.
+    ttfa_ms = None
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 520))
+    bench_start = globals().get("_BENCH_START", None)
+    elapsed = time.perf_counter() - (bench_start or 0)
+    if bench_start is not None and elapsed < budget_s - 120:
+        try:
+            conds = cond_fn(gpt_params, cond_mel, jnp.asarray([COND_FRAMES]))
+            gen_s = GenerationConfig(do_sample=True, num_beams=1, top_k=30, max_new_tokens=25)
+            decode_s = jax.jit(partial(generate_speech, cfg=gpt_cfg, gen=gen_s))
+
+            def ttfa_once(key):
+                c2 = cond_fn(gpt_params, cond_mel, jnp.asarray([COND_FRAMES]))
+                codes_s, lens_s = decode_s(
+                    params=gpt_params, conds=c2, text_tokens=text[:1], text_lengths=text_lens[:1],
+                    rng=key, temperature=jnp.float32(1.0), top_p=jnp.float32(0.8),
+                    repetition_penalty=jnp.float32(10.0),
+                )
+                lat_s = latent_fn(gpt_params, c2, text[:1], text_lens[:1], codes_s,
+                                  lens_s * gpt_cfg.mel_length_compression)
+                return voc_fn(bv_params, lat_s, cond_mel)
+
+            ttfa_once(jax.random.PRNGKey(9)).block_until_ready()  # compile
+            t0 = time.perf_counter()
+            ttfa_once(jax.random.PRNGKey(10)).block_until_ready()
+            ttfa_ms = round((time.perf_counter() - t0) * 1000.0, 1)
+        except Exception:
+            ttfa_ms = None
 
     result = {
         "metric": "audio_sec_per_sec_per_chip",
@@ -160,7 +167,7 @@ def main():
             "gen_tokens": GEN_TOKENS,
             "wall_s_per_iter": round(wall, 3),
             "audio_s_per_iter": round(audio_sec, 2),
-            "ttfa_ms": round(ttfa_ms, 1),
+            "ttfa_ms": ttfa_ms,
             "compile_s": round(compile_s, 1),
             "init_s": round(init_s, 1),
         },
