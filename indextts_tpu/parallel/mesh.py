@@ -27,6 +27,13 @@ def make_mesh(
     exercises a real tensor-parallel split when more than one device exists."""
     devices = list(devices if devices is not None else jax.devices())
     n = n_devices or len(devices)
+    if len(devices) < n:
+        raise ValueError(
+            f"make_mesh needs {n} devices but only {len(devices)} are visible "
+            f"({[d.platform for d in devices]}); for virtual multi-chip runs "
+            f"bootstrap --xla_force_host_platform_device_count first "
+            f"(see __graft_entry__._bootstrap_virtual_devices)"
+        )
     devices = devices[:n]
     if tp is None:
         tp = 2 if n % 2 == 0 and n >= 2 else 1
