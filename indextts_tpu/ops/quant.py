@@ -9,7 +9,7 @@ registers/VMEM inside the matmul fusion, so HBM sees only int8. Opt-in
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

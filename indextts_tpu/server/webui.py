@@ -86,7 +86,7 @@ def create_app(engine=None, base_dir: Optional[str] = None) -> App:
     @app.route("/audio/<path:filename>")
     def serve_audio(req: Request, filename: str):
         full = os.path.normpath(os.path.join(output_dir, filename))
-        if not full.startswith(output_dir) or not os.path.isfile(full):
+        if not full.startswith(output_dir + os.sep) or not os.path.isfile(full):
             return jsonify({"error": "not found"}, 404)
         with open(full, "rb") as f:
             return Response(f.read(), content_type="audio/wav")
@@ -116,8 +116,11 @@ def create_app(engine=None, base_dir: Optional[str] = None) -> App:
         filename = data.get("filename")
         if not filename:
             return jsonify({"error": "missing filename"}, 400)
-        file_path = os.path.join(output_dir, filename)
-        if not os.path.exists(file_path):
+        # basename strips any directory components: the reference joins the
+        # raw name (path traversal / absolute-path delete); every other
+        # endpoint here sanitizes, so must this one
+        file_path = os.path.join(output_dir, os.path.basename(str(filename)))
+        if not os.path.isfile(file_path):
             return jsonify({"error": "file not found"}, 404)
         os.remove(file_path)
         return jsonify({"success": True})
@@ -213,11 +216,18 @@ def create_app(engine=None, base_dir: Optional[str] = None) -> App:
                 if task_id in tasks_status:
                     tasks_status[task_id].update({"progress": int(fraction * 100), "message": description})
 
+        def update_status(fields):
+            # .get guard: the task may have been reaped by the TTL sweep while
+            # the worker ran; never KeyError the worker thread
+            with tasks_lock:
+                entry = tasks_status.get(task_id)
+                if entry is not None:
+                    entry.update(fields)
+
         with worker_lock:
             engine.set_gr_progress_callback(progress_callback)
             try:
-                with tasks_lock:
-                    tasks_status[task_id].update({"status": "processing", "progress": 0, "message": "preparing..."})
+                update_status({"status": "processing", "progress": 0, "message": "preparing..."})
                 infer = engine.infer_fast if infer_mode == "批次推理" else engine.infer
                 infer(
                     prompt_mel=prompt_mel,
@@ -227,25 +237,23 @@ def create_app(engine=None, base_dir: Optional[str] = None) -> App:
                     verbose=verbose_tts,
                     **kwargs,
                 )
-                with tasks_lock:
-                    entry = tasks_status.get(task_id, {})
-                    relative_path = f"/static/outputs/{os.path.basename(output_filename)}"
-                    base = create_download_filename(text_input)
-                    _, ext = os.path.splitext(output_filename)
-                    entry.update(
-                        {
-                            "status": "completed",
-                            "progress": 100,
-                            "message": "synthesis complete!",
-                            "audio_url": relative_path,
-                            "download_filename": f"{base}{ext}",
-                        }
-                    )
+                relative_path = f"/static/outputs/{os.path.basename(output_filename)}"
+                base = create_download_filename(text_input)
+                _, ext = os.path.splitext(output_filename)
+                update_status(
+                    {
+                        "status": "completed",
+                        "progress": 100,
+                        "message": "synthesis complete!",
+                        "audio_url": relative_path,
+                        "download_filename": f"{base}{ext}",
+                        "finished_at": time.time(),
+                    }
+                )
             except Exception as e:
                 print(f"Error in synthesis_worker for task {task_id}: {e}")
                 traceback.print_exc()
-                with tasks_lock:
-                    tasks_status[task_id].update({"status": "failed", "message": f"synthesis failed: {e}"})
+                update_status({"status": "failed", "message": f"synthesis failed: {e}", "finished_at": time.time()})
             finally:
                 engine.set_gr_progress_callback(None)
 
@@ -253,6 +261,7 @@ def create_app(engine=None, base_dir: Optional[str] = None) -> App:
     def synthesize(req: Request):
         if engine is None:
             return jsonify({"error": "TTS Engine not loaded."}, 503)
+        _reap_stale_tasks()
         task_id = str(uuid.uuid4())
         form = req.form
         prompt_mel = None
@@ -342,6 +351,7 @@ def create_app(engine=None, base_dir: Optional[str] = None) -> App:
                     "progress": 0,
                     "message": "task queued",
                     "files_to_delete": files_to_delete,
+                    "created_at": time.time(),
                 }
                 if is_new_upload and source_identifier_for_save:
                     tasks_status[task_id]["is_from_new_upload"] = True
@@ -428,28 +438,60 @@ def create_app(engine=None, base_dir: Optional[str] = None) -> App:
 
         return StreamResponse(wav_stream(), content_type="audio/wav")
 
+    def _cleanup_task_files(entry):
+        for f_path in (entry or {}).get("files_to_delete", []):
+            if os.path.exists(f_path):
+                try:
+                    os.remove(f_path)
+                except Exception as e:
+                    print(f"Error cleaning temp file {f_path}: {e}")
+
+    def _reap_stale_tasks(ttl_done: float = 600.0, ttl_any: float = 7200.0):
+        """Drop terminal tasks nobody collected within ttl_done, and any task
+        older than ttl_any (orphaned by a client that never polled). Keeps the
+        completed result available for reconnecting clients in the meantime —
+        the previous design popped the entry in the SSE finally block, which
+        also ran on client disconnect and destroyed the result."""
+        now = time.time()
+        reaped = []
+        with tasks_lock:
+            for tid, entry in list(tasks_status.items()):
+                done = entry.get("status") in ("completed", "failed", "error")
+                old = now - entry.get("created_at", now) > ttl_any
+                collected = now - entry.get("finished_at", now) > ttl_done
+                if (done and collected) or old:
+                    reaped.append(tasks_status.pop(tid))
+        for entry in reaped:
+            _cleanup_task_files(entry)
+
     @app.route("/api/synthesize-stream-status/<task_id>")
     def synthesize_stream_status(req: Request, task_id: str):
         def generate():
-            try:
-                while True:
-                    with tasks_lock:
-                        task_info = dict(tasks_status.get(task_id, {}))
-                    task_info.pop("files_to_delete", None)
-                    yield task_info
-                    if task_info.get("status") in ("completed", "failed", "error"):
-                        break
-                    time.sleep(0.2)
-            finally:
+            terminal = False
+            while True:
+                with tasks_lock:
+                    known = task_id in tasks_status
+                    task_info = dict(tasks_status.get(task_id, {}))
+                if not known:
+                    # unknown/expired id: emit a terminal event instead of an
+                    # infinite stream of empty dicts
+                    yield {"status": "error", "message": "unknown task id"}
+                    break
+                task_info.pop("files_to_delete", None)
+                task_info.pop("created_at", None)
+                task_info.pop("finished_at", None)
+                yield task_info
+                if task_info.get("status") in ("completed", "failed", "error"):
+                    terminal = True
+                    break
+                time.sleep(0.2)
+            if terminal:
+                # pop only after a terminal status was actually delivered; a
+                # client that disconnects mid-processing can reconnect and
+                # still collect the result (TTL sweep reaps true orphans)
                 with tasks_lock:
                     cleaned = tasks_status.pop(task_id, None)
-                if cleaned:
-                    for f_path in cleaned.get("files_to_delete", []):
-                        if os.path.exists(f_path):
-                            try:
-                                os.remove(f_path)
-                            except Exception as e:
-                                print(f"Error cleaning temp file {f_path}: {e}")
+                _cleanup_task_files(cleaned)
 
         return SSEResponse(generate())
 

@@ -135,7 +135,9 @@ class QuietHandler(WSGIRequestHandler):
 class App:
     def __init__(self, static_dir: Optional[str] = None, static_url: str = "/static"):
         self.routes: List[Tuple[re.Pattern, List[str], Callable]] = []
-        self.static_dir = static_dir
+        # absolute once, so containment checks compare like with like even
+        # when the app is constructed with a relative static_dir
+        self.static_dir = os.path.abspath(static_dir) if static_dir else None
         self.static_url = static_url.rstrip("/")
 
     def route(self, pattern: str, methods: Optional[List[str]] = None):
@@ -153,7 +155,9 @@ class App:
     def _serve_static(self, path: str):
         rel = unquote(path[len(self.static_url) + 1 :])
         full = os.path.normpath(os.path.join(self.static_dir, rel))
-        if not full.startswith(os.path.abspath(self.static_dir)) or not os.path.isfile(full):
+        # trailing-separator check: a sibling dir sharing the prefix
+        # (static_evil/ next to static/) must not be servable
+        if not full.startswith(self.static_dir + os.sep) or not os.path.isfile(full):
             return jsonify({"error": "not found"}, 404)
         ctype = mimetypes.guess_type(full)[0] or "application/octet-stream"
         with open(full, "rb") as f:

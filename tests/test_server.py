@@ -218,6 +218,51 @@ class TestSynthesis:
         status, data = client.multipart("/api/synthesize", {"text": "x"})
         assert status == 503
 
+    def test_delete_audio_traversal_blocked(self, server, tmp_path):
+        """delete-audio must not follow ../ or absolute paths out of
+        output_dir (the reference joins the raw name: advisory finding)."""
+        client, _, _, base = server
+        victim = os.path.join(base, "dont_delete_me.txt")
+        with open(victim, "w") as f:
+            f.write("payload")
+        for name in (f"../../{os.path.basename(victim)}", victim, "../dont_delete_me.txt"):
+            status, _ = client.json("DELETE", "/api/delete-audio", {"filename": name})
+            assert status == 404, name
+            assert os.path.exists(victim)
+
+    def test_unknown_task_sse_terminates(self, server):
+        """Polling an unknown task id must emit one terminal error event, not
+        stream empty dicts forever."""
+        client, _, app, _ = server
+        status, headers, result = client.request("GET", "/api/synthesize-stream-status/no-such-task")
+        events = list(result)  # must terminate on its own
+        assert len(events) == 1
+        assert json.loads(events[0].decode().split("data: ", 1)[1])["status"] == "error"
+
+    def test_disconnect_preserves_result_for_reconnect(self, server):
+        """A client that drops mid-processing must still be able to collect
+        the completed result on reconnect (round-1 popped the task in the SSE
+        finally block, destroying it on disconnect)."""
+        client, engine, app, base = server
+        status, data = client.multipart(
+            "/api/synthesize", {"text": "keep me."},
+            files={"referenceAudioFile": ("p.wav", _wav_bytes())},
+        )
+        task_id = data["task_id"]
+        # simulate disconnect: open the SSE stream, read one event, close it
+        _, _, result = client.request("GET", f"/api/synthesize-stream-status/{task_id}")
+        next(iter(result))
+        result.close() if hasattr(result, "close") else None
+        # wait for the worker to finish, then reconnect and drain
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            if app._tasks_status.get(task_id, {}).get("status") in ("completed", "failed"):
+                break
+            time.sleep(0.05)
+        assert app._tasks_status.get(task_id, {}).get("status") == "completed"
+        final = self._drain_sse(app, client, task_id)[-1]
+        assert final.get("status") == "completed" and final.get("audio_url")
+
 
 class TestStatic:
     def test_index_served(self, tmp_path):
