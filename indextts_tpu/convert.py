@@ -196,9 +196,16 @@ def _convert_conformer(sd: Dict[str, np.ndarray], cfg: GPTConfig) -> Dict[str, A
         )
     params["layers"] = layers
     params["after_norm"] = _ln(sd, f"{pfx}.after_norm")
-    from indextts_tpu.models.conformer import sinusoidal_pe
+    # the checkpoint registers the sinusoidal PE table as a buffer
+    # (conformer/embedding.py:44 self.pe, shape [1, max_len, d]); consume it
+    # when present so the table is bit-identical to the reference's
+    pe_key = f"{pfx}.embed.pos_enc.pe"
+    if pe_key in sd:
+        params["pe"] = sd[pe_key][0]
+    else:
+        from indextts_tpu.models.conformer import sinusoidal_pe
 
-    params["pe"] = sinusoidal_pe(5000, cm.output_size)
+        params["pe"] = sinusoidal_pe(5000, cm.output_size)
     return params
 
 
@@ -353,6 +360,47 @@ def convert_bigvgan(sd: Dict[str, np.ndarray], h: BigVGANConfig) -> Dict[str, An
                 act["beta"] = sd[f"{rp}.activations.{j}.act.beta"]
             block["acts"].append(act)
         params["resblocks"].append(block)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# DVAE
+# ---------------------------------------------------------------------------
+
+
+def convert_dvae(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
+    """DiscreteVAE state dict (dvae.pth) -> params tree for models/dvae.py.
+
+    Reference Sequential indices (xtts_dvae.py:251-291, positional_dims=1,
+    use_transposed_convs=False): encoder = [L strided (conv,act) blocks] +
+    [R ResBlocks] + [1x1 out conv]; decoder = [1x1 in conv (when R>0)] +
+    [R ResBlocks] + [L (UpsampledConv,act) blocks] + [1x1 out conv].
+    Codebook buffers embed/cluster_size/embed_avg (xtts_dvae.py:66-69).
+    """
+    L, R = cfg.num_layers, cfg.num_resnet_blocks
+
+    def conv(prefix):
+        return {"weight": _conv_w(sd[f"{prefix}.weight"]), "bias": sd[f"{prefix}.bias"]}
+
+    def res(prefix):
+        return {"conv0": conv(f"{prefix}.net.0"), "conv1": conv(f"{prefix}.net.2"), "conv2": conv(f"{prefix}.net.4")}
+
+    dec_off = 1 if R > 0 else 0
+    params: Dict[str, Any] = {
+        "enc_convs": [conv(f"encoder.{i}.0") for i in range(L)],
+        "enc_res": [res(f"encoder.{L + r}") for r in range(R)],
+        "enc_out": conv(f"encoder.{L + R}"),
+        "dec_res": [res(f"decoder.{dec_off + r}") for r in range(R)],
+        "dec_convs": [conv(f"decoder.{dec_off + R + i}.0.conv") for i in range(L)],
+        "dec_out": conv(f"decoder.{dec_off + R + L}"),
+        "codebook": {
+            "embed": sd["codebook.embed"],
+            "cluster_size": sd["codebook.cluster_size"],
+            "embed_avg": sd["codebook.embed_avg"],
+        },
+    }
+    if R > 0:
+        params["dec_in"] = conv("decoder.0")
     return params
 
 

@@ -1,0 +1,534 @@
+"""Parity oracles against the reference's ACTUAL torch modules.
+
+These tests construct the reference implementation's own UnifiedVoice /
+BigVGAN / DiscreteVAE / ECAPA_TDNN (from /root/reference, imported as a test
+oracle only — never vendored) at tiny scale, then assert:
+
+  (a) the converter consumes their real ``state_dict()`` keys with zero
+      unmatched leaves, producing a tree structurally identical to our
+      ``init_*`` trees (breaking the round-1 self-referential loop where
+      converter tests only checked checkpoints synthesized from the same
+      assumptions, tests/make_torch_ckpt.py), and
+  (b) forward activations match per stage: conditioning latents
+      (model.py:490-519), teacher-forced latents and CE losses
+      (model.py:521-589), greedy KV-cached decode tokens through HF
+      generate() (model.py:655-708), BigVGAN waveforms incl. ECAPA speaker
+      conditioning (models.py:201-250), and DVAE tokenize/detokenize
+      (xtts_dvae.py:323-357).
+
+torchaudio is absent in this image; the reference imports it at module level
+(nnet/CNN.py:20, xtts_dvae.py:8) without using it in any code path these
+tests touch, so a minimal stub is installed. Everything skips cleanly if the
+reference tree is unavailable.
+"""
+
+from __future__ import annotations
+
+import importlib.machinery
+import sys
+import types
+from dataclasses import dataclass
+from typing import Any, Dict
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from indextts_tpu.config import BigVGANConfig, ConditionModuleConfig, DVAEConfig, GPTConfig
+from indextts_tpu.convert import (
+    convert_bigvgan,
+    convert_dvae,
+    convert_unified_voice,
+    flatten_tree,
+)
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def _install_torchaudio_stub():
+    if "torchaudio" in sys.modules:
+        return
+    ta = types.ModuleType("torchaudio")
+    ta.__spec__ = importlib.machinery.ModuleSpec("torchaudio", None)
+    for sub in ("transforms", "functional"):
+        m = types.ModuleType(f"torchaudio.{sub}")
+        m.__spec__ = importlib.machinery.ModuleSpec(f"torchaudio.{sub}", None)
+        setattr(ta, sub, m)
+        sys.modules[f"torchaudio.{sub}"] = m
+
+    class _Unavailable:
+        def __init__(self, *a, **k):
+            raise NotImplementedError("torchaudio stub (tests/test_reference_oracle.py)")
+
+    ta.transforms.MelSpectrogram = _Unavailable
+    ta.transforms.Resample = _Unavailable
+    sys.modules["torchaudio"] = ta
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Reference torch modules, or skip."""
+    _install_torchaudio_stub()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        from indextts.BigVGAN.models import BigVGAN as RefBigVGAN
+        from indextts.gpt.model import UnifiedVoice as RefUnifiedVoice
+        from indextts.vqvae.xtts_dvae import DiscreteVAE as RefDiscreteVAE
+    except Exception as e:  # pragma: no cover - environment-dependent
+        pytest.skip(f"reference modules unimportable: {e}")
+    ns = types.SimpleNamespace(
+        UnifiedVoice=RefUnifiedVoice, BigVGAN=RefBigVGAN, DiscreteVAE=RefDiscreteVAE
+    )
+    return ns
+
+
+# ---------------------------------------------------------------------------
+# shared tiny configs (mirrored torch kwargs <-> our dataclasses)
+# ---------------------------------------------------------------------------
+
+GPT_KW: Dict[str, Any] = dict(
+    layers=2,
+    model_dim=128,
+    heads=4,
+    max_text_tokens=60,
+    max_mel_tokens=64,
+    number_text_tokens=64,
+    number_mel_codes=66,
+    start_mel_token=64,
+    stop_mel_token=65,
+    condition_num_latent=8,
+    condition_type="conformer_perceiver",
+)
+COND_KW: Dict[str, Any] = dict(
+    output_size=64, linear_units=128, attention_heads=4, num_blocks=1,
+    input_layer="conv2d2", perceiver_mult=2,
+)
+
+
+def _our_gpt_cfg() -> GPTConfig:
+    return GPTConfig(condition_module=ConditionModuleConfig(**COND_KW), **GPT_KW)
+
+
+@pytest.fixture(scope="module")
+def ref_uv(ref):
+    torch.manual_seed(0)
+    uv = ref.UnifiedVoice(condition_module=dict(COND_KW), **GPT_KW)
+    uv.eval()
+    return uv
+
+
+@pytest.fixture(scope="module")
+def gpt_pair(ref_uv):
+    """(converted params, our cfg) from the reference's real state_dict."""
+    sd = {k: v.detach().cpu().numpy() for k, v in ref_uv.state_dict().items()}
+    cfg = _our_gpt_cfg()
+    # on-device like the engine's load path (converted leaves are numpy)
+    params = jax.tree_util.tree_map(jnp.asarray, convert_unified_voice(sd, cfg))
+    return params, cfg
+
+
+class TrackingDict(dict):
+    """Records which keys the converter actually reads."""
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self.accessed = set()
+
+    def __getitem__(self, key):
+        self.accessed.add(key)
+        return super().__getitem__(key)
+
+
+# keys legitimately not consumed by the converter
+GPT_IGNORABLE_SUFFIXES = (
+    ".attn.bias",          # HF GPT2 causal-mask buffer (constant)
+    ".attn.masked_bias",   # HF GPT2 mask fill value (constant)
+    "num_batches_tracked", # BatchNorm step counter
+)
+GPT_IGNORABLE_KEYS = {
+    "gpt.wte.weight",  # post_init_gpt2_config aliases mel_embedding here (model.py:427)
+}
+
+
+def _rand_mel(rng, b, t, n_mels=100):
+    return (0.5 * rng.standard_normal((b, t, n_mels))).astype(np.float32)
+
+
+class TestUnifiedVoiceOracle:
+    def test_converter_consumes_all_real_keys(self, ref_uv):
+        sd = TrackingDict(
+            {k: v.detach().cpu().numpy() for k, v in ref_uv.state_dict().items()}
+        )
+        cfg = _our_gpt_cfg()
+        params = convert_unified_voice(sd, cfg)
+        unused = {
+            k for k in set(sd) - sd.accessed
+            if not k.endswith(GPT_IGNORABLE_SUFFIXES) and k not in GPT_IGNORABLE_KEYS
+        }
+        assert not unused, f"converter ignored real checkpoint keys: {sorted(unused)}"
+
+        # structural identity with random init (same leaves, same shapes)
+        from indextts_tpu.models.gpt import init_unified_voice
+
+        ours = flatten_tree(init_unified_voice(jax.random.PRNGKey(0), cfg))
+        conv = flatten_tree(params)
+        assert set(ours) == set(conv)
+        for k in ours:
+            assert np.shape(ours[k]) == np.shape(conv[k]), k
+
+    def test_conditioning_latents_parity(self, ref_uv, gpt_pair):
+        params, cfg = gpt_pair
+        rng = np.random.default_rng(1)
+        b, t = 2, 48
+        mel = _rand_mel(rng, b, t)
+        lens = np.asarray([48, 33], np.int64)
+        with torch.no_grad():
+            # reference expects (b, n_mels, frames) (model.py:497-499 transposes)
+            want = ref_uv.get_conditioning(
+                torch.from_numpy(mel.transpose(0, 2, 1)), torch.from_numpy(lens)
+            ).numpy()
+        from indextts_tpu.models.gpt import get_conditioning
+
+        got = np.asarray(get_conditioning(params, cfg, jnp.asarray(mel), jnp.asarray(lens)))
+        assert want.shape == got.shape == (b, cfg.condition_num_latent, cfg.model_dim)
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+    def test_teacher_forced_latents_parity(self, ref_uv, gpt_pair):
+        params, cfg = gpt_pair
+        rng = np.random.default_rng(2)
+        b = 2
+        mel = _rand_mel(rng, b, 40)
+        mel_lens = np.asarray([40, 40], np.int64)
+        text = rng.integers(2, 60, (b, 12)).astype(np.int64)
+        text_lens = np.asarray([12, 9], np.int64)
+        codes = rng.integers(0, 60, (b, 20)).astype(np.int64)
+        wav_lens = np.asarray([20 * cfg.mel_length_compression, 16 * cfg.mel_length_compression], np.int64)
+        with torch.no_grad():
+            want = ref_uv(
+                torch.from_numpy(mel.transpose(0, 2, 1)),
+                torch.from_numpy(text),
+                torch.from_numpy(text_lens),
+                torch.from_numpy(codes.copy()),
+                torch.from_numpy(wav_lens),
+                cond_mel_lengths=torch.from_numpy(mel_lens),
+                return_latent=True,
+            ).numpy()
+        from indextts_tpu.models.gpt import unified_voice_forward
+
+        got = np.asarray(
+            unified_voice_forward(
+                params, cfg, jnp.asarray(mel), jnp.asarray(text), jnp.asarray(text_lens),
+                jnp.asarray(codes), jnp.asarray(wav_lens), jnp.asarray(mel_lens),
+                return_latent=True,
+            )
+        )
+        assert want.shape == got.shape
+        np.testing.assert_allclose(got, want, atol=3e-4, rtol=3e-4)
+
+    def test_loss_forward_parity(self, ref_uv, gpt_pair):
+        params, cfg = gpt_pair
+        rng = np.random.default_rng(3)
+        b = 2
+        mel = _rand_mel(rng, b, 40)
+        mel_lens = np.asarray([40, 28], np.int64)
+        text = rng.integers(2, 60, (b, 10)).astype(np.int64)
+        text_lens = np.asarray([10, 7], np.int64)
+        codes = rng.integers(0, 60, (b, 18)).astype(np.int64)
+        wav_lens = np.asarray([18 * cfg.mel_length_compression, 13 * cfg.mel_length_compression], np.int64)
+        with torch.no_grad():
+            lt, lm, logits = ref_uv(
+                torch.from_numpy(mel.transpose(0, 2, 1)),
+                torch.from_numpy(text),
+                torch.from_numpy(text_lens),
+                torch.from_numpy(codes.copy()),
+                torch.from_numpy(wav_lens),
+                cond_mel_lengths=torch.from_numpy(mel_lens),
+            )
+        from indextts_tpu.models.gpt import unified_voice_forward
+
+        got_lt, got_lm, got_logits = unified_voice_forward(
+            params, cfg, jnp.asarray(mel), jnp.asarray(text), jnp.asarray(text_lens),
+            jnp.asarray(codes), jnp.asarray(wav_lens), jnp.asarray(mel_lens),
+            return_latent=False,
+        )
+        np.testing.assert_allclose(float(got_lt), float(lt), atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(float(got_lm), float(lm), atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(got_logits), logits.numpy(), atol=3e-4, rtol=3e-4
+        )
+
+    @staticmethod
+    def _ref_greedy_decode(uv, input_ids, inputs_embeds, attention_mask, max_new,
+                           rep_penalty=10.0):
+        """Greedy KV-cached decode driving the reference's GPT2InferenceModel
+        step by step with transformers-4.36 generate() semantics (the version
+        the reference pins, setup.py).
+
+        NOT ref.inference_speech()/.generate(): under the transformers
+        installed here (4.57), the reference's legacy `if past_key_values:`
+        check in prepare_inputs_for_generation (model.py:90) sees a fresh
+        DynamicCache as truthy, so generate()'s FIRST call is trimmed to the
+        single trailing start_mel token and the whole prompt is discarded —
+        verified numerically (the first-step scores equal a promptless
+        single-token forward bit-for-bit). The manual loop below reproduces
+        the pinned-version behavior: full-prompt prefill, per-step single
+        token forwards with the extended attention mask (which drives the
+        mel-pos off-by-one, model.py:151-155), repetition penalty over the
+        full input_ids row, and eos->pad forcing.
+        """
+        stop = uv.stop_mel_token
+        uv.inference_model.store_mel_emb(inputs_embeds)
+        out = uv.inference_model(
+            input_ids=input_ids, attention_mask=attention_mask,
+            use_cache=True, return_dict=True,
+        )
+        past = out.past_key_values
+        logits = out.logits[:, -1]
+        seqs = input_ids.clone()
+        unfinished = torch.ones(input_ids.shape[0], dtype=torch.bool)
+        tokens = []
+        for _ in range(max_new):
+            lf = logits.clone()
+            for i in range(seqs.shape[0]):
+                ids = torch.unique(seqs[i])
+                sel = lf[i, ids]
+                lf[i, ids] = torch.where(sel > 0, sel / rep_penalty, sel * rep_penalty)
+            tok = lf.argmax(-1)
+            tok = torch.where(unfinished, tok, torch.full_like(tok, stop))
+            tokens.append(tok)
+            seqs = torch.cat([seqs, tok[:, None]], dim=1)
+            unfinished &= tok != stop
+            attention_mask = torch.cat(
+                [attention_mask, torch.ones_like(attention_mask[:, :1])], dim=1
+            )
+            out = uv.inference_model(
+                input_ids=tok[:, None], attention_mask=attention_mask,
+                past_key_values=past, use_cache=True, return_dict=True,
+            )
+            past = out.past_key_values
+            logits = out.logits[:, -1]
+        return torch.stack(tokens, dim=1)
+
+    def test_greedy_decode_token_parity(self, ref_uv, gpt_pair):
+        """Greedy KV-cached decode through the reference's own forward must
+        produce identical token sequences to our jitted while_loop decode —
+        including the repetition penalty over fake input ids (model.py:645-653)
+        and the mel-pos off-by-one (model.py:151-155)."""
+        params, cfg = gpt_pair
+        ref_uv.post_init_gpt2_config(use_deepspeed=False, kv_cache=True, half=False)
+        rng = np.random.default_rng(4)
+        b = 2
+        mel = _rand_mel(rng, b, 48)
+        mel_lens = np.asarray([48, 48], np.int64)
+        text = rng.integers(2, 60, (b, 12)).astype(np.int64)
+        text_lens = np.asarray([12, 8], np.int64)
+        # right-pad row 1 with stop_text_token the way the engine does
+        text[1, 8:] = cfg.stop_text_token
+        max_new = 24
+        with torch.no_grad():
+            conds_t = ref_uv.get_conditioning(
+                torch.from_numpy(mel.transpose(0, 2, 1)), torch.from_numpy(mel_lens)
+            )
+            input_ids, inputs_embeds, attention_mask = ref_uv.prepare_gpt_inputs(
+                conds_t, torch.from_numpy(text)
+            )
+            want = self._ref_greedy_decode(
+                ref_uv, input_ids, inputs_embeds, attention_mask, max_new
+            ).numpy()
+        from indextts_tpu.models.gpt_decode import inference_speech
+
+        codes, lengths = inference_speech(
+            params, cfg, jnp.asarray(mel), jnp.asarray(text), jnp.asarray(text_lens),
+            cond_mel_lengths=jnp.asarray(mel_lens), max_generate_length=max_new,
+            do_sample=False, num_beams=1, repetition_penalty=10.0,
+        )
+        codes = np.asarray(codes)
+        lengths = np.asarray(lengths)
+        for i in range(b):
+            w = want[i]
+            # HF pads finished rows with pad=stop; compare the live region
+            n = min(len(w), int(lengths[i]))
+            np.testing.assert_array_equal(
+                codes[i, :n], w[:n], err_msg=f"row {i}: ours {codes[i, :n]} vs ref {w[:n]}"
+            )
+
+
+# ---------------------------------------------------------------------------
+# BigVGAN + ECAPA
+# ---------------------------------------------------------------------------
+
+
+class AttrDict(dict):
+    """Reference BigVGAN config carrier: attribute + item access (models.py:139)."""
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+
+BIGVGAN_KW: Dict[str, Any] = dict(
+    gpt_dim=32,
+    upsample_initial_channel=32,
+    upsample_rates=[2, 2],
+    upsample_kernel_sizes=[4, 4],
+    resblock="1",
+    resblock_kernel_sizes=[3],
+    resblock_dilation_sizes=[[1, 3, 5]],
+    activation="snakebeta",
+    snake_logscale=True,
+    feat_upsample=True,
+    cond_d_vector_in_each_upsampling_layer=True,
+    num_mels=100,
+    speaker_embedding_dim=32,
+    sampling_rate=24000,
+)
+
+BIGVGAN_IGNORABLE_SUFFIXES = (
+    "num_batches_tracked",
+    # deterministic kaiser-sinc anti-alias filter buffers, recomputed from
+    # scratch by ops/antialias.py (parity-tested in tests/test_ops.py)
+    ".upsample.filter",
+    ".downsample.lowpass.filter",
+)
+
+
+@pytest.fixture(scope="module")
+def ref_bigvgan(ref):
+    torch.manual_seed(1)
+    g = ref.BigVGAN(AttrDict(BIGVGAN_KW))
+    g.eval()
+    # the engine folds weight norm at load (infer.py:66, models.py:252-260);
+    # fold here too so the state dict matches the published layout after load
+    return g
+
+
+class TestBigVGANOracle:
+    def _convert(self, g):
+        sd = TrackingDict({k: v.detach().cpu().numpy() for k, v in g.state_dict().items()})
+        h = BigVGANConfig.from_dict(dict(BIGVGAN_KW))
+        params = convert_bigvgan(sd, h)
+        return sd, h, params
+
+    def test_converter_consumes_all_real_keys(self, ref_bigvgan):
+        sd, h, params = self._convert(ref_bigvgan)
+        unused = {k for k in set(sd) - sd.accessed if not k.endswith(BIGVGAN_IGNORABLE_SUFFIXES)}
+        assert not unused, f"converter ignored real checkpoint keys: {sorted(unused)}"
+
+        from indextts_tpu.models.bigvgan import init_bigvgan
+
+        ours = flatten_tree(init_bigvgan(jax.random.PRNGKey(0), h))
+        conv = flatten_tree(params)
+        assert set(ours) == set(conv)
+        for k in ours:
+            assert np.shape(ours[k]) == np.shape(conv[k]), k
+
+    def test_waveform_parity(self, ref_bigvgan):
+        _, h, params = self._convert(ref_bigvgan)
+        rng = np.random.default_rng(5)
+        b, t = 2, 12
+        latent = (0.5 * rng.standard_normal((b, t, h.gpt_dim))).astype(np.float32)
+        mel_ref = _rand_mel(rng, b, 50, h.num_mels)
+        with torch.no_grad():
+            want, contrastive = ref_bigvgan(
+                torch.from_numpy(latent), torch.from_numpy(mel_ref)
+            )
+            assert contrastive is None
+            want = want.numpy()  # [b, 1, T_wav]
+        from indextts_tpu.models.bigvgan import bigvgan_apply
+
+        got = np.asarray(bigvgan_apply(params, h, jnp.asarray(latent), jnp.asarray(mel_ref)))
+        assert got.shape == (b, want.shape[-1], 1)
+        np.testing.assert_allclose(got[:, :, 0], want[:, 0, :], atol=2e-3, rtol=2e-3)
+
+    def test_ecapa_embedding_parity(self, ref_bigvgan):
+        _, h, params = self._convert(ref_bigvgan)
+        rng = np.random.default_rng(6)
+        mel_ref = _rand_mel(rng, 2, 50, h.num_mels)
+        with torch.no_grad():
+            want = ref_bigvgan.speaker_encoder(torch.from_numpy(mel_ref)).numpy()
+        from indextts_tpu.models.ecapa import ecapa_apply
+
+        got = np.asarray(ecapa_apply(params["speaker_encoder"], jnp.asarray(mel_ref)))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# DVAE
+# ---------------------------------------------------------------------------
+
+DVAE_KW: Dict[str, Any] = dict(
+    positional_dims=1,
+    num_tokens=32,
+    codebook_dim=16,
+    hidden_dim=16,
+    num_resnet_blocks=1,
+    kernel_size=3,
+    num_layers=2,
+    use_transposed_convs=False,
+    channels=80,
+    activation="relu",
+)
+
+
+@pytest.fixture(scope="module")
+def ref_dvae(ref):
+    torch.manual_seed(2)
+    v = ref.DiscreteVAE(**DVAE_KW)
+    v.eval()
+    return v
+
+
+class TestDVAEOracle:
+    def _cfg(self) -> DVAEConfig:
+        return DVAEConfig(
+            channels=DVAE_KW["channels"], num_tokens=DVAE_KW["num_tokens"],
+            codebook_dim=DVAE_KW["codebook_dim"], hidden_dim=DVAE_KW["hidden_dim"],
+            num_resnet_blocks=DVAE_KW["num_resnet_blocks"], kernel_size=DVAE_KW["kernel_size"],
+            num_layers=DVAE_KW["num_layers"], use_transposed_convs=False,
+            activation=DVAE_KW["activation"],
+        )
+
+    def test_converter_consumes_all_real_keys(self, ref_dvae):
+        sd = TrackingDict({k: v.detach().cpu().numpy() for k, v in ref_dvae.state_dict().items()})
+        cfg = self._cfg()
+        params = convert_dvae(sd, cfg)
+        # DiscretizationLoss running-average buffers (xtts_dvae.py:135-168)
+        # are training-time accumulators, not weights
+        unused = {k for k in set(sd) - sd.accessed if not k.startswith("discrete_loss.")}
+        assert not unused, f"converter ignored real checkpoint keys: {sorted(unused)}"
+
+        from indextts_tpu.models.dvae import init_dvae
+
+        ours = flatten_tree(init_dvae(jax.random.PRNGKey(0), cfg))
+        conv = flatten_tree(params)
+        assert set(ours) == set(conv)
+        for k in ours:
+            assert np.shape(ours[k]) == np.shape(conv[k]), k
+
+    def test_tokenize_detokenize_parity(self, ref_dvae):
+        cfg = self._cfg()
+        sd = {k: v.detach().cpu().numpy() for k, v in ref_dvae.state_dict().items()}
+        params = convert_dvae(sd, cfg)
+        rng = np.random.default_rng(7)
+        mel = (0.5 * rng.standard_normal((2, 80, 64))).astype(np.float32)  # [b, C, T]
+        with torch.no_grad():
+            want_codes = ref_dvae.get_codebook_indices(torch.from_numpy(mel)).numpy()
+            # decode returns (final, penultimate) (xtts_dvae.py:351)
+            want_mel = ref_dvae.decode(torch.from_numpy(want_codes))[0].numpy()  # [b, C, T]
+        from indextts_tpu.models.dvae import decode, get_codebook_indices
+
+        got_codes = np.asarray(get_codebook_indices(params, cfg, jnp.asarray(mel.transpose(0, 2, 1))))
+        np.testing.assert_array_equal(got_codes, want_codes)
+        got_mel = np.asarray(decode(params, cfg, jnp.asarray(got_codes)))
+        np.testing.assert_allclose(got_mel.transpose(0, 2, 1), want_mel, atol=1e-4, rtol=1e-4)
