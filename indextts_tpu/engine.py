@@ -429,6 +429,15 @@ class IndexTTS:
             arr = arr[None]
         return arr.astype(np.float32)
 
+    def _clamp_split_len(self, n: int) -> int:
+        """Sentences must fit the model's text capacity: the text positional
+        table has max_text_tokens + 2 rows (model.py:389-399), so a split
+        length above max_text_tokens would crash the embedding add. The
+        reference avoids this only by convention (default split 120 == config
+        max_text_tokens 120); clamp explicitly so small configs and user
+        overrides stay safe."""
+        return max(4, min(int(n), self.cfg.gpt.max_text_tokens))
+
     def infer(
         self,
         prompt_mel=None,
@@ -440,6 +449,7 @@ class IndexTTS:
         **generation_kwargs,
     ):
         """Sequential per-sentence synthesis (reference: infer.py:101-241)."""
+        max_text_tokens_per_sentence = self._clamp_split_len(max_text_tokens_per_sentence)
         print(">> start inference...")
         self._set_gr_progress(0, "start inference...")
         if verbose:
@@ -555,6 +565,7 @@ class IndexTTS:
         """Bucketed batch synthesis (reference: infer.py:332-537): sentences
         are length-bucketed, each bucket decoded as one padded batch, latents
         recovered per sentence, and the vocoder run over latent chunks."""
+        max_text_tokens_per_sentence = self._clamp_split_len(max_text_tokens_per_sentence)
         print(">> start fast inference...")
         self._set_gr_progress(0, "start fast inference...")
         if verbose:
@@ -742,6 +753,7 @@ class IndexTTS:
         and the vocoder runs on each new latent window (with `overlap_codes`
         of left context trimmed from the output). Sampling params mirror
         infer(); beam search is not streamable."""
+        max_text_tokens_per_sentence = self._clamp_split_len(max_text_tokens_per_sentence)
         prompt_mel = self._resolve_prompt(audio_prompt if prompt_mel is None else prompt_mel)
         do_sample = generation_kwargs.pop("do_sample", True)
         top_p = generation_kwargs.pop("top_p", 0.8)

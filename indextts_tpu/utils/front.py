@@ -179,12 +179,25 @@ class TextNormalizer:
             lambda m: zh_num.zh_digits(m.group(0).replace("-", ""), tel=True),
             t,
         )
+        # temperatures: -5°C -> 零下五摄氏度, 37.5℃ -> 三十七点五摄氏度
+        t = re.sub(
+            r"(-?)(\d+(?:\.\d+)?)\s*(?:°C|℃)",
+            lambda m: ("零下" if m.group(1) else "") + zh_num.zh_number(m.group(2)) + "摄氏度",
+            t,
+        )
+        t = re.sub(
+            r"(-?)(\d+(?:\.\d+)?)\s*(?:°F|℉)",
+            lambda m: ("零下" if m.group(1) else "") + zh_num.zh_number(m.group(2)) + "华氏度",
+            t,
+        )
         # percentages: 2.5% -> 百分之二点五
         t = re.sub(
             r"(\d+(?:\.\d+)?)\s*%",
             lambda m: "百分之" + zh_num.zh_number(m.group(1)),
             t,
         )
+        # ordinals: 第3 -> 第三 (第 always selects 二, never 两)
+        t = re.sub(r"第(\d+)", lambda m: "第" + zh_num.zh_integer(m.group(1)).replace("两", "二"), t)
         # money: ¥12999 / ￥12999 / $12.5
         t = re.sub(
             r"[¥￥]\s*(\d+(?:\.\d+)?)",
@@ -202,10 +215,40 @@ class TextNormalizer:
         unit_map = {"km": "千米", "m": "米", "cm": "厘米", "mm": "毫米", "kg": "千克", "g": "克"}
         t = re.sub(
             r"(\d+(?:\.\d+)?)\s*(km|cm|mm|kg|m|g)/h",
-            lambda m: "每小时" + zh_num.zh_number(m.group(1)) + unit_map[m.group(2)],
+            lambda m: "每小时" + zh_num.zh_number(m.group(1)) + unit_map[m.group(2).lower()],
             t,
             flags=re.IGNORECASE,
         )
+        # standalone measures: 3.2g -> 三点二克. Lowercase only — uppercase
+        # letter suffixes are product/tech names (5G网络, iPhone 2X) that the
+        # reference's FSTs leave as letters.
+        t = re.sub(
+            r"(\d+(?:\.\d+)?)\s*(km|cm|mm|kg|g|m)(?![A-Za-z/])",
+            lambda m: zh_num.zh_number(m.group(1)) + unit_map[m.group(2)],
+            t,
+        )
+        # fractions: 1/3 -> 三分之一 (dates and rate units consumed above)
+        t = re.sub(
+            r"(\d+)/(\d+)",
+            lambda m: zh_num.zh_integer(m.group(2)) + "分之" + zh_num.zh_integer(m.group(1)),
+            t,
+        )
+        # ranges: 3-5 / 3~5 -> 三到五 (phones and full dates consumed above)
+        t = re.sub(
+            r"(\d+(?:\.\d+)?)\s*[-~～]\s*(\d+(?:\.\d+)?)",
+            lambda m: zh_num.zh_number(m.group(1)) + "到" + zh_num.zh_number(m.group(2)),
+            t,
+        )
+        # negative numbers: -5 -> 负五 (ranges consumed above)
+        t = re.sub(
+            r"(?<![\dA-Za-z])-(\d+(?:\.\d+)?)",
+            lambda m: "负" + zh_num.zh_number(m.group(1)),
+            t,
+        )
+        # long digit identifiers (8+ digits) read digit-by-digit with 幺
+        t = re.sub(r"\d{8,}", lambda m: zh_num.zh_digits(m.group(0), tel=True), t)
+        # standalone 2 directly before a hanzi scale word reads 两 (2万 -> 两万)
+        t = re.sub(r"(?<![\d.])2(?=[万亿千])", "两", t)
         # remaining numbers -> standard reading
         t = re.sub(r"\d+(?:\.\d+)?", lambda m: zh_num.zh_number(m.group(0)), t)
         return t
@@ -226,12 +269,27 @@ class TextNormalizer:
             return out
 
         t = re.sub(r"(\d{1,2}):(\d{2})", _time, t)
+        # version/model suffixes: CosyVoice2 -> CosyVoice 2 (read as a word +
+        # a number, the reference FSTs' behavior per front.py:470 comments);
+        # letter->digit direction only so ordinals (1st) stay intact
+        t = re.sub(r"([A-Za-z])(\d)", r"\1 \2", t)
         # percent
         t = re.sub(
             r"(\d+(?:\.\d+)?)\s*%",
             lambda m: zh_num.en_number(m.group(1)) + " percent",
             t,
         )
+        # money with explicit cents: $12.50 -> twelve dollars and fifty cents
+        def _dollars_cents(m):
+            d, c = int(m.group(1)), int(m.group(2))
+            cents = zh_num.en_integer(c) + (" cent" if c == 1 else " cents")
+            if d == 0:
+                return cents
+            dollars = zh_num.en_integer(d) + (" dollar" if d == 1 else " dollars")
+            return f"{dollars} and {cents}"
+
+        t = re.sub(r"\$\s*(\d+)\.(\d{2})(?!\d)", _dollars_cents, t)
+
         # money
         def _dollars(m):
             num = m.group(1)
@@ -240,6 +298,17 @@ class TextNormalizer:
             return f"{word} {unit}"
 
         t = re.sub(r"\$\s*(\d+(?:\.\d+)?)", _dollars, t)
+        # temperatures: 25°C -> twenty five degrees Celsius
+        t = re.sub(
+            r"(-?)(\d+(?:\.\d+)?)\s*(?:°C|℃)",
+            lambda m: ("minus " if m.group(1) else "") + zh_num.en_number(m.group(2)) + " degrees Celsius",
+            t,
+        )
+        t = re.sub(
+            r"(-?)(\d+(?:\.\d+)?)\s*(?:°F|℉)",
+            lambda m: ("minus " if m.group(1) else "") + zh_num.en_number(m.group(2)) + " degrees Fahrenheit",
+            t,
+        )
         # years (4-digit standalone, 1500-2099)
         t = re.sub(
             r"\b(1[5-9]\d{2}|20\d{2})\b",
@@ -247,18 +316,36 @@ class TextNormalizer:
             t,
         )
         # ordinals 1st/2nd/3rd/4th...
-        ord_map = {1: "first", 2: "second", 3: "third", 5: "fifth", 8: "eighth", 9: "ninth", 12: "twelfth"}
+        ord_map = {
+            "one": "first", "two": "second", "three": "third", "five": "fifth",
+            "eight": "eighth", "nine": "ninth", "twelve": "twelfth",
+        }
 
         def _ordinal(m):
-            n = int(m.group(1))
-            if n in ord_map:
-                return ord_map[n]
-            w = zh_num.en_integer(n)
-            if w.endswith("y"):
-                return w[:-1] + "ieth"
-            return w + "th"
+            # ordinalize the last word: 21 -> twenty first, 40 -> fortieth
+            words = zh_num.en_integer(int(m.group(1))).split(" ")
+            last = words[-1]
+            if last in ord_map:
+                words[-1] = ord_map[last]
+            elif last.endswith("y"):
+                words[-1] = last[:-1] + "ieth"
+            else:
+                words[-1] = last + "th"
+            return " ".join(words)
 
         t = re.sub(r"\b(\d+)(?:st|nd|rd|th)\b", _ordinal, t)
+        # ranges: pages 3-5 -> three to five
+        t = re.sub(
+            r"(\d+(?:\.\d+)?)\s*[-~]\s*(\d+(?:\.\d+)?)",
+            lambda m: zh_num.en_number(m.group(1)) + " to " + zh_num.en_number(m.group(2)),
+            t,
+        )
+        # negatives: -5 -> minus five (ranges consumed above)
+        t = re.sub(
+            r"(?<![\dA-Za-z])-(\d+(?:\.\d+)?)",
+            lambda m: "minus " + zh_num.en_number(m.group(1)),
+            t,
+        )
         # remaining numbers
         t = re.sub(r"\d+(?:\.\d+)?", lambda m: zh_num.en_number(m.group(0)), t)
         return t

@@ -24,7 +24,13 @@ def zh_digits(s: str, tel: bool = False) -> str:
 
 
 def _read_group(num: int) -> str:
-    """Read a 0..9999 group, without leading-zero context handling."""
+    """Read a 0..9999 group, without leading-zero context handling.
+
+    二/两 selection follows the common Mandarin TTS convention (the
+    reference's WeTextProcessing FSTs encode the same rule): 2 in the
+    thousands place reads 两 (12999 -> 一万两千九百九十九), while 二 is kept
+    in the hundreds/tens/ones places (220 -> 二百二十).
+    """
     if num == 0:
         return ""
     out = []
@@ -39,7 +45,8 @@ def _read_group(num: int) -> str:
         if prev_zero and out:
             out.append("零")
         prev_zero = False
-        out.append(ZH_DIGITS[d] + unit)
+        hanzi = "两" if (d == 2 and unit == "千") else ZH_DIGITS[d]
+        out.append(hanzi + unit)
     return "".join(out)
 
 
@@ -63,6 +70,9 @@ def zh_integer(num_str: str, simplify_teen: bool = True) -> str:
         if g == 0:
             continue
         text = _read_group(g)
+        # a bare 2 directly before 万/亿 reads 两 (20000 -> 两万)
+        if text == "二" and gi > 0:
+            text = "两"
         # inter-group zero: e.g. 100001 -> 十万零一
         if out and groups[gi] < 1000 and gi != len(groups) - 1:
             out.append("零")

@@ -85,6 +85,144 @@ class TestNormalizer:
         assert "“" not in out and "”" not in out
 
 
+class TestNormalizerReferenceCorpus:
+    """The full test corpus from the reference's frontend self-test
+    (front.py:436-481), transcribed with expected verbalizations (the
+    reference delegates to WeTextProcessing FSTs; expectations follow the
+    conventional Mandarin/English readings those FSTs produce)."""
+
+    @pytest.mark.parametrize(
+        "text,must_contain",
+        [
+            ("IndexTTS 正式发布1.0版本了，效果666", ["一点零", "六百六十六"]),
+            ("晕XUAN4是一种GAN3觉", ["XVAN4", "GAN3"]),
+            ("我爱你！", ["我爱你!"]),
+            ("“我爱你”的英语是“I love you”", ["'我爱你'", "I love you"]),
+            ("2.5平方电线", ["二点五平方电线"]),
+            ("共465篇，约315万字", ["四百六十五", "三百一十五万"]),
+            ("2002年的第一场雪，下在了2003年", ["二零零二年", "二零零三年"]),
+            ("速度是10km/h", ["每小时十千米"]),
+            ("现在是北京时间2025年01月11日 20:00", ["二零二五年一月十一日", "二十点"]),
+            ("他这条裤子是2012年买的，花了200块钱", ["二零一二年", "二百块钱"]),
+            ("电话：135-4567-8900", ["幺三五四五六七八九零零"]),
+            ("1键3连", ["一键三连"]),
+            ("他这条视频点赞3000+，评论1000+，收藏500+", ["三千多", "一千多", "五百多"]),
+            ("这是1024元的手机，你要吗？", ["一千零二十四元"]),
+            ("受不liao3你了", ["liao3"]),
+            ("“衣裳”不读衣chang2，而是读衣shang5", ["chang2", "shang5"]),
+            ("最zhong4要的是：不要chong2蹈覆辙", ["zhong4", "chong2"]),
+            ("不zuo1死就不会死", ["zuo1"]),
+            ("8:00 AM 开会", ["八点"]),
+            ("数到3就开始：1、2、3", ["数到三", "一,二,三"]),
+            ("5G网络是4G网络的升级版，2G网络是3G网络的前身", ["五G", "四G", "二G", "三G"]),
+            ("苹果于2030/1/2发布新 iPhone 2X 系列手机，最低售价仅 ¥12999",
+             ["二零三零年一月二日", "二X", "一万两千九百九十九元"]),
+            ("这酒...里...有毒...", ["…"]),
+            ("只有,,,才是最好的", ["…"]),
+            ("babala2是什么？", ["babala二"]),
+            ("用beta1测试", ["beta一"]),
+        ],
+    )
+    def test_zh_corpus(self, normalizer, text, must_contain):
+        out = normalizer.normalize(text)
+        for frag in must_contain:
+            assert frag in out, f"{text!r} -> {out!r} missing {frag!r}"
+
+    @pytest.mark.parametrize(
+        "text,must_contain",
+        [
+            ("I love you!", ["I love you!"]),
+            ("See you at 8:00 AM", ["eight o'clock"]),
+            ("Couting down 3, 2, 1, go!", ["three, two, one"]),
+            ("This sales for 2.5% off, only $12.5.", ["two point five percent", "twelve point five dollars"]),
+            ("have you ever been to beta2?", ["beta two"]),
+            ("such as XTTS, CosyVoice2, Fish-Speech, and F5-TTS",
+             ["CosyVoice two", "F five-TTS"]),
+            ("where's the money?", ["where is"]),
+            ("who's there?", ["who is"]),
+            ("which's the best?", ["which is"]),
+            ("how's it going?", ["how is"]),
+        ],
+    )
+    def test_en_corpus(self, normalizer, text, must_contain):
+        out = normalizer.normalize(text)
+        for frag in must_contain:
+            assert frag in out, f"{text!r} -> {out!r} missing {frag!r}"
+
+    def test_zh_no_digits_left(self, normalizer):
+        """Every zh-routed corpus case must come out fully verbalized."""
+        import re
+
+        cases = [
+            "IndexTTS 正式发布1.0版本了，效果666", "2.5平方电线", "共465篇，约315万字",
+            "2002年的第一场雪，下在了2003年", "速度是10km/h", "现在是北京时间2025年01月11日 20:00",
+            "他这条裤子是2012年买的，花了200块钱", "电话：135-4567-8900", "1键3连",
+            "他这条视频点赞3000+，评论1000+，收藏500+", "这是1024元的手机，你要吗？",
+            "数到3就开始：1、2、3", "苹果于2030/1/2发布新 iPhone 2X 系列手机，最低售价仅 ¥12999",
+        ]
+        for text in cases:
+            out = normalizer.normalize(text)
+            assert re.search(r"\d", out) is None, f"{text!r} -> {out!r} has digits left"
+
+    def test_name_protection_corpus(self, normalizer):
+        out = normalizer.normalize("约瑟夫·高登-莱维特（Joseph Gordon-Levitt is an American actor）")
+        assert "约瑟夫-高登-莱维特" in out
+        out2 = normalizer.normalize(
+            "蒂莫西·唐纳德·库克（英文名：Timothy Donald Cook），通称蒂姆·库克（Tim Cook）"
+        )
+        assert "蒂莫西-唐纳德-库克" in out2 and "蒂姆-库克" in out2
+
+
+class TestNormalizerWextCategories:
+    """WeTextProcessing FST categories the reference inherits beyond the
+    corpus (VERDICT round-1 gap #3): fractions, ranges, 第N ordinals,
+    negatives, temperatures, long-ID digit reading, 二/两 selection, and
+    English ordinals/cents."""
+
+    @pytest.mark.parametrize(
+        "text,must_contain",
+        [
+            ("全书共1/3的篇幅", ["三分之一"]),
+            ("比分是3/4", ["四分之三"]),
+            ("预计3-5天到货", ["三到五天"]),
+            ("气温2~8度", ["二到八度"]),
+            ("他得了第1名，我得了第22名", ["第一名", "第二十二名"]),
+            ("海拔-155米", ["负一百五十五米"]),
+            ("气温-5°C", ["零下五摄氏度"]),
+            ("体温37.5℃", ["三十七点五摄氏度"]),
+            ("华氏98.6°F", ["九十八点六华氏度"]),
+            ("卡号6222021234567890123", ["六二二二零二幺二三四五六七八九零幺二三"]),
+            ("重3.2g", ["三点二克"]),
+            ("全长2000米，耗资2万元，历时2年", ["两千米", "两万元", "二年"]),
+            ("22000人参加", ["两万两千人"]),
+            ("第2000名", ["第二千名"]),
+        ],
+    )
+    def test_zh_categories(self, normalizer, text, must_contain):
+        out = normalizer.normalize(text)
+        for frag in must_contain:
+            assert frag in out, f"{text!r} -> {out!r} missing {frag!r}"
+
+    @pytest.mark.parametrize(
+        "text,must_contain",
+        [
+            ("It costs $12.50 exactly", ["twelve dollars and fifty cents"]),
+            ("just $0.99", ["ninety nine cents"]),
+            ("read pages 3-5 tonight", ["three to five"]),
+            ("it was -5 outside", ["minus five"]),
+            ("water boils at 100°C", ["one hundred degrees Celsius"]),
+            ("the 21st of May", ["twenty first"]),
+            ("the 3rd time", ["third"]),
+            ("the 12th floor", ["twelfth"]),
+            ("the 40th anniversary", ["fortieth"]),
+        ],
+    )
+    def test_en_categories(self, normalizer, text, must_contain):
+        out = normalizer.normalize(text)
+        for frag in must_contain:
+            assert frag in out, f"{text!r} -> {out!r} missing {frag!r}"
+
+
 class TestCJK:
     def test_round_trip(self):
         s = tokenize_by_CJK_char("你好世界是 hello world 的中文")
