@@ -38,7 +38,7 @@ from typing import Any, Dict, Optional
 import numpy as np
 
 from indextts_tpu.server.wsgi import App, Request, Response, SSEResponse, StreamResponse, jsonify
-from indextts_tpu.utils.audio import read_wav, resample, write_wav
+from indextts_tpu.utils.audio import UnsupportedAudioFormat, decode_audio, resample, write_wav
 from indextts_tpu.utils.mel import MelSpectrogramFeatures
 
 
@@ -291,7 +291,16 @@ def create_app(engine=None, base_dir: Optional[str] = None) -> App:
                 files_to_delete.append(temp_path)
 
                 target_sr = engine.cfg.bigvgan.sampling_rate
-                waveform, orig_sr = read_wav(temp_path)
+                try:
+                    # wav natively; mp3/ogg/flac via ffmpeg when present
+                    # (reference accepts these via torchaudio, webui.py:307-389)
+                    waveform, orig_sr = decode_audio(temp_path)
+                except UnsupportedAudioFormat as e:
+                    try:
+                        os.remove(temp_path)
+                    except OSError:
+                        pass
+                    return jsonify({"error": str(e)}, 415)
                 if orig_sr != target_sr:
                     waveform = resample(waveform, orig_sr, target_sr)
                 crop_start = form.get("cropStart")
@@ -399,7 +408,10 @@ def create_app(engine=None, base_dir: Optional[str] = None) -> App:
             with open(tmp, "wb") as f:
                 f.write(data)
             try:
-                waveform, orig_sr = read_wav(tmp)
+                try:
+                    waveform, orig_sr = decode_audio(tmp)
+                except UnsupportedAudioFormat as e:
+                    return jsonify({"error": str(e)}, 415)
                 target_sr = engine.cfg.bigvgan.sampling_rate
                 if orig_sr != target_sr:
                     waveform = resample(waveform, orig_sr, target_sr)

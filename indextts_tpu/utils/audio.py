@@ -11,11 +11,19 @@ torchaudio is not a dependency here; WAV I/O is implemented on the stdlib
 from __future__ import annotations
 
 import math
+import os
+import shutil
+import subprocess
+import tempfile
 import wave
 from typing import Optional, Tuple
 
 import numpy as np
 from scipy.signal import resample_poly
+
+
+class UnsupportedAudioFormat(ValueError):
+    """Raised when an uploaded audio file can't be decoded on this host."""
 
 
 def read_wav(path: str) -> Tuple[np.ndarray, int]:
@@ -71,10 +79,53 @@ def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     return resample_poly(audio, target_sr // g, orig_sr // g, axis=-1).astype(np.float32)
 
 
+def ffmpeg_available() -> bool:
+    return shutil.which("ffmpeg") is not None
+
+
+def decode_audio(path: str) -> Tuple[np.ndarray, int]:
+    """Decode any audio file -> (float32 [channels, samples], sample_rate).
+
+    WAV decodes natively; other containers (mp3/ogg/flac/m4a — the reference
+    accepts these via torchaudio, webui.py:307-389) are transcoded through
+    ffmpeg when present on the host. Raises UnsupportedAudioFormat with a
+    clear message otherwise so the server can answer 415 instead of a parse
+    traceback.
+    """
+    try:
+        return read_wav(path)
+    except (wave.Error, EOFError, ValueError):
+        pass
+    if not ffmpeg_available():
+        ext = os.path.splitext(path)[1] or "<unknown>"
+        raise UnsupportedAudioFormat(
+            f"cannot decode {ext} audio: not a PCM WAV and no ffmpeg on this "
+            f"host — upload WAV, or install ffmpeg for mp3/ogg/flac support"
+        )
+    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as tmp:
+        tmp_path = tmp.name
+    try:
+        proc = subprocess.run(
+            ["ffmpeg", "-y", "-v", "error", "-i", path,
+             "-f", "wav", "-acodec", "pcm_s16le", tmp_path],
+            capture_output=True, timeout=60,
+        )
+        if proc.returncode != 0:
+            raise UnsupportedAudioFormat(
+                f"ffmpeg failed to decode the upload: {proc.stderr.decode(errors='replace')[:300]}"
+            )
+        return read_wav(tmp_path)
+    finally:
+        try:
+            os.remove(tmp_path)
+        except OSError:
+            pass
+
+
 def load_audio(path: str, sampling_rate: int) -> Optional[np.ndarray]:
     """Load -> mono [1, T] float32 at `sampling_rate`, clipped to [-1, 1]
     (reference: indextts/utils/common.py:11-26 — takes channel 0, resamples, clips)."""
-    audio, sr = read_wav(path)
+    audio, sr = decode_audio(path)
     if audio.shape[0] > 1:
         audio = audio[:1]
     if sr != sampling_rate:

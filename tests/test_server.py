@@ -218,6 +218,46 @@ class TestSynthesis:
         status, data = client.multipart("/api/synthesize", {"text": "x"})
         assert status == 503
 
+    def test_non_wav_upload_without_decoder_415(self, server, monkeypatch):
+        """mp3/ogg uploads need ffmpeg; without it the server answers a clear
+        415, not a parse traceback (reference parity: webui.py:307-389
+        accepts mp3 via torchaudio)."""
+        import indextts_tpu.utils.audio as audio_mod
+
+        monkeypatch.setattr(audio_mod, "ffmpeg_available", lambda: False)
+        client, _, _, _ = server
+        status, data = client.multipart(
+            "/api/synthesize", {"text": "hi"},
+            files={"referenceAudioFile": ("voice.mp3", b"\xff\xfb\x90\x00" + b"\x00" * 256)},
+        )
+        assert status == 415
+        assert "ffmpeg" in data["error"]
+
+    def test_non_wav_upload_with_decoder(self, server, tmp_path, monkeypatch):
+        """With a decoder on PATH, non-wav uploads transcode and synthesize.
+        Uses a stub ffmpeg executable that emits a valid wav, exercising the
+        real subprocess plumbing."""
+        import indextts_tpu.utils.audio as audio_mod
+
+        fixture = os.path.join(str(tmp_path), "fixture.wav")
+        t = np.linspace(0, 0.2, 4800, endpoint=False)
+        write_wav(fixture, (0.3 * np.sin(2 * np.pi * 220 * t) * 32767)[None, :], 24000)
+        fake = os.path.join(str(tmp_path), "bin", "ffmpeg")
+        os.makedirs(os.path.dirname(fake), exist_ok=True)
+        with open(fake, "w") as f:
+            f.write(f"#!/bin/sh\n# args: -y -v error -i <in> -f wav -acodec pcm_s16le <out>\ncp {fixture} \"${{10}}\"\n")
+        os.chmod(fake, 0o755)
+        monkeypatch.setenv("PATH", os.path.dirname(fake) + os.pathsep + os.environ["PATH"])
+
+        client, engine, app, base = server
+        status, data = client.multipart(
+            "/api/synthesize", {"text": "decode me."},
+            files={"referenceAudioFile": ("voice.mp3", b"\xff\xfb\x90\x00" + b"\x00" * 256)},
+        )
+        assert status == 200, data
+        events = self._drain_sse(app, client, data["task_id"])
+        assert events[-1]["status"] == "completed"
+
     def test_delete_audio_traversal_blocked(self, server, tmp_path):
         """delete-audio must not follow ../ or absolute paths out of
         output_dir (the reference joins the raw name: advisory finding)."""
