@@ -52,6 +52,26 @@ def _cast_tree(tree, dtype):
     return jax.tree_util.tree_map(cast, tree)
 
 
+def _fast_params_like(init_fn):
+    """Deterministic sin(iota)-patterned params from eval_shape — benchmark
+    aid: threefry random init of ~500M params costs minutes on the tunneled
+    TPU, and wall-clock measurements are weight-value independent."""
+    shapes = jax.eval_shape(init_fn)
+
+    @jax.jit
+    def build():
+        def mk(s):
+            if jnp.issubdtype(s.dtype, jnp.floating):
+                n = int(np.prod(s.shape)) if s.shape else 1
+                i = jax.lax.broadcasted_iota(jnp.float32, (max(n, 1),), 0)
+                return (0.02 * jnp.sin(i * 0.37 + 1.0)).reshape(s.shape).astype(s.dtype)
+            return jnp.zeros(s.shape, s.dtype)
+
+        return jax.tree_util.tree_map(mk, shapes)
+
+    return build()
+
+
 class IndexTTS:
     def __init__(
         self,
@@ -64,6 +84,7 @@ class IndexTTS:
         seed: int = 0,
         use_mesh: Optional[bool] = None,
         tp: Optional[int] = None,
+        fast_init: bool = False,
     ):
         """Device policy: jax picks the platform (TPU when present; the
         cuda/mps/xpu/cpu cascade of infer.py:26-44 has no TPU meaning).
@@ -100,7 +121,10 @@ class IndexTTS:
             self.gpt_params = jax.tree_util.tree_map(jnp.asarray, converted)
             print(">> GPT weights restored from:", gpt_path)
         elif allow_random_init:
-            self.gpt_params = init_unified_voice(rng, self.cfg.gpt)
+            if fast_init:
+                self.gpt_params = _fast_params_like(lambda: init_unified_voice(rng, self.cfg.gpt))
+            else:
+                self.gpt_params = init_unified_voice(rng, self.cfg.gpt)
             print(">> GPT randomly initialized (no checkpoint at", gpt_path, ")")
         else:
             raise FileNotFoundError(gpt_path)
@@ -121,7 +145,12 @@ class IndexTTS:
             self.bigvgan_params = jax.tree_util.tree_map(jnp.asarray, converted)
             print(">> bigvgan weights restored from:", bigvgan_path)
         elif allow_random_init:
-            self.bigvgan_params = init_bigvgan(jax.random.fold_in(rng, 1), self.cfg.bigvgan)
+            if fast_init:
+                self.bigvgan_params = _fast_params_like(
+                    lambda: init_bigvgan(jax.random.fold_in(rng, 1), self.cfg.bigvgan)
+                )
+            else:
+                self.bigvgan_params = init_bigvgan(jax.random.fold_in(rng, 1), self.cfg.bigvgan)
             print(">> bigvgan randomly initialized (no checkpoint at", bigvgan_path, ")")
         else:
             raise FileNotFoundError(bigvgan_path)
