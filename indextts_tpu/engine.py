@@ -337,9 +337,12 @@ class IndexTTS:
 
             @jax.jit
             def fn(params, conds, text, text_lens, codes, wav_lens):
+                # mask_pad_keys: text/codes are bucket-padded here; masking
+                # the pad keys makes this bit-comparable to the reference's
+                # exact-per-sentence-length stage-2 pass (infer.py:196-200)
                 return unified_voice_forward(
                     params, cfg, None, text, text_lens, codes, wav_lens, None,
-                    return_latent=True, conds=conds,
+                    return_latent=True, conds=conds, mask_pad_keys=True,
                 )
 
             self._latent_cache[key] = fn

@@ -331,6 +331,7 @@ def unified_voice_forward(
     text_first: bool = True,
     conds: Optional[jnp.ndarray] = None,
     types: Optional[jnp.ndarray] = None,
+    mask_pad_keys: bool = False,
 ):
     """Teacher-forced forward (reference: model.py:521-589).
 
@@ -338,6 +339,13 @@ def unified_voice_forward(
     stage-2 path of the engine) or (loss_text, loss_mel, mel_logits).
     `conds` may be precomputed conditioning latents ([B, 32, D]).
     `types` expands the text embedding space per row (model.py:541-543).
+
+    `mask_pad_keys`: mask attention keys that only exist because of shape
+    bucketing — text positions >= text_len+2 and mel positions >=
+    mel_code_len+1 after framing. The reference runs this stage at exact
+    per-sentence length (infer.py:196-200), so a bucket-padded call with the
+    mask on is bit-comparable to the reference's exact-length pass; without
+    it the extra stop-token keys shift the latents slightly.
     """
     if conds is None:
         conds = get_conditioning(params, cfg, speech_conditioning_mel, cond_mel_lengths)
@@ -370,7 +378,20 @@ def unified_voice_forward(
     else:
         first_emb, second_emb = mel_emb, text_emb
     emb = jnp.concatenate([conds.astype(text_emb.dtype), first_emb, second_emb], axis=1)
-    hidden = gpt2_apply(params["gpt"], emb, cfg.heads)
+    attention_mask = None
+    if mask_pad_keys:
+        # valid keys: all conds; text block [start, t_0..t_{len-1}, stop] =
+        # len+2 positions; mel block [start, c_0.., stop] = mel_code_len+1
+        # positions — everything beyond exists only due to shape bucketing
+        b = emb.shape[0]
+        lt = text_inputs.shape[1]  # framed text width
+        lm = mel_codes_in.shape[1]
+        cond_ok = jnp.ones((b, conds.shape[1]), bool)
+        text_ok = jnp.arange(lt)[None, :] < (text_lengths + 2)[:, None]
+        mel_ok = jnp.arange(lm)[None, :] < (mel_code_lengths + 1)[:, None]
+        first_ok, second_ok = (text_ok, mel_ok) if text_first else (mel_ok, text_ok)
+        attention_mask = jnp.concatenate([cond_ok, first_ok, second_ok], axis=1)
+    hidden = gpt2_apply(params["gpt"], emb, cfg.heads, attention_mask=attention_mask)
     offset = conds.shape[1]
     enc = hidden[:, offset:]
     enc = layer_norm(enc, params["final_norm"]["weight"], params["final_norm"]["bias"])

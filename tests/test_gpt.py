@@ -265,6 +265,37 @@ class TestTeacherForced:
         assert np.isfinite(float(loss_text)) and np.isfinite(float(loss_mel))
         assert mel_logits.shape == (1, cfg.number_mel_codes, codes.shape[1] + 2)
 
+    def test_mask_pad_keys_matches_exact_length(self, setup):
+        """Bucket-padded latents with mask_pad_keys=True must equal the
+        exact-length pass over the valid region (the reference runs stage-2
+        at exact per-sentence length, infer.py:196-200; round-1 advisory
+        flagged the unmasked padded keys as a small deviation)."""
+        cfg, params, conds = setup
+        n_text, n_code = 5, 6
+        text_e = jnp.asarray([[5, 6, 7, 8, 9]], jnp.int32)
+        codes_e = jnp.asarray([[3, 4, 5, 6, 7, 8]], jnp.int32)
+        wav_lens = jnp.asarray([n_code * cfg.mel_length_compression])
+        exact = unified_voice_forward(
+            params, cfg, None, text_e, jnp.asarray([n_text]), codes_e, wav_lens, None,
+            return_latent=True, conds=conds,
+        )
+        # bucket-padded with stop tokens (engine's _gpt_latent shapes)
+        text_p = jnp.asarray([[5, 6, 7, 8, 9, 1, 1, 1]], jnp.int32)
+        codes_p = jnp.asarray([[3, 4, 5, 6, 7, 8] + [cfg.stop_mel_token] * 10], jnp.int32)
+        padded = unified_voice_forward(
+            params, cfg, None, text_p, jnp.asarray([n_text]), codes_p, wav_lens, None,
+            return_latent=True, conds=conds, mask_pad_keys=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(padded[:, :n_code]), np.asarray(exact[:, :n_code]), atol=2e-5, rtol=2e-5
+        )
+        # and WITHOUT the mask they must differ (the deviation being fixed)
+        unmasked = unified_voice_forward(
+            params, cfg, None, text_p, jnp.asarray([n_text]), codes_p, wav_lens, None,
+            return_latent=True, conds=conds,
+        )
+        assert float(jnp.abs(unmasked[:, :n_code] - exact[:, :n_code]).max()) > 1e-4
+
     def test_jit(self, setup):
         cfg, params, conds = setup
         fn = jax.jit(
