@@ -17,3 +17,9 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent compilation cache: the suite is dominated by XLA:CPU compiles on
+# this 1-core host (13 min cold); cached executables bring reruns under the
+# 5-minute budget
+jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_CACHE_DIR", "/tmp/jax_test_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
