@@ -80,7 +80,7 @@ def _kernel(x_ref, xn_ref, alpha_ref, beta_ref, out_ref, *, tile_t: int):
     out_ref[0] = y.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("alpha_logscale", "tile_t", "tile_c", "interpret"))
+@functools.partial(jax.jit, static_argnames=("alpha_logscale", "tile_t", "tile_c", "interpret", "exact_edges"))
 def fused_anti_alias_snake(
     x: jnp.ndarray,
     alpha: jnp.ndarray,
@@ -89,10 +89,19 @@ def fused_anti_alias_snake(
     tile_t: int = 1024,
     tile_c: int = 128,
     interpret: bool = False,
+    exact_edges: bool = True,
 ) -> jnp.ndarray:
     """x: [B, T, C]; per-channel alpha (and beta for SnakeBeta). Returns
     [B, T, C] — numerically the composed upsample2x -> snake -> downsample2x
-    path (anti_aliased_activation)."""
+    path (anti_aliased_activation).
+
+    exact_edges=False skips the composed-oracle patching of the outer ~4
+    frames: the kernel then replicates the INPUT at the boundary — exactly
+    the reference CUDA kernel's semantics (anti_alias_activation_cuda.cu
+    pads the input 5/5/6), which differs from the reference's own torch
+    path the same way. The patch costs two composed-path calls per site
+    in-graph; serving paths use exact_edges=False.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -105,16 +114,19 @@ def fused_anti_alias_snake(
     else:
         a, bt = alpha, beta
 
+    # narrow stages: never pad channels up to 128 — the explicit pad costs a
+    # 5.3x copy at C=24 and the DMA then moves the junk too (Mosaic masks
+    # sub-128 lane blocks itself); just tile the true channel width
+    tile_c = min(tile_c, c)
     # pad: PAD replicate on the left; right side needs PAD halo + alignment +
     # one extra tile so the "neighbor block" exists for the last tile
     c_pad = -c % tile_c
     t_pad = -t % tile_t
-    xp = jnp.pad(x, ((0, 0), (PAD, PAD + t_pad), (0, 0)), mode="edge")
-    # xp time length = t + 2*PAD + t_pad; blocks of tile_t must cover index
-    # range [0, tp_out + tile_t) where tp_out = t + t_pad
+    # single edge-mode pad covering halo + alignment + the extra neighbor
+    # block (values beyond the halo are never read)
     tp_out = t + t_pad
     total = tp_out + tile_t  # center blocks [0, tp_out) + one neighbor block
-    xp = jnp.pad(xp, ((0, 0), (0, total - xp.shape[1]), (0, 0)))
+    xp = jnp.pad(x, ((0, 0), (PAD, total - t - PAD), (0, 0)), mode="edge")
     if c_pad:
         xp = jnp.pad(xp, ((0, 0), (0, 0), (0, c_pad)))
         a = jnp.pad(a, (0, c_pad), constant_values=1.0)
@@ -137,17 +149,18 @@ def fused_anti_alias_snake(
     )(xp, xp, a[None, :], bt[None, :])
     out = out[:, :t, :c]
 
-    # Edge exactness: the composed path replicates the *upsampled* signal at
-    # the downsampler boundary (filter.py:61-95), while the fused kernel
-    # extends from the replicated input — these differ only within 3 frames
-    # of each end. Recompute those frames with the composed oracle on small
-    # slices and patch them in (cost: 2 x 64-frame windows).
-    from indextts_tpu.ops.antialias import anti_aliased_activation
+    if exact_edges:
+        # Edge exactness: the composed path replicates the *upsampled* signal
+        # at the downsampler boundary (filter.py:61-95), while the fused
+        # kernel extends from the replicated input — these differ only within
+        # 3 frames of each end. Recompute those frames with the composed
+        # oracle on small slices and patch them in.
+        from indextts_tpu.ops.antialias import anti_aliased_activation
 
-    edge = min(4, t)
-    win = min(64, t)
-    head = anti_aliased_activation(x[:, :win], alpha, beta, alpha_logscale=alpha_logscale)
-    tail = anti_aliased_activation(x[:, -win:], alpha, beta, alpha_logscale=alpha_logscale)
-    out = out.at[:, :edge].set(head[:, :edge])
-    out = out.at[:, -edge:].set(tail[:, -edge:])
+        edge = min(4, t)
+        win = min(64, t)
+        head = anti_aliased_activation(x[:, :win], alpha, beta, alpha_logscale=alpha_logscale)
+        tail = anti_aliased_activation(x[:, -win:], alpha, beta, alpha_logscale=alpha_logscale)
+        out = out.at[:, :edge].set(head[:, :edge])
+        out = out.at[:, -edge:].set(tail[:, -edge:])
     return out

@@ -139,6 +139,32 @@ class TestActivations:
         mine = np.asarray(snake_beta(jnp.asarray(x), jnp.asarray(alpha), jnp.asarray(beta), alpha_logscale=True))
         np.testing.assert_allclose(mine, gold, atol=1e-5)
 
+    def test_approx_sin_accuracy(self):
+        from indextts_tpu.ops.activations import approx_sin
+
+        u = jnp.asarray(np.linspace(-50, 50, 200001), jnp.float32)
+        err = float(jnp.abs(jnp.sin(u) - approx_sin(u)).max())
+        assert err < 1e-4, err
+
+    def test_bf16_snake_approx_below_quantization(self):
+        """bf16 snake uses the polynomial sin by default; the result must be
+        bit-comparable (within 1 bf16 ulp) to exact-sin bf16 snake."""
+        x = jnp.asarray(rng.standard_normal((4, 256, 8)), jnp.bfloat16)
+        alpha = jnp.asarray(rng.standard_normal(8), jnp.float32)
+        beta = jnp.asarray(rng.standard_normal(8), jnp.float32)
+        approx = snake_beta(x, alpha, beta, alpha_logscale=True)  # default: approx for bf16
+        exact = snake_beta(x, alpha, beta, alpha_logscale=True, approx_sin_=False)
+        d = np.abs(approx.astype(jnp.float32) - exact.astype(jnp.float32))
+        scale = np.abs(np.asarray(exact.astype(jnp.float32))) + 1.0
+        assert float((d / scale).max()) < 2 ** -7  # <= 2 bf16 ulps
+
+    def test_fp32_snake_stays_exact(self):
+        x = jnp.asarray(rng.standard_normal((2, 64, 4)), jnp.float32)
+        alpha = jnp.asarray(rng.standard_normal(4), jnp.float32)
+        a = snake(x, alpha)
+        b = snake(x, alpha, approx_sin_=False)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_gelus(self):
         x = rng.standard_normal((32,)).astype(np.float32)
         np.testing.assert_allclose(
