@@ -33,6 +33,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent XLA compile cache (same pattern as tests/conftest.py): the
+    # remote TPU compiler costs minutes per executable and round 2 burned 179s
+    # of the driver's 580s budget on recompiles of unchanged graphs
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ.get("JAX_CACHE_DIR", "/tmp/jax_bench_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from indextts_tpu.config import load_config
     from indextts_tpu.models.bigvgan import bigvgan_apply, init_bigvgan
     from indextts_tpu.models.gpt import get_conditioning, init_unified_voice, unified_voice_forward
@@ -51,18 +59,22 @@ def main():
     # threefry generation of ~500M params on-device costs minutes on this
     # platform — build sin(iota)-patterned arrays from eval_shape instead
     def fast_params_like(init_fn):
+        from indextts_tpu.engine import _is_norm_scale
+
         shapes = jax.eval_shape(init_fn)
 
         @jax.jit
         def build():
-            def mk(s):
+            def mk(path, s):
                 if jnp.issubdtype(s.dtype, jnp.floating):
+                    if _is_norm_scale(path):  # keep norm scales at identity
+                        return jnp.ones(s.shape, dtype)
                     n = int(np.prod(s.shape)) if s.shape else 1
                     i = jax.lax.broadcasted_iota(jnp.float32, (max(n, 1),), 0)
                     return (0.02 * jnp.sin(i * 0.37 + 1.0)).reshape(s.shape).astype(dtype)
                 return jnp.zeros(s.shape, s.dtype)
 
-            return jax.tree_util.tree_map(mk, shapes)
+            return jax.tree_util.tree_map_with_path(mk, shapes)
 
         return build()
 

@@ -52,6 +52,21 @@ def _cast_tree(tree, dtype):
     return jax.tree_util.tree_map(cast, tree)
 
 
+def _is_norm_scale(path) -> bool:
+    """True for LayerNorm/GroupNorm/RMSNorm scale leaves, which must stay at
+    their identity value (1.0) for fast-init activations to keep realistic
+    magnitudes (filling them with ~0.02 noise collapses every residual stream
+    toward zero and skews timing paths that depend on stop-token emission)."""
+    keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+    leaf = str(keys[-1]) if keys else ""
+    if leaf in ("gamma", "norm_gamma"):
+        return True
+    if leaf != "weight":
+        return False
+    parent = str(keys[-2]) if len(keys) > 1 else ""
+    return parent.startswith("ln") or "norm" in parent
+
+
 def _fast_params_like(init_fn):
     """Deterministic sin(iota)-patterned params from eval_shape — benchmark
     aid: threefry random init of ~500M params costs minutes on the tunneled
@@ -60,14 +75,16 @@ def _fast_params_like(init_fn):
 
     @jax.jit
     def build():
-        def mk(s):
+        def mk(path, s):
             if jnp.issubdtype(s.dtype, jnp.floating):
+                if _is_norm_scale(path):
+                    return jnp.ones(s.shape, s.dtype)
                 n = int(np.prod(s.shape)) if s.shape else 1
                 i = jax.lax.broadcasted_iota(jnp.float32, (max(n, 1),), 0)
                 return (0.02 * jnp.sin(i * 0.37 + 1.0)).reshape(s.shape).astype(s.dtype)
             return jnp.zeros(s.shape, s.dtype)
 
-        return jax.tree_util.tree_map(mk, shapes)
+        return jax.tree_util.tree_map_with_path(mk, shapes)
 
     return build()
 

@@ -15,8 +15,9 @@ Same REST surface as the reference Flask app (webui.py):
   GET  /api/synthesize-stream-status/<id>  -> SSE progress stream
 
 Implementation differences vs the reference: stdlib WSGI instead of Flask
-(not available here); wav-only uploads (torchaudio's mp3/ogg decoders are
-torch-side); and the synthesis worker queue is a single worker thread guarded
+(not available here); uploads decode natively for WAV and through ffmpeg for
+mp3/ogg/flac/m4a (utils/audio.decode_audio — the reference goes through
+torchaudio); and the synthesis worker queue is a single worker thread guarded
 by a lock — the reference spawns a raw thread per request and shares one
 mutable progress callback across tasks (webui.py:224-283), a race this
 implementation closes by serializing jobs.
@@ -471,6 +472,13 @@ def create_app(engine=None, base_dir: Optional[str] = None) -> App:
                 done = entry.get("status") in ("completed", "failed", "error")
                 old = now - entry.get("created_at", now) > ttl_any
                 collected = now - entry.get("finished_at", now) > ttl_done
+                # a task actively being synthesized is never stale, however
+                # old: the serialized worker queue can legitimately sit on a
+                # deep backlog for hours, and reaping a live entry would strand
+                # its eventual result (clients polling it would get "unknown
+                # task id")
+                if entry.get("status") == "processing":
+                    continue
                 if (done and collected) or old:
                     reaped.append(tasks_status.pop(tid))
         for entry in reaped:

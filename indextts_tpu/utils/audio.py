@@ -105,11 +105,14 @@ def decode_audio(path: str) -> Tuple[np.ndarray, int]:
     with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as tmp:
         tmp_path = tmp.name
     try:
-        proc = subprocess.run(
-            ["ffmpeg", "-y", "-v", "error", "-i", path,
-             "-f", "wav", "-acodec", "pcm_s16le", tmp_path],
-            capture_output=True, timeout=60,
-        )
+        try:
+            proc = subprocess.run(
+                ["ffmpeg", "-y", "-v", "error", "-i", path,
+                 "-f", "wav", "-acodec", "pcm_s16le", tmp_path],
+                capture_output=True, timeout=60,
+            )
+        except subprocess.TimeoutExpired:
+            raise UnsupportedAudioFormat("ffmpeg timed out decoding the upload")
         if proc.returncode != 0:
             raise UnsupportedAudioFormat(
                 f"ffmpeg failed to decode the upload: {proc.stderr.decode(errors='replace')[:300]}"
