@@ -11,41 +11,56 @@ import re
 import jax.numpy as jnp
 import numpy as np
 
-# CJK split ranges (reference: common.py:46-49)
-_CJK_RANGE_PATTERN = (
-    r"([\u1100-\u11ff\u2e80-\ua4cf\ua840-\uD7AF\uF900-\uFAFF"
-    r"\uFE30-\uFE4F\uFF65-\uFFDC\U00020000-\U0002FFFF])"
+# CJK codepoint class (the nltk tokenize/util.py ranges the reference's BPE
+# training pipeline assumed; behavioral reference: common.py:29-81)
+_CJK_CLASS = (
+    "ᄀ-ᇿ⺀-꓏ꡀ-힯豈-﫿"
+    "︰-﹏･-ￜ\U00020000-\U0002FFFF"
 )
+# one CJK char, or a maximal run of anything else
+_SEGMENT_RE = re.compile(f"[{_CJK_CLASS}]|[^{_CJK_CLASS}]+")
+# a Latin word group: words joined by single spaces or dashes
+_LATIN_RUN_RE = re.compile(r"[A-Z]+(?:[\s-][A-Z-]+)*", re.IGNORECASE)
+_MARKER_RE = re.compile(r"<sent_(\d+)>")
 
 
 def tokenize_by_CJK_char(line: str, do_upper_case: bool = True) -> str:
-    """Insert spaces around CJK chars; upper-case Latin
-    (reference behavior: common.py:29-51).
+    """Space-separate every CJK char while leaving Latin runs whole; Latin is
+    upper-cased so it matches the BPE vocab's casing.
 
     "你好世界是 hello world 的中文" -> "你 好 世 界 是 HELLO WORLD 的 中 文"
     """
-    chars = re.split(_CJK_RANGE_PATTERN, line.strip())
-    return " ".join([w.strip().upper() if do_upper_case else w.strip() for w in chars if w.strip()])
+    pieces = []
+    for m in _SEGMENT_RE.finditer(line):
+        seg = m.group().strip()
+        if not seg:
+            continue
+        pieces.append(seg.upper() if do_upper_case else seg)
+    return " ".join(pieces)
 
 
 def de_tokenized_by_CJK_char(line: str, do_lower_case: bool = False) -> str:
-    """Inverse of tokenize_by_CJK_char (reference behavior: common.py:54-81):
-    join CJK chars without spaces while keeping English word spacing."""
-    english_word_pattern = re.compile(r"([A-Z]+(?:[\s-][A-Z-]+)*)", re.IGNORECASE)
-    english_sents = english_word_pattern.findall(line)
-    for i, sent in enumerate(english_sents):
-        line = line.replace(sent, f"<sent_{i}>")
+    """Undo tokenize_by_CJK_char: drop the spaces between CJK chars but keep
+    the spacing inside Latin word groups.
 
-    words = line.split()
-    sent_placeholder_pattern = re.compile(r"^.*?(<sent_(\d+)>)")
-    for i in range(len(words)):
-        m = sent_placeholder_pattern.match(words[i])
-        if m:
-            placeholder_index = int(m.group(2))
-            words[i] = words[i].replace(m.group(1), english_sents[placeholder_index])
+    Latin runs are stashed behind numbered markers first, every remaining
+    space is removed, then the runs are swapped back in (lower-cased when
+    requested).
+    """
+    runs = _LATIN_RUN_RE.findall(line)
+    masked = line
+    for idx, run in enumerate(runs):
+        masked = masked.replace(run, f"<sent_{idx}>")
+
+    joined = []
+    for chunk in masked.split():
+        m = _MARKER_RE.search(chunk)
+        if m is not None:
+            chunk = chunk.replace(m.group(0), runs[int(m.group(1))])
             if do_lower_case:
-                words[i] = words[i].lower()
-    return "".join(words)
+                chunk = chunk.lower()
+        joined.append(chunk)
+    return "".join(joined)
 
 
 def make_pad_mask(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:

@@ -17,11 +17,50 @@ from __future__ import annotations
 import os
 import re
 import warnings
-from typing import List, Union
+from typing import List, Optional, Tuple, Union
 
 from indextts_tpu.utils.common import de_tokenized_by_CJK_char, tokenize_by_CJK_char
 from indextts_tpu.utils.spm import SentencePieceProcessor
 from indextts_tpu.utils import zh_num
+
+
+# ---------------------------------------------------------------------------
+# span protection: hide substrings behind sentinels while verbalizers run
+# ---------------------------------------------------------------------------
+
+
+def _slot_name(index: int) -> str:
+    return chr(ord("a") + index)
+
+
+def _stash_spans(text: str, pattern: re.Pattern, sentinel) -> Tuple[str, Optional[List[str]]]:
+    """Swap every match of `pattern` for a numbered sentinel so the digit /
+    latin verbalizer passes cannot touch it. Returns the masked text and the
+    ordered unique match list (None when nothing matched — the contract the
+    restore side checks)."""
+    found = [m.group(0) for m in pattern.finditer(text)]
+    if not found:
+        return text, None
+    unique = list(dict.fromkeys(found))
+    for slot, span in enumerate(unique):
+        text = text.replace(span, sentinel(slot))
+    return text, unique
+
+
+def _restore_spans(text: str, spans: Optional[List[str]], sentinel, transform=None) -> str:
+    if not spans:
+        return text
+    for slot, span in enumerate(spans):
+        text = text.replace(sentinel(slot), transform(span) if transform else span)
+    return text
+
+
+def _pinyin_sentinel(slot: int) -> str:
+    return f"<pinyin_{_slot_name(slot)}>"
+
+
+def _name_sentinel(slot: int) -> str:
+    return f"<n_{_slot_name(slot)}>"
 
 
 class TextNormalizer:
@@ -67,6 +106,12 @@ class TextNormalizer:
             ":": ",",
         }
         self.zh_char_rep_map = {"$": ".", **self.char_rep_map}
+        self._en_rep_re = self._compile_rep(self.char_rep_map)
+        self._zh_rep_re = self._compile_rep(self.zh_char_rep_map)
+
+    @staticmethod
+    def _compile_rep(rep_map) -> re.Pattern:
+        return re.compile("|".join(re.escape(k) for k in rep_map))
 
     # pinyin-with-tone pattern (reference: front.py:62)
     PINYIN_TONE_PATTERN = (
@@ -79,71 +124,54 @@ class TextNormalizer:
     # common English contractions expanded to "is" (reference: front.py:75)
     ENGLISH_CONTRACTION_PATTERN = r"(what|where|who|which|how|t?here|it|s?he|that|this)'s"
 
-    def match_email(self, email: str) -> bool:
-        return re.match(r"^[a-zA-Z0-9]+@[a-zA-Z0-9]+\.[a-zA-Z]+$", email) is not None
-
-    def use_chinese(self, s: str) -> bool:
-        has_chinese = bool(re.search(r"[一-鿿]", s))
-        has_alpha = bool(re.search(r"[a-zA-Z]", s))
-        is_email = self.match_email(s)
-        if has_chinese or not has_alpha or is_email:
-            return True
-        return bool(re.search(self.PINYIN_TONE_PATTERN, s, re.IGNORECASE))
+    _EMAIL_RE = re.compile(r"[a-zA-Z0-9]+@[a-zA-Z0-9]+\.[a-zA-Z]+$")
+    _HANZI_RE = re.compile(r"[一-鿿]")
+    _ALPHA_RE = re.compile(r"[a-zA-Z]")
 
     def load(self):
         self.loaded = True
 
-    # -- pinyin / name protection -----------------------------------------
+    # -- routing -----------------------------------------------------------
+    def match_email(self, email: str) -> bool:
+        return self._EMAIL_RE.match(email) is not None
+
+    def use_chinese(self, s: str) -> bool:
+        """Route to the zh pipeline when the text contains hanzi, contains no
+        latin letters at all, looks like an email, or carries pinyin tone
+        digits (the reference's routing, front.py:115-131)."""
+        if self._HANZI_RE.search(s):
+            return True
+        if not self._ALPHA_RE.search(s):
+            return True
+        if self.match_email(s):
+            return True
+        return re.search(self.PINYIN_TONE_PATTERN, s, re.IGNORECASE) is not None
+
+    # -- pinyin / name protection -------------------------------------------
     def correct_pinyin(self, pinyin: str) -> str:
-        """jqx + u/ü finals -> v (reference: front.py:144-155)."""
-        if pinyin[0] not in "jqxJQX":
+        """jqx + u/ü finals read as v (reference: front.py:144-155)."""
+        if pinyin[:1].lower() != "j" and pinyin[:1].lower() != "q" and pinyin[:1].lower() != "x":
             return pinyin
-        pattern = r"([jqx])[uü](n|e|an)*(\d)"
-        pinyin = re.sub(pattern, r"\g<1>v\g<2>\g<3>", pinyin, flags=re.IGNORECASE)
-        return pinyin.upper()
+        fixed = re.sub(
+            r"([jqx])[uü](n|e|an)*(\d)", r"\g<1>v\g<2>\g<3>", pinyin, flags=re.IGNORECASE
+        )
+        return fixed.upper()
 
-    def save_pinyin_tones(self, original_text):
-        origin_pinyin_pattern = re.compile(self.PINYIN_TONE_PATTERN, re.IGNORECASE)
-        original_pinyin_list = re.findall(origin_pinyin_pattern, original_text)
-        if len(original_pinyin_list) == 0:
-            return original_text, None
-        original_pinyin_list = list(set("".join(p) for p in original_pinyin_list))
-        transformed_text = original_text
-        for i, pinyin in enumerate(original_pinyin_list):
-            number = chr(ord("a") + i)
-            transformed_text = transformed_text.replace(pinyin, f"<pinyin_{number}>")
-        return transformed_text, original_pinyin_list
+    def save_pinyin_tones(self, original_text: str):
+        return _stash_spans(
+            original_text, re.compile(self.PINYIN_TONE_PATTERN, re.IGNORECASE), _pinyin_sentinel
+        )
 
-    def restore_pinyin_tones(self, normalized_text, original_pinyin_list):
-        if not original_pinyin_list:
-            return normalized_text
-        transformed_text = normalized_text
-        for i, pinyin in enumerate(original_pinyin_list):
-            number = chr(ord("a") + i)
-            pinyin = self.correct_pinyin(pinyin)
-            transformed_text = transformed_text.replace(f"<pinyin_{number}>", pinyin)
-        return transformed_text
+    def restore_pinyin_tones(self, normalized_text: str, original_pinyin_list):
+        return _restore_spans(
+            normalized_text, original_pinyin_list, _pinyin_sentinel, self.correct_pinyin
+        )
 
-    def save_names(self, original_text):
-        name_pattern = re.compile(self.NAME_PATTERN, re.IGNORECASE)
-        original_name_list = re.findall(name_pattern, original_text)
-        if len(original_name_list) == 0:
-            return original_text, None
-        original_name_list = list(set("".join(n) for n in original_name_list))
-        transformed_text = original_text
-        for i, name in enumerate(original_name_list):
-            number = chr(ord("a") + i)
-            transformed_text = transformed_text.replace(name, f"<n_{number}>")
-        return transformed_text, original_name_list
+    def save_names(self, original_text: str):
+        return _stash_spans(original_text, re.compile(self.NAME_PATTERN), _name_sentinel)
 
-    def restore_names(self, normalized_text, original_name_list):
-        if not original_name_list:
-            return normalized_text
-        transformed_text = normalized_text
-        for i, name in enumerate(original_name_list):
-            number = chr(ord("a") + i)
-            transformed_text = transformed_text.replace(f"<n_{number}>", name)
-        return transformed_text
+    def restore_names(self, normalized_text: str, original_name_list):
+        return _restore_spans(normalized_text, original_name_list, _name_sentinel)
 
     # -- verbalization passes ----------------------------------------------
     def _normalize_zh(self, text: str) -> str:
@@ -270,9 +298,10 @@ class TextNormalizer:
 
         t = re.sub(r"(\d{1,2}):(\d{2})", _time, t)
         # version/model suffixes: CosyVoice2 -> CosyVoice 2 (read as a word +
-        # a number, the reference FSTs' behavior per front.py:470 comments);
-        # letter->digit direction only so ordinals (1st) stay intact
-        t = re.sub(r"([A-Za-z])(\d)", r"\1 \2", t)
+        # a number, the reference FSTs' behavior per front.py:470 comments).
+        # Only whole letters-then-digits tokens split, so identifiers with
+        # interleaved digits (sha1 hashes, serials like "a94a8f") stay intact.
+        t = re.sub(r"(?<![A-Za-z0-9])([A-Za-z]+)(\d+)(?![A-Za-z0-9])", r"\1 \2", t)
         # percent
         t = re.sub(
             r"(\d+(?:\.\d+)?)\s*%",
@@ -350,46 +379,50 @@ class TextNormalizer:
         t = re.sub(r"\d+(?:\.\d+)?", lambda m: zh_num.en_number(m.group(0)), t)
         return t
 
+    # -- orchestration -------------------------------------------------------
     def normalize(self, text: str) -> str:
+        """Route zh/en, protect pinyin tones + joined Chinese names from the
+        digit verbalizers, then apply the punctuation replacement map."""
         if not self.loaded:
             print("Error, text normalizer is not initialized !!!")
             return ""
-        if self.use_chinese(text):
-            text = re.sub(self.ENGLISH_CONTRACTION_PATTERN, r"\1 is", text, flags=re.IGNORECASE)
-            replaced_text, pinyin_list = self.save_pinyin_tones(text.rstrip())
-            replaced_text, original_name_list = self.save_names(replaced_text)
-            result = self._normalize_zh(replaced_text)
-            result = self.restore_names(result, original_name_list)
-            result = self.restore_pinyin_tones(result, pinyin_list)
-            pattern = re.compile("|".join(re.escape(p) for p in self.zh_char_rep_map.keys()))
-            result = pattern.sub(lambda x: self.zh_char_rep_map[x.group()], result)
-        else:
-            text = re.sub(self.ENGLISH_CONTRACTION_PATTERN, r"\1 is", text, flags=re.IGNORECASE)
+        route_zh = self.use_chinese(text)
+        text = re.sub(self.ENGLISH_CONTRACTION_PATTERN, r"\1 is", text, flags=re.IGNORECASE)
+        if not route_zh:
             result = self._normalize_en(text)
-            pattern = re.compile("|".join(re.escape(p) for p in self.char_rep_map.keys()))
-            result = pattern.sub(lambda x: self.char_rep_map[x.group()], result)
-        return result
+            return self._en_rep_re.sub(lambda m: self.char_rep_map[m.group()], result)
+        masked, pinyins = self.save_pinyin_tones(text.rstrip())
+        masked, names = self.save_names(masked)
+        result = self._normalize_zh(masked)
+        result = self.restore_names(result, names)
+        result = self.restore_pinyin_tones(result, pinyins)
+        return self._zh_rep_re.sub(lambda m: self.zh_char_rep_map[m.group()], result)
 
 
 class TextTokenizer:
     """SentencePiece BPE tokenizer with CJK pre-tokenization and sentence
     splitting (behavioral reference: front.py:231-428)."""
 
+    # tokens that end a sentence (plus their leading-space BPE variants)
+    punctuation_marks_tokens = [".", "!", "?", "▁.", "▁?", "▁..."]
+    # a sentence mark directly followed by one of these never splits
+    _QUOTE_TOKENS = ("'", "▁'")
+
     def __init__(self, vocab_file: str = None, normalizer: TextNormalizer = None, sp_model=None):
         self.vocab_file = vocab_file
         self.normalizer = normalizer
-        if sp_model is not None:
-            self.sp_model = sp_model
-        else:
-            if self.vocab_file is None:
+        if sp_model is None:
+            if vocab_file is None:
                 raise ValueError("vocab_file is None")
-            if not os.path.exists(self.vocab_file):
-                raise ValueError(f"vocab_file {self.vocab_file} does not exist")
-            self.sp_model = SentencePieceProcessor(model_file=self.vocab_file)
+            if not os.path.exists(vocab_file):
+                raise ValueError(f"vocab_file {vocab_file} does not exist")
+            sp_model = SentencePieceProcessor(model_file=vocab_file)
+        self.sp_model = sp_model
         if self.normalizer:
             self.normalizer.load()
         self.pre_tokenizers = [tokenize_by_CJK_char]
 
+    # -- vocab / special-token surface (reference API contract) --------------
     @property
     def vocab_size(self):
         return self.sp_model.GetPieceSize()
@@ -444,105 +477,93 @@ class TextTokenizer:
     def convert_tokens_to_ids(self, tokens: Union[List[str], str]) -> List[int]:
         if isinstance(tokens, str):
             tokens = [tokens]
-        return [self.sp_model.PieceToId(token) for token in tokens]
+        return [self.sp_model.PieceToId(t) for t in tokens]
+
+    # -- encode / decode -----------------------------------------------------
+    def _preprocess(self, text: str) -> str:
+        if self.normalizer:
+            text = self.normalizer.normalize(text)
+        for pre in self.pre_tokenizers:
+            text = pre(text)
+        return text
 
     def tokenize(self, text: str) -> List[str]:
         return self.encode(text, out_type=str)
 
     def encode(self, text: str, **kwargs):
+        out_type = kwargs.pop("out_type", int)
         if len(text) == 0:
             return []
-        if len(text.strip()) == 1:
-            return self.sp_model.Encode(text, out_type=kwargs.pop("out_type", int), **kwargs)
-        if self.normalizer:
-            text = self.normalizer.normalize(text)
-        for pre_tokenizer in self.pre_tokenizers:
-            text = pre_tokenizer(text)
-        return self.sp_model.Encode(text, out_type=kwargs.pop("out_type", int), **kwargs)
+        # single visible chars bypass normalization (punctuation-only inputs
+        # would otherwise be rewritten away)
+        if len(text.strip()) != 1:
+            text = self._preprocess(text)
+        return self.sp_model.Encode(text, out_type=out_type, **kwargs)
 
     def batch_encode(self, texts: List[str], **kwargs):
-        if self.normalizer:
-            texts = [self.normalizer.normalize(text) for text in texts]
-        for pre_tokenizer in self.pre_tokenizers:
-            texts = [pre_tokenizer(text) for text in texts]
-        return self.sp_model.Encode(texts, out_type=kwargs.pop("out_type", int), **kwargs)
+        out_type = kwargs.pop("out_type", int)
+        return self.sp_model.Encode(
+            [self._preprocess(t) for t in texts], out_type=out_type, **kwargs
+        )
 
     def decode(self, ids: Union[List[int], int], do_lower_case=False, **kwargs):
-        if isinstance(ids, int):
-            ids = [ids]
-        decoded = self.sp_model.Decode(ids, out_type=kwargs.pop("out_type", str), **kwargs)
-        return de_tokenized_by_CJK_char(decoded, do_lower_case=do_lower_case)
+        out_type = kwargs.pop("out_type", str)
+        seq = [ids] if isinstance(ids, int) else ids
+        text = self.sp_model.Decode(seq, out_type=out_type, **kwargs)
+        return de_tokenized_by_CJK_char(text, do_lower_case=do_lower_case)
 
-    punctuation_marks_tokens = [".", "!", "?", "▁.", "▁?", "▁..."]
-
+    # -- sentence splitting ----------------------------------------------------
     @staticmethod
     def split_sentences_by_token(
         tokenized_str: List[str], split_tokens: List[str], max_tokens_per_sentence: int
     ) -> List[List[str]]:
-        """Split a token stream into sentences at `split_tokens`, falling back
-        to comma/dash splits then hard chunking, then re-merging short
-        sentences (behavioral reference: front.py:348-423)."""
-        if not tokenized_str:
-            return []
-        sentences = []
-        current_sentence = []
-        current_len = 0
-        i = 0
-        while i < len(tokenized_str):
-            token = tokenized_str[i]
-            current_sentence.append(token)
-            current_len += 1
-            should_split = (
-                token in split_tokens
-                and current_len > 2
-                and not (i + 1 < len(tokenized_str) and tokenized_str[i + 1] in {"'", "▁'"})
-            )
-            if current_len <= max_tokens_per_sentence and should_split:
-                sentences.append(current_sentence)
-                current_sentence = []
-                current_len = 0
-                i += 1
+        """Cut a token stream into sentences at `split_tokens`; a run that
+        grows past the budget without a boundary is re-split on commas, then
+        dashes, then hard-chunked; adjacent short sentences are re-merged up
+        to the budget (behavioral reference: front.py:348-423)."""
+        sentences: List[List[str]] = []
+        buf: List[str] = []
+        for pos, tok in enumerate(tokenized_str):
+            buf.append(tok)
+            if len(buf) > max_tokens_per_sentence:
+                sentences.extend(
+                    TextTokenizer._split_overflow(buf, split_tokens, max_tokens_per_sentence)
+                )
+                buf = []
                 continue
-            if current_len > max_tokens_per_sentence:
-                split_by = []
-                if not any(t in split_tokens for t in [",", "▁,"]) and any(
-                    t in current_sentence for t in [",", "▁,"]
-                ):
-                    split_by = [",", "▁,"]
-                elif "-" not in split_tokens and "-" in current_sentence:
-                    split_by = ["-"]
-                if split_by:
-                    sub_sentences = TextTokenizer.split_sentences_by_token(
-                        current_sentence, split_by, max_tokens_per_sentence
-                    )
-                else:
-                    sub_sentences = [
-                        current_sentence[j : j + max_tokens_per_sentence]
-                        for j in range(0, len(current_sentence), max_tokens_per_sentence)
-                    ]
-                    warnings.warn(
-                        f"[WARNING] Sentence token length exceeds max ({max_tokens_per_sentence}): {current_sentence}",
-                        RuntimeWarning,
-                    )
-                sentences.extend(sub_sentences)
-                current_sentence = []
-                current_len = 0
-            i += 1
-        if current_sentence:
-            assert current_len <= max_tokens_per_sentence
-            sentences.append(current_sentence)
+            if tok not in split_tokens or len(buf) <= 2:
+                continue
+            nxt = tokenized_str[pos + 1] if pos + 1 < len(tokenized_str) else None
+            if nxt in TextTokenizer._QUOTE_TOKENS:
+                continue  # quoted speech: keep the closing quote attached
+            sentences.append(buf)
+            buf = []
+        if buf:
+            sentences.append(buf)
         return TextTokenizer._merge_short_sentences(sentences, max_tokens_per_sentence)
 
     @staticmethod
+    def _split_overflow(buf: List[str], split_tokens: List[str], limit: int) -> List[List[str]]:
+        """Fallback chain for an over-budget run with no sentence boundary."""
+        commas = (",", "▁,")
+        if not any(c in split_tokens for c in commas) and any(t in commas for t in buf):
+            return TextTokenizer.split_sentences_by_token(buf, list(commas), limit)
+        if "-" not in split_tokens and "-" in buf:
+            return TextTokenizer.split_sentences_by_token(buf, ["-"], limit)
+        warnings.warn(
+            f"[WARNING] Sentence token length exceeds max ({limit}): {buf}",
+            RuntimeWarning,
+        )
+        return [buf[k : k + limit] for k in range(0, len(buf), limit)]
+
+    @staticmethod
     def _merge_short_sentences(sentences: List[List[str]], max_len: int) -> List[List[str]]:
-        if not sentences:
-            return []
-        merged = [sentences[0]]
-        for sentence in sentences[1:]:
-            if len(merged[-1]) + len(sentence) <= max_len:
-                merged[-1].extend(sentence)
+        merged: List[List[str]] = []
+        for sent in sentences:
+            if merged and len(merged[-1]) + len(sent) <= max_len:
+                merged[-1] = merged[-1] + sent
             else:
-                merged.append(sentence)
+                merged.append(sent)
         return merged
 
     def split_sentences(self, tokenized: List[str], max_tokens_per_sentence=120) -> List[List[str]]:
