@@ -22,7 +22,16 @@ import numpy as np
 from indextts_tpu.config import BigVGANConfig
 from indextts_tpu.models.ecapa import ecapa_apply, init_ecapa
 from indextts_tpu.ops.activations import leaky_relu, tanh
-from indextts_tpu.ops.antialias import anti_aliased_activation
+from indextts_tpu.ops.antialias import (
+    anti_aliased_activation,
+    anti_aliased_activation_folded,
+    conv1d_same_folded,
+    downsample1d_folded,
+    fold_time,
+    snake_folded,
+    unfold_time,
+    upsample1d_folded,
+)
 from indextts_tpu.ops.conv import conv1d, conv2d, conv_transpose1d, pad1d
 
 Params = Dict[str, Any]
@@ -129,6 +138,27 @@ def linear_interp_x4(x: jnp.ndarray) -> jnp.ndarray:
     return x[:, lo, :] * (1.0 - w) + x[:, hi, :] * w
 
 
+# Widest channel count at which folded execution wins over the composed
+# grouped-conv path (trace-verified on the v5e, docs/PERF.md round 3: the
+# diagonal-dense resampler kernels cost C× extra MXU FLOPs, which stops
+# paying once the composed path's lane padding tax fades).
+_FOLDED_MAX_CHANNELS = 96
+
+
+def _stage_fold(channels: int, t: int) -> int:
+    """Time-fold factor for running a whole resblock stage on the folded grid:
+    smallest power of two with s*C >= 128 lanes (the v5e lane tile), halved
+    until it divides T.  1 = run unfolded/composed."""
+    if channels > _FOLDED_MAX_CHANNELS:
+        return 1
+    s = 1
+    while s * channels < 128:
+        s *= 2
+    while s > 1 and t % s:
+        s //= 2
+    return s
+
+
 def _activation(p_act: Params, x: jnp.ndarray, h: BigVGANConfig, use_pallas: bool = False) -> jnp.ndarray:
     # the fused kernel puts channels in lanes; below 128 channels the lane
     # padding wastes more HBM traffic than the fusion saves, so narrow late
@@ -143,9 +173,47 @@ def _activation(p_act: Params, x: jnp.ndarray, h: BigVGANConfig, use_pallas: boo
             alpha_logscale=h.snake_logscale,
             interpret=jax.default_backend() == "cpu",
         )
+    if x.shape[-1] <= _FOLDED_MAX_CHANNELS:
+        s = _stage_fold(x.shape[-1], x.shape[1])
+        return anti_aliased_activation_folded(
+            x, p_act["alpha"], p_act.get("beta"), alpha_logscale=h.snake_logscale, s=s
+        )
     return anti_aliased_activation(
         x, p_act["alpha"], p_act.get("beta"), alpha_logscale=h.snake_logscale
     )
+
+
+def _activation_folded(p_act: Params, xf: jnp.ndarray, h: BigVGANConfig, c: int, s: int) -> jnp.ndarray:
+    """Anti-aliased activation with the signal already on the s-folded grid."""
+    yf = upsample1d_folded(xf, s, c)
+    yf = snake_folded(yf, p_act["alpha"], p_act.get("beta"), h.snake_logscale, 2 * s)
+    return downsample1d_folded(yf, s, c)
+
+
+def _amp_block1_folded(
+    p: Params, xf: jnp.ndarray, h: BigVGANConfig, kernel_size: int, dilations, c: int, s: int
+) -> jnp.ndarray:
+    """_amp_block1 on the s-folded grid — identical math, stride-1 dense convs
+    only (activations via the folded resamplers, dilated convs block-Toeplitz)."""
+    acts1 = p["acts"][::2]
+    acts2 = p["acts"][1::2]
+    for c1, c2, a1, a2, d in zip(p["convs1"], p["convs2"], acts1, acts2, dilations):
+        xt = _activation_folded(a1, xf, h, c, s)
+        xt = conv1d_same_folded(xt, c1["weight"], c1["bias"], dilation=d, s=s)
+        xt = _activation_folded(a2, xt, h, c, s)
+        xt = conv1d_same_folded(xt, c2["weight"], c2["bias"], dilation=1, s=s)
+        xf = xt + xf
+    return xf
+
+
+def _amp_block2_folded(
+    p: Params, xf: jnp.ndarray, h: BigVGANConfig, kernel_size: int, dilations, c: int, s: int
+) -> jnp.ndarray:
+    for cv, a, d in zip(p["convs"], p["acts"], dilations):
+        xt = _activation_folded(a, xf, h, c, s)
+        xt = conv1d_same_folded(xt, cv["weight"], cv["bias"], dilation=d, s=s)
+        xf = xt + xf
+    return xf
 
 
 def _amp_block1(
@@ -209,18 +277,37 @@ def bigvgan_apply(
         if h.cond_d_vector_in_each_upsampling_layer:
             cd = params["conds"][i]
             x = x + conv1d(spk, cd["weight"], cd["bias"])
+        c_stage = x.shape[-1]
+        s = 1 if use_pallas else _stage_fold(c_stage, x.shape[1])
         xs = None
-        for j in range(num_kernels):
-            p_rb = params["resblocks"][i * num_kernels + j]
-            kk = h.resblock_kernel_sizes[j]
-            dd = h.resblock_dilation_sizes[j]
-            out = (
-                _amp_block1(p_rb, x, h, kk, dd, use_pallas)
-                if h.resblock == "1"
-                else _amp_block2(p_rb, x, h, kk, dd, use_pallas)
-            )
-            xs = out if xs is None else xs + out
-        x = xs / num_kernels
+        if s > 1:
+            # run the whole stage on the s-folded grid [B, T/s, s*C]: the
+            # fold/unfold reshapes happen once per stage, every interior op is
+            # a stride-1 dense conv or elementwise at >=128-lane width
+            xf = fold_time(x, s)
+            for j in range(num_kernels):
+                p_rb = params["resblocks"][i * num_kernels + j]
+                kk = h.resblock_kernel_sizes[j]
+                dd = h.resblock_dilation_sizes[j]
+                out = (
+                    _amp_block1_folded(p_rb, xf, h, kk, dd, c_stage, s)
+                    if h.resblock == "1"
+                    else _amp_block2_folded(p_rb, xf, h, kk, dd, c_stage, s)
+                )
+                xs = out if xs is None else xs + out
+            x = unfold_time(xs / num_kernels, s)
+        else:
+            for j in range(num_kernels):
+                p_rb = params["resblocks"][i * num_kernels + j]
+                kk = h.resblock_kernel_sizes[j]
+                dd = h.resblock_dilation_sizes[j]
+                out = (
+                    _amp_block1(p_rb, x, h, kk, dd, use_pallas)
+                    if h.resblock == "1"
+                    else _amp_block2(p_rb, x, h, kk, dd, use_pallas)
+                )
+                xs = out if xs is None else xs + out
+            x = xs / num_kernels
 
     x = _activation(params["activation_post"], x, h, use_pallas)
     x = conv1d(x, params["conv_post"]["weight"], params["conv_post"]["bias"], padding=3)

@@ -84,6 +84,228 @@ def downsample1d(x: jnp.ndarray, ratio: int = 2, kernel_size: int = None) -> jnp
     return conv1d(xp, w, stride=ratio, padding=0, groups=c)
 
 
+@lru_cache(maxsize=4)
+def _folded_resample_taps(kernel_size: int = 12):
+    """Polyphase tap tables for the 2x resamplers on the phase-folded grid.
+
+    The 2x-rate signal y2[B, 2T, C] is held as yf[B, T, 2C] phase-major
+    (yf[:, s, p*C + c] == y2[:, 2s + p, c]).  On that grid both resamplers of
+    the alias-free activation (reference resample.py:10-48) are plain stride-1
+    K=7 convolutions — no lhs dilation, no stride, no feature groups, which is
+    exactly the set of lowerings XLA:TPU handles at full tilt (docs/PERF.md:
+    the lhs-dilated grouped form runs ~7x under the padded bandwidth bound).
+
+    Derivation (f = kaiser lowpass, K=12, up pad 5 replicate + crop 15/15,
+    down pad (5,6) replicate, both from upsample1d/downsample1d above):
+      up   : y2[2s+p] = 2*sum_w g_p[w] * x[clip(s + w - 3)]
+             g0[w] = 2 f[11-2w] (w<6),  g1[w] = 2 f[12-2w] (w>0)
+      down : z[s]    = sum_w h0[w] yf0[s+w-3] + h1[w] yf1[s+w-3]
+             h0[w] = f[2w-1] (w>0),     h1[w] = f[2w]    (w<6)
+    with replicate edges: x padded (3,3); yf padded by 3 frames per side,
+    left frame = y2[0] (phase-0 channels of frame 0), right frame = y2[2T-1]
+    (phase-1 channels of the last frame).
+    """
+    f = kaiser_sinc_filter1d(0.25, 0.3, kernel_size).astype(np.float64)
+    g = np.zeros((7, 2), np.float64)
+    h = np.zeros((7, 2), np.float64)
+    for w in range(6):
+        g[w, 0] = 2.0 * f[11 - 2 * w]
+        g[w + 1, 1] = 2.0 * f[12 - 2 * (w + 1)]
+        h[w + 1, 0] = f[2 * (w + 1) - 1]
+        h[w, 1] = f[2 * w]
+    return g.astype(np.float32), h.astype(np.float32)
+
+
+def fold_time(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """[B, T, C] -> [B, T/s, s*C] time fold; sample t = s*n + q lands at
+    folded channel q*C + c.  Row-major contiguous, so a pure reshape."""
+    if s == 1:
+        return x
+    b, t, c = x.shape
+    return x.reshape(b, t // s, s * c)
+
+
+def unfold_time(xf: jnp.ndarray, s: int) -> jnp.ndarray:
+    """Inverse of fold_time."""
+    if s == 1:
+        return xf
+    b, n, sc = xf.shape
+    return xf.reshape(b, n * s, sc // s)
+
+
+def _expand_diag(wk: np.ndarray, c: int) -> np.ndarray:
+    """Per-sample tap table [K, Pin, Pout] -> folded depthwise-as-dense conv
+    kernel [K, Pin*C, Pout*C] (same filter for every channel c)."""
+    k, pin, pout = wk.shape
+    eye = np.eye(c, dtype=np.float32)
+    return (wk[:, :, None, :, None] * eye[None, None, :, None, :]).reshape(k, pin * c, pout * c)
+
+
+@lru_cache(maxsize=64)
+def _folded_up_kernel(s: int, c: int):
+    """Kernel for the 2x anti-alias upsample on the s-folded grid:
+    [B, N, s*C] -> [B, N, 2s*C] (N = T/s).  Returns (np kernel [K, sC, 2sC],
+    (pad_left_frames, pad_right_frames)); pads are REPLICATE frames built from
+    the first/last unfolded sample (see upsample1d_folded)."""
+    g, _ = _folded_resample_taps()
+    entries = []
+    for r in range(2 * s):
+        p = r % 2
+        for w in range(7):
+            if g[w, p] == 0.0:
+                continue
+            dt, q = divmod(r // 2 + w - 3, s)
+            entries.append((dt, q, r, g[w, p]))
+    dtmin = min(e[0] for e in entries)
+    dtmax = max(e[0] for e in entries)
+    wk = np.zeros((dtmax - dtmin + 1, s, 2 * s), np.float32)
+    for dt, q, r, wt in entries:
+        wk[dt - dtmin, q, r] += wt
+    return _expand_diag(wk, c), (-dtmin, dtmax)
+
+
+@lru_cache(maxsize=64)
+def _folded_down_kernel(s: int, c: int):
+    """Kernel for the 2x anti-alias downsample on the s-folded grid:
+    [B, N, 2s*C] -> [B, N, s*C].  Same return convention as _folded_up_kernel;
+    pad frames replicate the first/last 2x-rate sample."""
+    f = kaiser_sinc_filter1d(0.25, 0.3, 12).astype(np.float64)
+    entries = []
+    for r in range(s):
+        for j in range(12):
+            dt, q2 = divmod(2 * r + j - 5, 2 * s)
+            entries.append((dt, q2, r, float(f[j])))
+    dtmin = min(e[0] for e in entries)
+    dtmax = max(e[0] for e in entries)
+    wk = np.zeros((dtmax - dtmin + 1, 2 * s, s), np.float32)
+    for dt, q2, r, wt in entries:
+        wk[dt - dtmin, q2, r] += wt
+    return _expand_diag(wk.astype(np.float32), c), (-dtmin, dtmax)
+
+
+def _replicate_pad_frames(xf: jnp.ndarray, c: int, pads) -> jnp.ndarray:
+    """Pad a folded signal with whole frames that replicate the first/last
+    UNFOLDED sample (matching torch replicate padding at the signal edges).
+    The first sample is folded channel block [0:C] of frame 0; the last is
+    block [-C:] of the final frame."""
+    pl, pr = pads
+    parts = []
+    if pl:
+        parts.append(jnp.tile(xf[:, :1, :c], (1, pl, xf.shape[-1] // c)))
+    parts.append(xf)
+    if pr:
+        parts.append(jnp.tile(xf[:, -1:, -c:], (1, pr, xf.shape[-1] // c)))
+    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else xf
+
+
+def upsample1d_folded(xf: jnp.ndarray, s: int = 1, channels: int = None) -> jnp.ndarray:
+    """2x anti-alias upsample on the s-folded grid.
+
+    xf: [B, T/s, s*C] (fold_time of the stage signal).  Output [B, T/s, 2s*C]
+    holding the 2x-rate signal y2 with y2[2s*n + r, c] at channel r*C + c.
+    Numerically identical to upsample1d(unfold, 2, 12) then fold — but lowers
+    to one stride-1 dense conv (no lhs dilation, no groups), which is the
+    difference between ~36 GB/s and full-tilt HBM streaming on XLA:TPU
+    (docs/PERF.md; reference CUDA kernel solves the same lowering problem at
+    anti_alias_activation_cuda.cu:35-41)."""
+    c = channels or xf.shape[-1] // s
+    w, pads = _folded_up_kernel(s, c)
+    xp = _replicate_pad_frames(xf, c, pads)
+    return conv1d(xp, jnp.asarray(w, xf.dtype), stride=1, padding=0)
+
+
+def downsample1d_folded(yf: jnp.ndarray, s: int = 1, channels: int = None) -> jnp.ndarray:
+    """2x anti-alias downsample on the s-folded grid: [B, N, 2s*C] -> [B, N, s*C]."""
+    c = channels or yf.shape[-1] // (2 * s)
+    w, pads = _folded_down_kernel(s, c)
+    yp = _replicate_pad_frames(yf, c, pads)
+    return conv1d(yp, jnp.asarray(w, yf.dtype), stride=1, padding=0)
+
+
+@lru_cache(maxsize=128)
+def _fold_conv_scatter(k: int, d: int, s: int):
+    """Static scatter tensor S[K_s, q, r, k] mapping a dense 1x conv kernel
+    (odd k, dilation d, torch 'same' zero padding d*(k-1)/2) onto the s-folded
+    grid, plus (pad_left_frames, pad_right_frames) of ZERO frames."""
+    k0 = (k - 1) // 2
+    entries = []
+    for r in range(s):
+        for kk in range(k):
+            dt, q = divmod(r + (kk - k0) * d, s)
+            entries.append((dt, q, r, kk))
+    dtmin = min(e[0] for e in entries)
+    dtmax = max(e[0] for e in entries)
+    scat = np.zeros((dtmax - dtmin + 1, s, s, k), np.float32)
+    for dt, q, r, kk in entries:
+        scat[dt - dtmin, q, r, kk] = 1.0
+    return scat, (-dtmin, dtmax)
+
+
+def conv1d_same_folded(
+    xf: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray = None,
+    dilation: int = 1,
+    s: int = 1,
+) -> jnp.ndarray:
+    """Dense 1x conv (weight [k, Cin, Cout], odd k, 'same' zero pad, stride 1)
+    applied on the s-folded grid: [B, N, s*Cin] -> [B, N, s*Cout].
+
+    The folded kernel is block-Toeplitz — s times the FLOPs of the unfolded
+    conv, but the MXU is idle at these widths and the fold removes the lane
+    padding tax that dominates narrow-stage conv traffic."""
+    k, cin, cout = weight.shape
+    if s == 1:
+        return conv1d(xf, weight, bias, padding=dilation * (k - 1) // 2, dilation=dilation)
+    scat, (pl, pr) = _fold_conv_scatter(k, dilation, s)
+    wf = jnp.einsum(
+        "tqrk,kio->tqiro", jnp.asarray(scat, weight.dtype), weight
+    ).reshape(scat.shape[0], s * cin, s * cout)
+    xp = jnp.pad(xf, ((0, 0), (pl, pr), (0, 0)))
+    out = conv1d(xp, wf, stride=1, padding=0)
+    if bias is not None:
+        out = out + jnp.tile(bias, s).astype(out.dtype)
+    return out
+
+
+def fold_2x(y2: jnp.ndarray) -> jnp.ndarray:
+    """[B, 2T, C] -> [B, T, 2C] phase-major (testing/interop helper)."""
+    return fold_time(y2, 2)
+
+
+def unfold_2x(yf: jnp.ndarray) -> jnp.ndarray:
+    """[B, T, 2C] phase-major -> [B, 2T, C]."""
+    return unfold_time(yf, 2)
+
+
+def snake_folded(yf, alpha, beta, alpha_logscale: bool, phases: int):
+    """Snake(/beta) on a folded signal: per-channel params tile across the
+    `phases` sample slots of each frame (exp(tile(a)) == tile(exp(a)))."""
+    a = jnp.tile(alpha, phases)
+    if beta is None:
+        return snake(yf, a, alpha_logscale)
+    return snake_beta(yf, a, jnp.tile(beta, phases), alpha_logscale)
+
+
+def anti_aliased_activation_folded(
+    x: jnp.ndarray,
+    alpha: jnp.ndarray,
+    beta: jnp.ndarray = None,
+    alpha_logscale: bool = False,
+    s: int = 1,
+) -> jnp.ndarray:
+    """anti_aliased_activation computed entirely on the s-folded grid.
+
+    Exact reformulation (same taps, same replicate edges, same snake) of the
+    composed path — the 2x intermediate is [B, T/s, 2s*C] instead of
+    [B, 2T, C], so XLA sees stride-1 dense convs at >=128-lane widths."""
+    xf = fold_time(x, s)
+    c = x.shape[-1]
+    yf = upsample1d_folded(xf, s, c)
+    yf = snake_folded(yf, alpha, beta, alpha_logscale, 2 * s)
+    return unfold_time(downsample1d_folded(yf, s, c), s)
+
+
 def anti_aliased_activation(
     x: jnp.ndarray,
     alpha: jnp.ndarray,

@@ -307,6 +307,58 @@ class TestAntiAlias:
         assert y.shape == x.shape
 
 
+class TestFoldedAntiAlias:
+    """The phase-folded reformulation ([B,T,2C] stride-1 dense convs) must be
+    numerically identical to the composed path it replaces on narrow stages."""
+
+    @pytest.mark.parametrize("s", [1, 2, 4, 8])
+    @pytest.mark.parametrize("b,t,c", [(2, 64, 5), (1, 8, 3), (3, 32, 24), (1, 128, 1)])
+    def test_upsample_folded_matches_composed(self, b, t, c, s):
+        from indextts_tpu.ops.antialias import fold_time, unfold_time, upsample1d_folded
+
+        if t % s:
+            pytest.skip("fold must divide T")
+        x = jnp.asarray(rng.standard_normal((b, t, c)).astype(np.float32))
+        gold = np.asarray(upsample1d(x, 2, 12))
+        mine = np.asarray(unfold_time(upsample1d_folded(fold_time(x, s), s, c), 2 * s))
+        np.testing.assert_allclose(mine, gold, atol=2e-6)
+
+    @pytest.mark.parametrize("s", [1, 2, 4, 8])
+    @pytest.mark.parametrize("b,t,c", [(2, 64, 5), (1, 8, 3), (3, 32, 24)])
+    def test_downsample_folded_matches_composed(self, b, t, c, s):
+        from indextts_tpu.ops.antialias import downsample1d_folded, fold_time, unfold_time
+
+        y2 = jnp.asarray(rng.standard_normal((b, 2 * t, c)).astype(np.float32))
+        gold = np.asarray(downsample1d(y2, 2, 12))
+        mine = np.asarray(unfold_time(downsample1d_folded(fold_time(y2, 2 * s), s, c), s))
+        np.testing.assert_allclose(mine, gold, atol=2e-6)
+
+    @pytest.mark.parametrize("s", [1, 2, 8])
+    @pytest.mark.parametrize("logscale", [True, False])
+    @pytest.mark.parametrize("with_beta", [True, False])
+    def test_activation_folded_matches_composed(self, logscale, with_beta, s):
+        from indextts_tpu.ops.antialias import anti_aliased_activation_folded
+
+        x = jnp.asarray(rng.standard_normal((2, 48, 7)).astype(np.float32))
+        a = jnp.asarray(rng.standard_normal(7).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal(7).astype(np.float32)) if with_beta else None
+        gold = np.asarray(anti_aliased_activation(x, a, b, alpha_logscale=logscale))
+        mine = np.asarray(anti_aliased_activation_folded(x, a, b, alpha_logscale=logscale, s=s))
+        np.testing.assert_allclose(mine, gold, atol=1e-5)
+
+    @pytest.mark.parametrize("s", [2, 4, 8])
+    @pytest.mark.parametrize("k,d", [(3, 1), (7, 3), (11, 5)])
+    def test_conv_same_folded_matches_unfolded(self, k, d, s):
+        from indextts_tpu.ops.antialias import conv1d_same_folded, fold_time, unfold_time
+
+        x = jnp.asarray(rng.standard_normal((2, 64, 6)).astype(np.float32))
+        w = jnp.asarray((0.1 * rng.standard_normal((k, 6, 6))).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal(6).astype(np.float32))
+        gold = np.asarray(conv1d(x, w, b, padding=d * (k - 1) // 2, dilation=d))
+        mine = np.asarray(unfold_time(conv1d_same_folded(fold_time(x, s), w, b, dilation=d, s=s), s))
+        np.testing.assert_allclose(mine, gold, atol=2e-6)
+
+
 class TestSampling:
     def test_top_k_matches_hf(self):
         from transformers.generation.logits_process import TopKLogitsWarper

@@ -116,6 +116,19 @@ class TestBigVGAN:
         b = np.asarray(bigvgan_apply(params, h, x, mel, speaker_embedding=spk))
         np.testing.assert_allclose(a, b, atol=1e-6)
 
+    def test_folded_routing_matches_composed(self, setup, monkeypatch):
+        """Full generator output is invariant to the folded/composed routing
+        threshold (the folded path must be an exact reformulation)."""
+        import indextts_tpu.models.bigvgan as bv
+
+        h, params = setup
+        x = jnp.asarray(rng.standard_normal((1, 8, 16)).astype(np.float32))
+        mel = jnp.asarray(rng.standard_normal((1, 40, 100)).astype(np.float32))
+        folded = np.asarray(bigvgan_apply(params, h, x, mel))
+        monkeypatch.setattr(bv, "_FOLDED_MAX_CHANNELS", -1)
+        composed = np.asarray(bigvgan_apply(params, h, x, mel))
+        np.testing.assert_allclose(folded, composed, atol=2e-5)
+
     def test_jit_compiles(self, setup):
         h, params = setup
         fn = jax.jit(lambda p, x, m: bigvgan_apply(p, h, x, m))

@@ -64,7 +64,10 @@ def main():
     if not paths:
         return
 
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    try:
+        from tensorflow.core.profiler.protobuf import xplane_pb2
+    except ModuleNotFoundError:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     space = xplane_pb2.XSpace()
     with open(paths[0], "rb") as f:
