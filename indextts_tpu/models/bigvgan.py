@@ -183,8 +183,25 @@ def _activation(p_act: Params, x: jnp.ndarray, h: BigVGANConfig, use_pallas: boo
     )
 
 
+# Fused Pallas kernel for the folded activation. Slope-timed SLOWER than the
+# XLA folded path at every vocoder shape (tools/profile_fused_folded.py:
+# 2.9 vs 0.06 ms at s=8, 2.4 vs 1.3 at s=4, 3.5 vs 1.9 at s=2 — the per-tap
+# stacked matmuls pay ku+kd times the dense FLOPs while XLA's folded convs hit
+# the MXU directly; docs/PERF.md negative result #8). Kept opt-in for
+# measurement: INDEXTTS_FUSED_AA=1.
+import os as _os
+
+_USE_FUSED_AA = _os.environ.get("INDEXTTS_FUSED_AA", "") == "1"
+
+
 def _activation_folded(p_act: Params, xf: jnp.ndarray, h: BigVGANConfig, c: int, s: int) -> jnp.ndarray:
     """Anti-aliased activation with the signal already on the s-folded grid."""
+    if _USE_FUSED_AA and s > 1 and jax.default_backend() == "tpu":
+        from indextts_tpu.ops.pallas.antialias_folded import fused_folded_aa
+
+        return fused_folded_aa(
+            xf, p_act["alpha"], p_act.get("beta"), h.snake_logscale, s, c
+        )
     yf = upsample1d_folded(xf, s, c)
     yf = snake_folded(yf, p_act["alpha"], p_act.get("beta"), h.snake_logscale, 2 * s)
     return downsample1d_folded(yf, s, c)

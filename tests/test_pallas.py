@@ -61,3 +61,41 @@ def test_bigvgan_pallas_path_matches_composed():
     gold = np.asarray(bigvgan_apply(params, h, x, mel))
     mine = np.asarray(bigvgan_apply(params, h, x, mel, use_pallas=True))
     np.testing.assert_allclose(mine, gold, atol=5e-5)
+
+
+# ---- fused FOLDED activation kernel (ops/pallas/antialias_folded.py) ----
+
+from indextts_tpu.ops.antialias import (
+    downsample1d_folded,
+    snake_folded,
+    upsample1d_folded,
+)
+from indextts_tpu.ops.pallas.antialias_folded import fused_folded_aa
+
+
+@pytest.mark.parametrize("s,c,n", [(8, 24, 256), (4, 48, 256), (2, 96, 128)])
+def test_fused_folded_matches_xla_path(s, c, n):
+    """fused_folded_aa (interpret) == up/snake/down on the folded grid."""
+    x = rng.standard_normal((2, n, s * c)).astype(np.float32)
+    alpha = (rng.standard_normal(c) * 0.3).astype(np.float32)
+    beta = (rng.standard_normal(c) * 0.3).astype(np.float32)
+    xj, aj, bj = jnp.asarray(x), jnp.asarray(alpha), jnp.asarray(beta)
+    y = upsample1d_folded(xj, s, c)
+    y = snake_folded(y, aj, bj, True, 2 * s)
+    gold = np.asarray(downsample1d_folded(y, s, c))
+    mine = np.asarray(fused_folded_aa(xj, aj, bj, True, s, c, interpret=True))
+    assert mine.shape == gold.shape
+    np.testing.assert_allclose(mine, gold, atol=3e-5)
+
+
+def test_fused_folded_small_n_falls_back():
+    """N not divisible by the block (or too small) routes to the XLA path."""
+    s, c = 4, 48
+    x = rng.standard_normal((1, 20, s * c)).astype(np.float32)
+    alpha = np.abs(rng.standard_normal(c)).astype(np.float32)
+    xj, aj = jnp.asarray(x), jnp.asarray(alpha)
+    y = upsample1d_folded(xj, s, c)
+    y = snake_folded(y, aj, None, False, 2 * s)
+    gold = np.asarray(downsample1d_folded(y, s, c))
+    mine = np.asarray(fused_folded_aa(xj, aj, None, False, s, c, interpret=True))
+    np.testing.assert_allclose(mine, gold, atol=3e-5)
