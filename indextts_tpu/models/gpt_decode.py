@@ -749,6 +749,92 @@ def _decode_block_beam(layer_p, x, kp, vp, kg, vg, bias_p, bias_g, heads, nb):
     return x + h, k_new, v_new
 
 
+def _roll_beams(t: jnp.ndarray, delta: int, nb: int) -> jnp.ndarray:
+    """Static sibling-rotation within each row's beam group of a flat
+    [B*nb, ...] tensor: result[(b, m)] = t[(b, (m + delta) % nb)]."""
+    if delta % nb == 0:
+        return t
+    bn = t.shape[0]
+    g = t.reshape(bn // nb, nb, *t.shape[1:])
+    idx = tuple((m + delta) % nb for m in range(nb))
+    return jnp.concatenate([g[:, m : m + 1] for m in idx], axis=1).reshape(t.shape)
+
+
+def _decode_block_beam_lineage(layer_p, x, kp, vp, kg, vg, lin_masks, bias_p, bias_g, heads, nb):
+    """Beam decode block with an UNPERMUTED split cache: beam ancestry is
+    resolved inside attention instead of physically reordering the
+    [B*nb, H, N, Dh] generated cache every step. The physical reorder
+    measured ~16 of the 21 ms/step beam loop (tools/trace_beam.py) — both
+    as a gather and as a one-hot matmul, because any re-layout of the
+    lane-padded 590 MB cache pays ~6 ms. Formulations that reshaped or
+    sliced the cache per source beam made XLA flip the cache layout to
+    N-in-lanes, which turned the per-step column write into a ~2.6 ms
+    full-buffer copy; so kg/vg appear ONLY in the exact einsum forms the
+    greedy path uses, and the lineage selection happens on the SMALL
+    tensors: queries / scores / attention rows are rotated within each
+    beam group (sibling rows share a batch row) and masked per rotation.
+
+    lin_masks[delta][r, 1, s] = 1 iff query row r takes position s from the
+    sibling cache row rotated by -delta (delta = (m - j) % nb for query
+    beam m and source beam j). Exact: each selected score is the identical
+    dot product the permuted cache would produce, and each discarded term
+    is an exact zero, which cannot perturb float accumulation. Semantics of
+    HF _reorder_cache (reference model.py:194-207).
+    """
+    from indextts_tpu.ops.quant import matmul_maybe_quantized
+
+    bn, d = x.shape
+    b = bn // nb
+    dh = d // heads
+    h = layer_norm(x, layer_p["ln_1"]["weight"], layer_p["ln_1"]["bias"])
+    qkv = matmul_maybe_quantized(h, layer_p["attn_qkv"])
+    q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(bn, heads, dh)
+    k_new = k_new.reshape(bn, heads, dh)
+    v_new = v_new.reshape(bn, heads, dh)
+    scale = 1.0 / math.sqrt(dh)
+
+    qb = q.reshape(b, nb, heads, dh)
+    sp = jnp.einsum("bnhd,bhpd->bnhp", qb, kp).astype(jnp.float32) * scale
+    sp = sp + bias_p[:, None, None, :]
+    p_len = kp.shape[2]
+    sp = sp.reshape(bn, heads, p_len)
+
+    # scores: s_d[c, s] = q[sibling(c, +delta)] . kg[c, s]; rotate back to
+    # query rows and lineage-select. (Stacking the rotated queries on an
+    # extra einsum dim to read the cache once instead of nb times flips the
+    # cache layout and nets out SLOWER: 9.8 vs 7.6 ms/step — the per-delta
+    # form keeps the greedy path's operand shapes and cheap column write.)
+    sg = None
+    for delta in range(nb):
+        qd = _roll_beams(q, delta, nb)
+        s_d = jnp.einsum("bhd,bhsd->bhs", qd, kg).astype(jnp.float32)
+        term = _roll_beams(s_d, -delta, nb) * lin_masks[delta]
+        sg = term if sg is None else sg + term
+    sg = sg * scale + bias_g[:, None, :]
+    ss = jnp.sum(q * k_new, axis=-1, keepdims=True).astype(jnp.float32) * scale
+    scores = jnp.concatenate([sp, sg, ss], axis=-1)
+    attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    ap = attn[..., :p_len].reshape(b, nb, heads, p_len)
+    op = jnp.einsum("bnhp,bhpd->bnhd", ap, vp).reshape(bn, heads, dh)
+    # values: mask the attention rows to the positions sourced at this
+    # rotation, rotate them onto their cache rows, contract, rotate back
+    ag = attn[..., p_len:-1]
+    og = None
+    for delta in range(nb):
+        a_d = _roll_beams(ag * lin_masks[delta].astype(x.dtype), delta, nb)
+        o_d = jnp.einsum("bhs,bhsd->bhd", a_d, vg)
+        term = _roll_beams(o_d, -delta, nb)
+        og = term if og is None else og + term
+    out = op + og + attn[..., -1:] * v_new
+    a = matmul_maybe_quantized(out.reshape(bn, d), layer_p["attn_proj"])
+    x = x + a
+    h = layer_norm(x, layer_p["ln_2"]["weight"], layer_p["ln_2"]["bias"])
+    h = gelu_new(matmul_maybe_quantized(h, layer_p["mlp_fc"]))
+    h = matmul_maybe_quantized(h, layer_p["mlp_proj"])
+    return x + h, k_new, v_new
+
+
 def generate_speech_beam(
     params: Params,
     cfg: GPTConfig,
@@ -761,12 +847,16 @@ def generate_speech_beam(
     top_p=0.8,
     repetition_penalty=10.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Beam decode with a split KV cache: the prefill runs once per batch row
-    (not per beam) and its cache is shared read-only across beams, so beam
-    reorders gather only the generated-region cache [L, B*nb, H, max_new, Dh]
-    — the HF `_reorder_cache` equivalent (model.py:194-207) without copying
-    the prompt K/V every step. Sampling semantics identical to
-    `_generate_speech_beam_dense` (the oracle in tests/test_beam_oracle.py).
+    """Beam decode with a split, NEVER-REORDERED KV cache: the prefill runs
+    once per batch row (not per beam) and is shared read-only across beams;
+    the generated-region cache [L, B*nb, H, max_new, Dh] stays where each
+    physical row wrote it, and beam ancestry is resolved inside attention
+    from a small per-position lineage map (_decode_block_beam_lineage) —
+    the HF `_reorder_cache` equivalent (model.py:194-207) with zero
+    per-step cache movement (physical reorders measured 16 of 21 ms/step,
+    tools/trace_beam.py; this runs at ~7.6 ms/step). Sampling semantics
+    identical to `_generate_speech_beam_dense` (the oracle in
+    tests/test_beam_oracle.py).
 
     Returns (codes [B, max_new], lengths [B]) for the best finished beam.
     """
@@ -850,10 +940,12 @@ def generate_speech_beam(
     codes, beam_scores, seen, done_best, flat_src, cur = step_beams(
         0, logits0, codes0, beam_scores0, seen0, best0
     )
-    # nothing written to kg/vg yet -> no gather needed for the first reorder
+    # nothing written to kg/vg yet -> the lineage map starts empty (zeros)
+    lin0 = jnp.zeros((bb, max_new), jnp.int32)
+    own_local = (jnp.arange(bb) % nb).astype(jnp.int32)
 
     def cond_fn(state):
-        i, codes, beam_scores, kg, vg, seen, cur, (best_score, _, _) = state
+        i, codes, beam_scores, kg, vg, lin, seen, cur, (best_score, _, _) = state
         if not gen.early_stopping:
             return i < max_new - 1
         lp = jnp.asarray(max_new, jnp.float32) ** gen.length_penalty
@@ -861,14 +953,22 @@ def generate_speech_beam(
         return jnp.logical_and(i < max_new - 1, jnp.any(best_possible > best_score))
 
     def body_fn(state):
-        i, codes, beam_scores, kg, vg, seen, cur, done_best = state
+        i, codes, beam_scores, kg, vg, lin, seen, cur, done_best = state
         x = params["mel_embedding"][cur] + params["mel_pos_embedding"][i + 2]
         bias_g = jnp.where(gen_positions < i, 0.0, NEG_INF).astype(jnp.float32)  # [1, N]
+        # lin_masks[delta][r, 1, s]: 1 iff query row r = (b, m) takes
+        # position s from the sibling cache row with beam (m - delta) % nb
+        # (positions >= i are bias-masked; their lineage value is irrelevant)
+        m_idx = (jnp.arange(bb, dtype=jnp.int32) % nb)[:, None]  # [bb, 1]
+        lin_masks = [
+            (((m_idx - lin) % nb) == delta).astype(jnp.float32)[:, None, :]
+            for delta in range(nb)
+        ]
 
         def scan_body(x, layer):
             layer_p, kgl, vgl, kpl, vpl = layer
-            out, k_new, v_new = _decode_block_beam(
-                layer_p, x, kpl, vpl, kgl, vgl, bias_p, bias_g, heads, nb
+            out, k_new, v_new = _decode_block_beam_lineage(
+                layer_p, x, kpl, vpl, kgl, vgl, lin_masks, bias_p, bias_g, heads, nb
             )
             return out, (k_new, v_new)
 
@@ -880,12 +980,14 @@ def generate_speech_beam(
         codes, beam_scores, seen, done_best, flat_src, nxt = step_beams(
             i + 1, logits, codes, beam_scores, seen, done_best
         )
-        kg2 = kg2[:, flat_src]
-        vg2 = vg2[:, flat_src]
-        return (i + 1, codes, beam_scores, kg2, vg2, seen, nxt, done_best)
+        # no cache reorder: position i was just written by each beam's own
+        # physical row; compose that into the lineage, then permute the SMALL
+        # per-position map (bb x max_new int32) by the successor choice
+        lin2 = jax.lax.dynamic_update_slice(lin, own_local[:, None], (0, i))[flat_src]
+        return (i + 1, codes, beam_scores, kg2, vg2, lin2, seen, nxt, done_best)
 
-    state = (jnp.asarray(0), codes, beam_scores, kg, vg, seen, cur, done_best)
-    i, codes, beam_scores, kg, vg, seen, cur, (best_score, best_codes, best_len) = jax.lax.while_loop(
+    state = (jnp.asarray(0), codes, beam_scores, kg, vg, lin0, seen, cur, done_best)
+    i, codes, beam_scores, kg, vg, lin, seen, cur, (best_score, best_codes, best_len) = jax.lax.while_loop(
         cond_fn, body_fn, state
     )
 

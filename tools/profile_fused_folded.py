@@ -21,6 +21,9 @@ N_HI = 9
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_bench_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
     from indextts_tpu.ops.antialias import (
