@@ -32,7 +32,13 @@ def load_torch_state_dict(path: str, key: Optional[str] = None) -> Dict[str, np.
         obj = obj[key]
     elif "model" in obj and isinstance(obj.get("model"), dict):
         obj = obj["model"]
-    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in obj.items()}
+
+    def to_np(v):
+        if isinstance(v, dict):  # nested module state dicts (e.g. {'mpd': ..., 'mrd': ...})
+            return {k: to_np(x) for k, x in v.items()}
+        return v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+
+    return {k: to_np(v) for k, v in obj.items()}
 
 
 def _t(w: np.ndarray) -> np.ndarray:
@@ -402,6 +408,62 @@ def convert_dvae(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
     if R > 0:
         params["dec_in"] = conv("decoder.0")
     return params
+
+
+# ---------------------------------------------------------------------------
+# BigVGAN discriminators (bigvgan_discriminator.pth)
+# ---------------------------------------------------------------------------
+
+
+def _folded_conv2d(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    """Weight-normed torch Conv2d -> folded lax-layout conv params."""
+    if f"{prefix}.weight_v" in sd:
+        w = weight_norm_fold(sd[f"{prefix}.weight_v"], sd[f"{prefix}.weight_g"])
+    elif f"{prefix}.parametrizations.weight.original1" in sd:
+        w = weight_norm_fold(
+            sd[f"{prefix}.parametrizations.weight.original1"],
+            sd[f"{prefix}.parametrizations.weight.original0"],
+        )
+    else:
+        w = sd[f"{prefix}.weight"]
+    out = {"weight": _conv2d_w(w)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"]
+    return out
+
+
+def convert_discriminator(sd: Dict[str, Any], h: BigVGANConfig) -> Dict[str, Any]:
+    """bigvgan_discriminator.pth -> {"mpd": ..., "mrd": ...} param trees for
+    models/bigvgan.py's mpd_apply/mrd_apply.
+
+    Accepts either the nested training-checkpoint layout
+    ({"mpd": state_dict, "mrd": state_dict} — the upstream BigVGAN `do_*`
+    convention) or a flat state dict with "mpd."/"mrd." key prefixes.
+    Weight norm is folded at conversion (reference structure:
+    /root/reference/indextts/BigVGAN/models.py:278-417 — DiscriminatorP
+    convs are (K,1) weight-normed Conv2ds, DiscriminatorR convs are (3,9)
+    / (3,3) Conv2ds over the magnitude STFT)."""
+    if "mpd" in sd and isinstance(sd["mpd"], dict):
+        flat: Dict[str, np.ndarray] = {}
+        for mod in ("mpd", "mrd"):
+            for k, v in sd[mod].items():
+                flat[f"{mod}.{k}"] = np.asarray(v)
+        sd = flat
+
+    def one(mod, i):
+        p = f"{mod}.discriminators.{i}"
+        n_convs = len(
+            [k for k in sd if k.startswith(f"{p}.convs.") and k.endswith(".bias")]
+        )
+        return {
+            "convs": [_folded_conv2d(sd, f"{p}.convs.{j}") for j in range(n_convs)],
+            "conv_post": _folded_conv2d(sd, f"{p}.conv_post"),
+        }
+
+    return {
+        "mpd": {"discriminators": [one("mpd", i) for i in range(len(h.mpd_reshapes))]},
+        "mrd": {"discriminators": [one("mrd", i) for i in range(len(h.resolutions))]},
+    }
 
 
 # ---------------------------------------------------------------------------

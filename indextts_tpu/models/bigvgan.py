@@ -412,11 +412,11 @@ def init_discriminator_r(rng, h: BigVGANConfig):
 
 
 def _stft_mag_jnp(x: jnp.ndarray, n_fft: int, hop: int, win_length: int) -> jnp.ndarray:
-    """Magnitude STFT, center=False, hann window — matches DiscriminatorR's
-    torch.stft usage after its own reflect padding (models.py:381-389)."""
-    n = win_length + 1
-    window = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * jnp.arange(n) / (n - 1))
-    window = window[:win_length]
+    """Magnitude STFT, center=False, RECTANGULAR window — DiscriminatorR's
+    torch.stft call passes no window (models.py:381-389), which torch treats
+    as ones over win_length, zero-padded centered to n_fft (parity pinned by
+    tests/test_reference_oracle.py::TestDiscriminatorOracle)."""
+    window = jnp.ones((win_length,))
     if win_length < n_fft:
         lpad = (n_fft - win_length) // 2
         window = jnp.pad(window, (lpad, n_fft - win_length - lpad))

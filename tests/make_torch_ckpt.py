@@ -197,6 +197,82 @@ def make_bigvgan_state_dict(h, rng=None):
     return sd
 
 
+def make_discriminator_state_dict(h, rng=None):
+    """bigvgan_discriminator.pth layout: flat "mpd."/"mrd."-prefixed
+    weight-normed Conv2d keys (reference structure: BigVGAN/models.py:278-417)."""
+    import torch
+
+    rng = rng or np.random.default_rng(2)
+    sd = {}
+
+    def wn2d(prefix, shape):
+        sd[f"{prefix}.weight_g"] = torch.ones((shape[0], 1, 1, 1))
+        sd[f"{prefix}.weight_v"] = _t(shape, rng)
+        sd[f"{prefix}.bias"] = torch.zeros(shape[0])
+
+    dm = h.discriminator_channel_mult
+    chans = [1, int(32 * dm), int(128 * dm), int(512 * dm), int(1024 * dm), int(1024 * dm)]
+    for i in range(len(h.mpd_reshapes)):
+        p = f"mpd.discriminators.{i}"
+        for j in range(5):
+            wn2d(f"{p}.convs.{j}", (chans[j + 1], chans[j], 5, 1))
+        wn2d(f"{p}.conv_post", (1, chans[5], 3, 1))
+    c = int(32 * dm)
+    for i in range(len(h.resolutions)):
+        p = f"mrd.discriminators.{i}"
+        wn2d(f"{p}.convs.0", (c, 1, 3, 9))
+        for j in (1, 2, 3):
+            wn2d(f"{p}.convs.{j}", (c, c, 3, 9))
+        wn2d(f"{p}.convs.4", (c, c, 3, 3))
+        wn2d(f"{p}.conv_post", (1, c, 3, 3))
+    return sd
+
+
+def make_dvae_state_dict(cfg, rng=None):
+    """dvae.pth layout (Sequential indices per convert_dvae's docstring /
+    reference vqvae/xtts_dvae.py:251-291), shapes taken from our init tree
+    and transposed back to torch conv layout."""
+    import torch
+
+    import jax
+
+    from indextts_tpu.models.dvae import init_dvae
+
+    rng = rng or np.random.default_rng(3)
+    params = init_dvae(jax.random.PRNGKey(11), cfg)
+    L, R = cfg.num_layers, cfg.num_resnet_blocks
+    sd = {}
+
+    def conv(prefix, p):
+        w = np.asarray(p["weight"])  # [K, Cin, Cout]
+        sd[f"{prefix}.weight"] = _t(np.transpose(w, (2, 1, 0)).shape, rng)
+        sd[f"{prefix}.bias"] = torch.zeros(w.shape[2])
+
+    def res(prefix, p):
+        conv(f"{prefix}.net.0", p["conv0"])
+        conv(f"{prefix}.net.2", p["conv1"])
+        conv(f"{prefix}.net.4", p["conv2"])
+
+    for i in range(L):
+        conv(f"encoder.{i}.0", params["enc_convs"][i])
+    for r in range(R):
+        res(f"encoder.{L + r}", params["enc_res"][r])
+    conv(f"encoder.{L + R}", params["enc_out"])
+    dec_off = 1 if R > 0 else 0
+    if R > 0:
+        conv("decoder.0", params["dec_in"])
+    for r in range(R):
+        res(f"decoder.{dec_off + r}", params["dec_res"][r])
+    for i in range(L):
+        conv(f"decoder.{dec_off + R + i}.0.conv", params["dec_convs"][i])
+    conv(f"decoder.{dec_off + R + L}", params["dec_out"])
+    cb = params["codebook"]
+    sd["codebook.embed"] = _t(np.asarray(cb["embed"]).shape, rng, scale=0.5)
+    sd["codebook.cluster_size"] = torch.ones(np.asarray(cb["cluster_size"]).shape)
+    sd["codebook.embed_avg"] = _t(np.asarray(cb["embed_avg"]).shape, rng, scale=0.5)
+    return sd
+
+
 def write_checkpoints(cfg, out_dir: str):
     """Write gpt.pth + bigvgan_generator.pth (+ config.yaml) for `cfg`."""
     import os
@@ -211,6 +287,11 @@ def write_checkpoints(cfg, out_dir: str):
         {"generator": make_bigvgan_state_dict(cfg.bigvgan)},
         os.path.join(out_dir, "bigvgan_generator.pth"),
     )
+    torch.save(
+        make_discriminator_state_dict(cfg.bigvgan),
+        os.path.join(out_dir, "bigvgan_discriminator.pth"),
+    )
+    torch.save(make_dvae_state_dict(cfg.dvae), os.path.join(out_dir, "dvae.pth"))
     save_config(cfg, os.path.join(out_dir, "config.yaml"))
 
     # a real serialized sentencepiece BPE model (A-Z chars + punctuation)

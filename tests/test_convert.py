@@ -85,3 +85,34 @@ class TestTreeIO:
         save_params_npz(tree, path)
         loaded = load_params_npz(path)
         np.testing.assert_array_equal(loaded["c"]["d"]["e"], 3.0)
+
+
+class TestFidelityLoop:
+    def test_eval_fidelity_runs_on_converted_weights(self, tmp_path, capsys):
+        """End-to-end VERDICT #5 contract: when dvae.pth and
+        bigvgan_discriminator.pth exist in --model_dir, the fidelity loop
+        converts and uses them (no SystemExit, report names the files)."""
+        pytest.importorskip("torch")
+        import json
+        import sys
+
+        sys.path.insert(0, "/root/repo/tests")
+        from make_torch_ckpt import write_checkpoints
+        from test_engine import tiny_config
+
+        out = str(tmp_path / "ckpt")
+        write_checkpoints(tiny_config(), out)
+
+        sys.path.insert(0, "/root/repo/tools")
+        import eval_fidelity
+
+        eval_fidelity.main([
+            "--wav", "tests/sample_prompt.wav",
+            "--model_dir", out,
+            "--cfg", f"{out}/config.yaml",
+        ])
+        report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert report["dvae_weights"].endswith("dvae.pth")
+        assert report["discriminator_weights"].endswith("bigvgan_discriminator.pth")
+        assert np.isfinite(report["dvae_round_trip_mse"])
+        assert np.isfinite(report["mpd_disc_loss"]) and np.isfinite(report["mrd_disc_loss"])

@@ -10,6 +10,7 @@ import pytest
 from indextts_tpu.config import (
     BigVGANConfig,
     ConditionModuleConfig,
+    DVAEConfig,
     GPTConfig,
     IndexTTSConfig,
     save_config,
@@ -51,6 +52,14 @@ def tiny_config() -> IndexTTSConfig:
             num_mels=100,
             speaker_embedding_dim=32,
             sampling_rate=24000,
+            discriminator_channel_mult=0.25,
+            mpd_reshapes=(2, 3),
+            resolutions=((128, 20, 80), (256, 40, 160), (64, 10, 40)),
+        ),
+        dvae=DVAEConfig(
+            channels=80, num_tokens=32, codebook_dim=16, hidden_dim=16,
+            num_resnet_blocks=1, kernel_size=3, num_layers=2,
+            use_transposed_convs=False, activation="relu",
         ),
     )
 

@@ -77,12 +77,17 @@ def ref():
         sys.path.insert(0, REFERENCE_ROOT)
     try:
         from indextts.BigVGAN.models import BigVGAN as RefBigVGAN
+        from indextts.BigVGAN.models import (
+            MultiPeriodDiscriminator as RefMPD,
+            MultiResolutionDiscriminator as RefMRD,
+        )
         from indextts.gpt.model import UnifiedVoice as RefUnifiedVoice
         from indextts.vqvae.xtts_dvae import DiscreteVAE as RefDiscreteVAE
     except Exception as e:  # pragma: no cover - environment-dependent
         pytest.skip(f"reference modules unimportable: {e}")
     ns = types.SimpleNamespace(
-        UnifiedVoice=RefUnifiedVoice, BigVGAN=RefBigVGAN, DiscreteVAE=RefDiscreteVAE
+        UnifiedVoice=RefUnifiedVoice, BigVGAN=RefBigVGAN, DiscreteVAE=RefDiscreteVAE,
+        MPD=RefMPD, MRD=RefMRD,
     )
     return ns
 
@@ -532,3 +537,108 @@ class TestDVAEOracle:
         np.testing.assert_array_equal(got_codes, want_codes)
         got_mel = np.asarray(decode(params, cfg, jnp.asarray(got_codes)))
         np.testing.assert_allclose(got_mel.transpose(0, 2, 1), want_mel, atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# BigVGAN discriminators (bigvgan_discriminator.pth)
+# ---------------------------------------------------------------------------
+
+DISC_KW: Dict[str, Any] = dict(
+    discriminator_channel_mult=0.25,
+    use_spectral_norm=False,
+    mpd_reshapes=[2, 3],
+    resolutions=[[128, 20, 80], [256, 40, 160], [64, 10, 40]],
+)
+
+
+@pytest.fixture(scope="module")
+def ref_discriminators(ref):
+    torch.manual_seed(3)
+    h = AttrDict({**DISC_KW, "get": lambda *a: False})
+    mpd = ref.MPD(h)
+    mrd = ref.MRD(h)
+    mpd.eval(); mrd.eval()
+    return mpd, mrd
+
+
+class TestDiscriminatorOracle:
+    def _convert(self, mpd, mrd):
+        from indextts_tpu.convert import convert_discriminator
+
+        sd = TrackingDict(
+            {f"mpd.{k}": v.detach().cpu().numpy() for k, v in mpd.state_dict().items()}
+        )
+        sd.update({f"mrd.{k}": v.detach().cpu().numpy() for k, v in mrd.state_dict().items()})
+        h = BigVGANConfig.from_dict(dict(BIGVGAN_KW, **DISC_KW))
+        return sd, h, convert_discriminator(sd, h)
+
+    def test_converter_consumes_all_real_keys(self, ref_discriminators):
+        mpd, mrd = ref_discriminators
+        sd, h, params = self._convert(mpd, mrd)
+        unused = set(sd) - sd.accessed
+        assert not unused, f"converter ignored real checkpoint keys: {sorted(unused)}"
+
+        from indextts_tpu.models.bigvgan import init_mpd, init_mrd
+
+        ours = flatten_tree(
+            {"mpd": init_mpd(jax.random.PRNGKey(0), h), "mrd": init_mrd(jax.random.PRNGKey(1), h)}
+        )
+        conv = flatten_tree(params)
+        assert set(ours) == set(conv)
+        for k in ours:
+            assert np.shape(ours[k]) == np.shape(conv[k]), k
+
+    def test_nested_checkpoint_layout(self, ref_discriminators):
+        """Upstream BigVGAN `do_*` checkpoints nest per-module state dicts."""
+        from indextts_tpu.convert import convert_discriminator
+
+        mpd, mrd = ref_discriminators
+        nested = {
+            "mpd": {k: v.detach().cpu().numpy() for k, v in mpd.state_dict().items()},
+            "mrd": {k: v.detach().cpu().numpy() for k, v in mrd.state_dict().items()},
+        }
+        h = BigVGANConfig.from_dict(dict(BIGVGAN_KW, **DISC_KW))
+        flat_sd, _, flat_params = self._convert(mpd, mrd)
+        nested_params = convert_discriminator(nested, h)
+        a, b = flatten_tree(flat_params), flatten_tree(nested_params)
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+
+    def test_mpd_forward_parity(self, ref_discriminators):
+        mpd, _ = ref_discriminators
+        _, h, params = self._convert(*ref_discriminators)
+        rng = np.random.default_rng(8)
+        y = (0.3 * rng.standard_normal((2, 1, 601))).astype(np.float32)
+        y_hat = (0.3 * rng.standard_normal((2, 1, 601))).astype(np.float32)
+        with torch.no_grad():
+            w_rs, w_gs, w_fr, w_fg = mpd(torch.from_numpy(y), torch.from_numpy(y_hat))
+        from indextts_tpu.models.bigvgan import mpd_apply
+
+        g_rs, g_gs, g_fr, g_fg = mpd_apply(
+            params["mpd"], h, jnp.asarray(y.transpose(0, 2, 1)), jnp.asarray(y_hat.transpose(0, 2, 1))
+        )
+        for want, got in zip(w_rs + w_gs, g_rs + g_gs):
+            np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=2e-4, rtol=2e-4)
+        # fmaps: ours are NHWC [B, T/p, p, C]; torch NCHW [B, C, T/p, p]
+        for want_list, got_list in zip(w_fr + w_fg, g_fr + g_fg):
+            for want, got in zip(want_list, got_list):
+                np.testing.assert_allclose(
+                    np.transpose(np.asarray(got), (0, 3, 1, 2)), want.numpy(), atol=2e-4, rtol=2e-4
+                )
+
+    def test_mrd_forward_parity(self, ref_discriminators):
+        _, mrd = ref_discriminators
+        _, h, params = self._convert(*ref_discriminators)
+        rng = np.random.default_rng(9)
+        y = (0.3 * rng.standard_normal((2, 1, 800))).astype(np.float32)
+        y_hat = (0.3 * rng.standard_normal((2, 1, 800))).astype(np.float32)
+        with torch.no_grad():
+            w_rs, w_gs, _, _ = mrd(torch.from_numpy(y), torch.from_numpy(y_hat))
+        from indextts_tpu.models.bigvgan import mrd_apply
+
+        g_rs, g_gs, _, _ = mrd_apply(
+            params["mrd"], h, jnp.asarray(y.transpose(0, 2, 1)), jnp.asarray(y_hat.transpose(0, 2, 1))
+        )
+        for want, got in zip(w_rs + w_gs, g_rs + g_gs):
+            np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=3e-4, rtol=3e-4)
