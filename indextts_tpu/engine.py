@@ -184,11 +184,13 @@ class IndexTTS:
         if use_mesh is None:
             use_mesh = len(jax.devices()) > 1 and self.device == "tpu"
         if use_mesh and len(jax.devices()) > 1:
-            from indextts_tpu.parallel.mesh import make_mesh, replicated, shard_gpt_params
+            from indextts_tpu.parallel.mesh import make_mesh, shard_gpt_params, vocoder_sharding
 
             self.mesh = make_mesh(tp=tp)
             self.gpt_params = shard_gpt_params(self.gpt_params, self.mesh)
-            self.bigvgan_params = jax.device_put(self.bigvgan_params, replicated(self.mesh))
+            # vocoder/ECAPA replicated by design; batch rows ride the data
+            # axis (mesh.vocoder_sharding docstring has the rationale)
+            self.bigvgan_params = jax.device_put(self.bigvgan_params, vocoder_sharding(self.mesh))
             print(f">> mesh: {dict(zip(self.mesh.axis_names, self.mesh.devices.shape))} (tensor-parallel GPT)")
 
         bpe_path = os.path.join(model_dir, self.cfg.dataset.get("bpe_model", "bpe.model"))
@@ -397,6 +399,15 @@ class IndexTTS:
         padded = np.full((b, l), self.cfg.gpt.stop_text_token, np.int32)
         padded[:, :l0] = text_tokens
         conds_b = jnp.broadcast_to(conds, (b,) + conds.shape[1:]) if conds.shape[0] != b else conds
+        if self.mesh is not None and b % self.mesh.shape["data"] == 0 and b > 1:
+            # DP serving: batch rows ride the data axis; weights stay
+            # TP-sharded/replicated (tests/test_engine_mesh.py pins output
+            # equality with the unsharded path)
+            from indextts_tpu.parallel.mesh import shard_batch
+
+            conds_b, padded, text_lengths = shard_batch(
+                self.mesh, (jnp.asarray(conds_b), jnp.asarray(padded), jnp.asarray(text_lengths))
+            )
         self._rng, sub = jax.random.split(self._rng)
         seg = 160
         if gen.max_new_tokens >= 2 * seg:

@@ -109,3 +109,32 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def vocoder_sharding(mesh: Mesh) -> NamedSharding:
+    """BigVGAN generator + ECAPA placement: REPLICATED, by design.
+
+    The vocoder is ~56 MB of bf16 conv weights — 2% of the GPT — and its
+    compute is 1-D convolutions whose natural parallel axis is the batch.
+    Tensor-splitting conv channels would insert halo/all-gather collectives
+    around every K=3..11 conv for negligible memory savings, so weights are
+    replicated and multi-chip vocoding rides the DATA axis (each chip
+    vocodes its own batch rows; see shard_batch). The conditioning stack
+    (conformer/perceiver, inside the GPT tree) is replicated for the same
+    reason via gpt_param_spec's default P()."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree: Any) -> Any:
+    """Place activation arrays batch-first onto the data axis (DP serving:
+    batch rows split across chips, model weights replicated or TP-sharded).
+    Arrays whose leading dim doesn't divide the data axis stay replicated."""
+    dp = mesh.shape["data"]
+
+    def place(x):
+        nd = getattr(x, "ndim", 0)
+        if nd >= 1 and x.shape[0] % dp == 0 and x.shape[0] > 0:
+            return jax.device_put(x, data_sharding(mesh, nd))
+        return jax.device_put(x, replicated(mesh))
+
+    return jax.tree_util.tree_map(place, tree)

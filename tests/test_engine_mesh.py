@@ -49,3 +49,49 @@ def test_mesh_engine_infer_fast(ckpt):
         max_mel_tokens=8, repetition_penalty=1.0, max_text_tokens_per_sentence=12,
     )
     assert sr == 24000 and wav.shape[0] > 0
+
+
+def test_mesh_dp_batched_decode_matches_single(ckpt):
+    """VERDICT round-2 #8: DP-sharded batched decode — batch 8 split over the
+    data axis through generate_speech must reproduce the unsharded output."""
+    from indextts_tpu.models.gpt_decode import GenerationConfig
+
+    rng = np.random.default_rng(2)
+    mel = rng.standard_normal((1, 100, 60)).astype(np.float32)
+    tokens = rng.integers(2, 40, (8, 9)).astype(np.int32)
+    lengths = np.asarray([9, 7, 9, 5, 9, 9, 6, 9], np.int32)
+    gen = GenerationConfig(do_sample=False, num_beams=1, max_new_tokens=10)
+
+    single = IndexTTS(cfg_path=f"{ckpt}/config.yaml", model_dir=ckpt, is_fp16=False,
+                      allow_random_init=True, use_mesh=False)
+    meshed = IndexTTS(cfg_path=f"{ckpt}/config.yaml", model_dir=ckpt, is_fp16=False,
+                      allow_random_init=True, use_mesh=True, tp=2)
+    assert meshed.mesh is not None and meshed.mesh.shape["data"] == 4
+
+    conds_s = single._conds_for(mel)
+    conds_m = meshed._conds_for(mel)
+    codes_s, lens_s = single._gpt_generate(conds_s, tokens, lengths, gen, 1.0, 0.8, 1.0)
+    codes_m, lens_m = meshed._gpt_generate(conds_m, tokens, lengths, gen, 1.0, 0.8, 1.0)
+    np.testing.assert_array_equal(lens_s, lens_m)
+    np.testing.assert_array_equal(codes_s, codes_m)
+
+
+def test_mesh_dp_batched_vocoder(ckpt):
+    """Replicated-vocoder DP: batch rows data-sharded through bigvgan_apply
+    equal the unsharded waveforms (mesh.vocoder_sharding design)."""
+    import jax.numpy as jnp
+
+    from indextts_tpu.models.bigvgan import bigvgan_apply
+    from indextts_tpu.parallel.mesh import make_mesh, shard_batch, vocoder_sharding
+
+    meshed = IndexTTS(cfg_path=f"{ckpt}/config.yaml", model_dir=ckpt, is_fp16=False,
+                      allow_random_init=True, use_mesh=True, tp=2)
+    h = meshed.cfg.bigvgan
+    rng = np.random.default_rng(3)
+    latent = rng.standard_normal((8, 16, h.gpt_dim)).astype(np.float32)
+    mel_ref = rng.standard_normal((8, 50, h.num_mels)).astype(np.float32)
+
+    base = np.asarray(bigvgan_apply(meshed.bigvgan_params, h, jnp.asarray(latent), jnp.asarray(mel_ref)))
+    lat_s, mel_s = shard_batch(meshed.mesh, (jnp.asarray(latent), jnp.asarray(mel_ref)))
+    out = np.asarray(bigvgan_apply(meshed.bigvgan_params, h, lat_s, mel_s))
+    np.testing.assert_allclose(out, base, atol=1e-5)
