@@ -10,6 +10,35 @@ split/merge with punctuation / comma / dash fallbacks and hard chunking).
 The reference's WeTextProcessing pynini FSTs (front.py:100-111) are replaced by
 the rule-based verbalizer in zh_num.py plus the regex passes below — same
 routing and protection semantics, self-contained implementation.
+
+WeTextProcessing (tn.chinese/english) category checklist — every row has a
+pinned test (tests/test_frontend.py: corpus = TestNormalizerReferenceCorpus,
+cat = TestNormalizerWextCategories):
+
+  category                 | rule (this file)            | test
+  -------------------------+-----------------------------+--------------------
+  full dates 2025/1/2      | _normalize_zh dates         | corpus (iPhone ¥)
+  years 2002年             | years rule                  | corpus (第一场雪)
+  partial dates 3月5号     | partial-date rule           | cat (month-day)
+  weekdays 周3/星期7       | weekday rule                | cat (weekday)
+  clock times 20:00        | _time                       | corpus (北京时间)
+  phone/long IDs           | phone + \d{8,} digit read   | corpus (电话) / cat (卡号)
+  temperatures ±°C/°F      | temperature rules           | cat (气温/体温)
+  percents 2.5%            | percent rule                | corpus (IndexTTS)
+  ordinals 第N             | 第 rule (二 never 两)       | cat (第1名/第2000名)
+  money ¥/$                | money rules                 | corpus (¥12999)
+  currency ranges ¥X-Y     | currency-range rules        | cat (价格区间)
+  plain ranges 3-5/3~5     | range rule                  | cat (预计3-5天)
+  fractions 1/3            | fraction rule               | cat (篇幅/比分)
+  negatives -5             | negative rule               | cat (海拔)
+  trailing plus 3000+      | plus rule                   | corpus (点赞)
+  units km/h, 3.2g         | unit rules                  | corpus (速度) / cat (重3.2g)
+  scale-word 两 (2万)      | 两-before-scale rule        | cat (2万元)
+  measure-word 两 (2个)    | 两-before-counter rule      | cat (measure words)
+  mixed 万/亿 + decimals   | generic zh_number + 万亿    | cat (3.5万亿)
+  general numbers          | final zh_number pass        | corpus (465篇/315万字)
+  en times/money/percent/  | _normalize_en               | corpus + cat (en)
+    ordinals/cents/ranges  |                             |
 """
 
 from __future__ import annotations
@@ -190,6 +219,20 @@ class TextNormalizer:
         )
         # years: 2002年
         t = re.sub(r"(\d{3,4})年", lambda m: zh_num.zh_digits(m.group(1)) + "年", t)
+        # partial dates: 3月5号 / 03月15日 (year-less; the full-date rule
+        # above already consumed 年月日 triples)
+        t = re.sub(
+            r"(\d{1,2})\s*月\s*(\d{1,2})\s*([日号])",
+            lambda m: zh_num.zh_integer(m.group(1)) + "月" + zh_num.zh_integer(m.group(2)) + m.group(3),
+            t,
+        )
+        # weekdays: 周3 / 星期2 / 礼拜7
+        _wd = {"1": "一", "2": "二", "3": "三", "4": "四", "5": "五", "6": "六", "7": "日"}
+        t = re.sub(
+            r"(星期|周|礼拜)([1-7])",
+            lambda m: m.group(1) + _wd[m.group(2)],
+            t,
+        )
         # clock times: 20:00 / 8:30 / 08:00:30
         def _time(m):
             h, mm, ss = m.group(1), m.group(2), m.group(3)
@@ -226,6 +269,18 @@ class TextNormalizer:
         )
         # ordinals: 第3 -> 第三 (第 always selects 二, never 两)
         t = re.sub(r"第(\d+)", lambda m: "第" + zh_num.zh_integer(m.group(1)).replace("两", "二"), t)
+        # currency ranges first (else the single-money rule eats the left
+        # endpoint and leaves "-5000" to the negative rule): ¥3000-5000
+        t = re.sub(
+            r"[¥￥]\s*(\d+(?:\.\d+)?)\s*[-~～]\s*[¥￥]?\s*(\d+(?:\.\d+)?)",
+            lambda m: zh_num.zh_number(m.group(1)) + "到" + zh_num.zh_number(m.group(2)) + "元",
+            t,
+        )
+        t = re.sub(
+            r"\$\s*(\d+(?:\.\d+)?)\s*[-~～]\s*\$?\s*(\d+(?:\.\d+)?)",
+            lambda m: zh_num.zh_number(m.group(1)) + "到" + zh_num.zh_number(m.group(2)) + "美元",
+            t,
+        )
         # money: ¥12999 / ￥12999 / $12.5
         t = re.sub(
             r"[¥￥]\s*(\d+(?:\.\d+)?)",
@@ -275,8 +330,15 @@ class TextNormalizer:
         )
         # long digit identifiers (8+ digits) read digit-by-digit with 幺
         t = re.sub(r"\d{8,}", lambda m: zh_num.zh_digits(m.group(0), tel=True), t)
-        # standalone 2 directly before a hanzi scale word reads 两 (2万 -> 两万)
+        # standalone 2 before a hanzi scale word or measure word/counter
+        # reads 两 (2万 -> 两万, 2个 -> 两个; 12个 stays 十二个). 年 excluded:
+        # duration 2年 conventionally reads 二年 in the tn grammars.
         t = re.sub(r"(?<![\d.])2(?=[万亿千])", "两", t)
+        t = re.sub(
+            r"(?<![\d.])2(?=[个只件条张位名本辆杯次层间家场台部首封颗棵套顿瓶碗盘双对组群批斤])",
+            "两",
+            t,
+        )
         # remaining numbers -> standard reading
         t = re.sub(r"\d+(?:\.\d+)?", lambda m: zh_num.zh_number(m.group(0)), t)
         return t

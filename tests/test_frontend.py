@@ -196,6 +196,22 @@ class TestNormalizerWextCategories:
             ("全长2000米，耗资2万元，历时2年", ["两千米", "两万元", "二年"]),
             ("22000人参加", ["两万两千人"]),
             ("第2000名", ["第二千名"]),
+            # partial (year-less) dates
+            ("活动3月15号开始", ["三月十五号"]),
+            ("他2月3日出生", ["二月三日"]),
+            # weekday digit forms
+            ("周3开会", ["周三"]),
+            ("星期7休息", ["星期日"]),
+            ("礼拜6逛街", ["礼拜六"]),
+            # currency ranges (single-money rule must not eat the left end)
+            ("价格¥3000-5000之间", ["三千到五千元"]),
+            ("门票$10-20", ["十到二十美元"]),
+            # measure-word 两 selection (12个 must stay 十二个)
+            ("买2个苹果和12个梨", ["两个", "十二个"]),
+            ("2只猫2条狗住在2层", ["两只", "两条", "两层"]),
+            # mixed 万/亿 with decimals
+            ("市值3.5万亿元", ["三点五万亿元"]),
+            ("涨了1.2亿", ["一点二亿"]),
         ],
     )
     def test_zh_categories(self, normalizer, text, must_contain):
