@@ -1,5 +1,5 @@
 # -*- coding: utf-8 -*-
-"""Text frontend: normalization, BPE tokenization, sentence splitting.
+r"""Text frontend: normalization, BPE tokenization, sentence splitting.
 
 Public surface mirrors the reference frontend (indextts/utils/front.py):
 `TextNormalizer` (zh/en routing, pinyin-tone protection, Chinese-name
