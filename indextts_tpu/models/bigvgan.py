@@ -178,6 +178,12 @@ def _activation(p_act: Params, x: jnp.ndarray, h: BigVGANConfig, use_pallas: boo
         return anti_aliased_activation_folded(
             x, p_act["alpha"], p_act.get("beta"), alpha_logscale=h.snake_logscale, s=s
         )
+    if _os.environ.get("INDEXTTS_WIDE_POLY", "") == "1":
+        from indextts_tpu.ops.antialias import anti_aliased_activation_polyphase
+
+        return anti_aliased_activation_polyphase(
+            x, p_act["alpha"], p_act.get("beta"), alpha_logscale=h.snake_logscale
+        )
     return anti_aliased_activation(
         x, p_act["alpha"], p_act.get("beta"), alpha_logscale=h.snake_logscale
     )

@@ -18,6 +18,7 @@ from __future__ import annotations
 import math
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -304,6 +305,52 @@ def anti_aliased_activation_folded(
     yf = upsample1d_folded(xf, s, c)
     yf = snake_folded(yf, alpha, beta, alpha_logscale, 2 * s)
     return unfold_time(downsample1d_folded(yf, s, c), s)
+
+
+def _shift_add_dw(xp: jnp.ndarray, taps, out_t: int) -> jnp.ndarray:
+    """Depthwise stride-1 conv as a chain of static-slice multiply-adds
+    (taps: 1-D python/np sequence). XLA fuses the shifted reads into one
+    elementwise pass — no grouped-conv lowering at all."""
+    acc = None
+    for w, t in enumerate(np.asarray(taps).tolist()):
+        if t == 0.0:
+            continue
+        term = jnp.asarray(t, xp.dtype) * jax.lax.slice_in_dim(xp, w, w + out_t, axis=1)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def anti_aliased_activation_polyphase(
+    x: jnp.ndarray,
+    alpha: jnp.ndarray,
+    beta: jnp.ndarray = None,
+    alpha_logscale: bool = False,
+) -> jnp.ndarray:
+    """anti_aliased_activation via per-phase depthwise shift-and-add convs.
+
+    Exact reformulation for WIDE stages (C >= 128 lanes): the 2x up/down
+    resamplers decompose into their two polyphase branches (taps g/h from
+    _folded_resample_taps — same filters, same replicate edges), each a
+    stride-1 depthwise conv expressed as fused static-slice multiply-adds;
+    the phase interleave/deinterleave is a sublane reshape. No lhs-dilated
+    or grouped conv lowerings anywhere. (The round-2 negative result on
+    polyphase slices was measured at C=24 where lane padding dominates;
+    this path is gated to full-lane widths.)"""
+    b, t, c = x.shape
+    g, h = _folded_resample_taps()
+    xp = pad1d(x, (3, 3), mode="replicate")
+    y0 = _shift_add_dw(xp, g[:, 0], t)  # g already includes the 2x gain
+    y1 = _shift_add_dw(xp, g[:, 1], t)
+    y2 = jnp.stack([y0, y1], axis=2).reshape(b, 2 * t, c)
+    y2 = snake_folded(y2, alpha, beta, alpha_logscale, 1)
+    # deinterleave + folded-frame replicate pad (left frame = y2[0] both
+    # phases, right frame = y2[2T-1] both phases — downsample1d's edges)
+    yf = y2.reshape(b, t, 2, c)
+    left = jnp.broadcast_to(y2[:, :1, None, :], (b, 3, 2, c))
+    right = jnp.broadcast_to(y2[:, -1:, None, :], (b, 3, 2, c))
+    yp = jnp.concatenate([left, yf, right], axis=1)
+    z = _shift_add_dw(yp[:, :, 0], h[:, 0], t) + _shift_add_dw(yp[:, :, 1], h[:, 1], t)
+    return z
 
 
 def anti_aliased_activation(

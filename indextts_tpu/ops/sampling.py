@@ -49,6 +49,27 @@ def apply_top_p(logits: jnp.ndarray, top_p, min_tokens_to_keep: int = 1) -> jnp.
     return jnp.where(logits < thresh, NEG_INF, logits)
 
 
+def apply_top_k_top_p(logits: jnp.ndarray, top_k: int, top_p, min_tokens_to_keep: int = 1) -> jnp.ndarray:
+    """Fused exact top-k + top-p: one lax.top_k over the vocab instead of
+    top_k's partial sort PLUS top_p's FULL vocab sort (the full [B, 8194]
+    f32 sort costs ~0.25 ms/row-batch/step on the v5e decode loop).
+
+    Exact equivalence with apply_top_p(apply_top_k(...)): after top-k
+    masking, the NEG_INF entries contribute exactly 0 to the softmax (both
+    numerator and denominator), so the HF ascending cumulative scan over the
+    full vocab reduces to the scan over the k surviving values."""
+    if not top_k or top_k <= 0:
+        return apply_top_p(logits, top_p, min_tokens_to_keep)
+    k = min(int(top_k), logits.shape[-1])
+    vals = jax.lax.top_k(logits, k)[0]  # [B, k] descending
+    asc = vals[..., ::-1]
+    cum = jnp.cumsum(jax.nn.softmax(asc.astype(jnp.float32), axis=-1), axis=-1)
+    keep = cum > (1.0 - jnp.float32(top_p))
+    keep = keep.at[..., -min_tokens_to_keep:].set(True)
+    thresh = jnp.min(jnp.where(keep, asc, jnp.inf), axis=-1, keepdims=True)
+    return jnp.where(logits < thresh, NEG_INF, logits)
+
+
 def apply_typical(logits: jnp.ndarray, mass: float = 0.9, min_tokens_to_keep: int = 1) -> jnp.ndarray:
     """Typical sampling (behavioral reference: typical_sampling.py:4-30):
     keep tokens whose -log p is closest to the distribution entropy until
@@ -107,6 +128,7 @@ def process_logits(
     if do_sample:
         lf = apply_temperature(lf, temperature)
         if top_k:
-            lf = apply_top_k(lf, top_k)
-        lf = apply_top_p(lf, top_p)
+            lf = apply_top_k_top_p(lf, top_k, top_p)
+        else:
+            lf = apply_top_p(lf, top_p)
     return lf

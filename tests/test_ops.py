@@ -408,3 +408,23 @@ class TestSampling:
         gold_removed = indices_to_remove.numpy()
         mine = np.asarray(apply_typical(jnp.asarray(logits), 0.9))
         np.testing.assert_array_equal(mine < -1e29, gold_removed)
+
+
+def test_fused_top_k_top_p_exact():
+    """apply_top_k_top_p == apply_top_p(apply_top_k(.)) bit-for-bit (the
+    fused form replaces top_p's full-vocab sort with the top-k scan)."""
+    from indextts_tpu.ops.sampling import apply_top_k, apply_top_k_top_p, apply_top_p
+
+    rng = np.random.default_rng(42)
+    for _ in range(20):
+        b, v = int(rng.integers(1, 5)), int(rng.integers(40, 300))
+        k = int(rng.integers(1, 35))
+        p = float(rng.uniform(0.05, 1.0))
+        x = jnp.asarray((rng.standard_normal((b, v)) * 3).astype(np.float32))
+        gold = apply_top_p(apply_top_k(x, k), p)
+        np.testing.assert_array_equal(np.asarray(gold), np.asarray(apply_top_k_top_p(x, k, p)))
+    ties = jnp.zeros((2, 50), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(apply_top_p(apply_top_k(ties, 5), 0.5)),
+        np.asarray(apply_top_k_top_p(ties, 5, 0.5)),
+    )
