@@ -768,21 +768,11 @@ class IndexTTS:
     # ------------------------------------------------------------------
 
     def _stream_fns(self, b: int, l: int, gen: GenerationConfig, n_steps: int):
+        """Jitted continue-decode step for streaming (the first chunk runs
+        through the fused _first_chunk_fn instead)."""
         key = ("stream", b, l, gen, n_steps)
         if key not in self._decode_cache:
             cfg = self.cfg.gpt
-            from indextts_tpu.models.gpt_decode import (
-                continue_decode,
-                prefill_decode_state,
-            )
-
-            @jax.jit
-            def prefill_fn(params, conds, text, lens, rng, temperature, top_p, repetition_penalty):
-                state, aux = prefill_decode_state(
-                    params, cfg, gen, conds, text, lens, rng,
-                    temperature=temperature, top_p=top_p, repetition_penalty=repetition_penalty,
-                )
-                return state, aux["prefill_valid"]
 
             @jax.jit
             def step_fn(params, state, prefill_valid, rng, temperature, top_p, repetition_penalty):
@@ -805,7 +795,7 @@ class IndexTTS:
                     params, cfg, state, n_steps, p, 0, prefill_valid, sample_from, rng, gen.max_new_tokens
                 )
 
-            self._decode_cache[key] = (prefill_fn, step_fn)
+            self._decode_cache[key] = (step_fn,)
         return self._decode_cache[key]
 
     def _first_chunk_fn(self, l: int, gen: GenerationConfig, n_steps: int, fb: int):
@@ -915,7 +905,7 @@ class IndexTTS:
             l = max(_round_up(l0, 8), 8)
             padded = np.full((1, l), self.cfg.gpt.stop_text_token, np.int32)
             padded[:, :l0] = tokens0
-            step_fn = self._stream_fns(1, l, gen, chunk_codes)[1]
+            step_fn = self._stream_fns(1, l, gen, chunk_codes)[0]
             first_fused = self._first_chunk_fn(l, gen, first_chunk_codes, fb)
             self._rng, sub = jax.random.split(self._rng)
             args = (jnp.float32(temperature), jnp.float32(top_p), jnp.float32(repetition_penalty))
