@@ -346,6 +346,11 @@ class IndexTTS:
         conds = self._cond_cache[key](
             self.gpt_params, jnp.asarray(mel, self.dtype), jnp.asarray([frames])
         )
+        # bounded FIFO: long-running servers see unbounded distinct prompts;
+        # each entry holds device-resident latents
+        val_keys = [k for k in self._cond_cache if k[0] == "condval"]
+        if len(val_keys) >= 16:
+            del self._cond_cache[val_keys[0]]
         self._cond_cache[vkey] = conds
         return conds
 
@@ -806,9 +811,11 @@ class IndexTTS:
         VERDICT round-2 weak #3); this collapses time-to-first-audio to a
         single dispatch + the in-graph work.
 
-        Returns (wav [1, samples], valid_n, state, prefill_valid) with wav
-        covering the first round_up(n_steps+1, 16) codes — the caller trims
-        to valid_n codes; latent frames past valid_n are zeroed in-graph so
+        Returns (packed [lc*samples_per_code + 1], state, prefill_valid)
+        where packed[:-1] is the waveform over the first
+        lc = round_up(n_steps+1, 16) codes and packed[-1] is valid_n as a
+        float (one host transfer recovers both — the caller trims to
+        valid_n codes). Latent frames past valid_n are zeroed in-graph so
         the waveform matches the unfused path's zero-padded vocoder call."""
         key = ("stream1", l, gen, n_steps, fb)
         if key not in self._decode_cache:

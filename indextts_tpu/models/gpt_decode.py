@@ -25,7 +25,7 @@ Entry points:
     `_generate_speech_beam_dense` is the straightforward full-gather
     implementation kept as the in-repo oracle (tests/test_beam_oracle.py
     additionally checks it against an independent Python beam search).
-  * prefill_decode_state / decode_steps / continue_decode — the resumable
+  * prefill_decode_state / decode_steps — the resumable
     state machine behind streaming synthesis (engine.infer_stream).
   * inference_speech — the reference-signature high-level wrapper
     (num_return_sequences, input_tokens, typical sampling).
@@ -323,7 +323,7 @@ def prefill_decode_state(
     cache_len: Optional[int] = None,
 ):
     """Prefill + first token; returns (state, aux) where aux carries the
-    static context needed by `continue_decode`. Used by the streaming engine
+    static context needed to resume with `decode_steps`. Used by the streaming engine
     path and by segmented decoding (cache_len < p + max_new allocates a
     smaller cache to be grown later with `grow_cache`)."""
     b, l = text_tokens.shape
@@ -354,14 +354,6 @@ def prefill_decode_state(
     state = (jnp.asarray(0), codes0, cache, done0, seen1, tok1)
     aux = {"p": p, "prefill_valid": prefill_valid, "sample_from": sample_from, "rng": rng, "max_new": max_new}
     return state, aux
-
-
-def continue_decode(params, cfg, state, aux, n_steps: int):
-    """Advance a streaming decode by up to n_steps tokens."""
-    return decode_steps(
-        params, cfg, state, n_steps, aux["p"], 0, aux["prefill_valid"],
-        aux["sample_from"], aux["rng"], aux["max_new"],
-    )
 
 
 def grow_cache(state, prefill_valid, extra: int):

@@ -50,23 +50,36 @@ def apply_top_p(logits: jnp.ndarray, top_p, min_tokens_to_keep: int = 1) -> jnp.
 
 
 def apply_top_k_top_p(logits: jnp.ndarray, top_k: int, top_p, min_tokens_to_keep: int = 1) -> jnp.ndarray:
-    """Fused exact top-k + top-p: one lax.top_k over the vocab instead of
-    top_k's partial sort PLUS top_p's FULL vocab sort (the full [B, 8194]
-    f32 sort costs ~0.25 ms/row-batch/step on the v5e decode loop).
+    """Fused exact top-k + top-p: one lax.top_k plus masked reductions over
+    the vocab instead of top_k's partial sort PLUS top_p's FULL vocab sort
+    (the [B, 8194] f32 sort costs ~0.25 ms/row-batch/step on the v5e decode
+    loop).
 
-    Exact equivalence with apply_top_p(apply_top_k(...)): after top-k
-    masking, the NEG_INF entries contribute exactly 0 to the softmax (both
-    numerator and denominator), so the HF ascending cumulative scan over the
-    full vocab reduces to the scan over the k surviving values."""
+    Exact equivalence with apply_top_p(apply_top_k(...)) INCLUDING ties at
+    the k-th value: apply_top_k keeps every logit equal to the k-th
+    (`logits < kth` masking), so the survivor set is {x : x >= kth} and may
+    exceed k entries. The HF ascending cumulative test keeps a value level v
+    iff the total survivor mass at-or-below v exceeds 1 - top_p (tied copies
+    are all-or-nothing in the final `logits < thresh` mask), so the sorted
+    scan reduces to per-level masses computed with reductions — no sort."""
     if not top_k or top_k <= 0:
         return apply_top_p(logits, top_p, min_tokens_to_keep)
     k = min(int(top_k), logits.shape[-1])
-    vals = jax.lax.top_k(logits, k)[0]  # [B, k] descending
-    asc = vals[..., ::-1]
-    cum = jnp.cumsum(jax.nn.softmax(asc.astype(jnp.float32), axis=-1), axis=-1)
-    keep = cum > (1.0 - jnp.float32(top_p))
-    keep = keep.at[..., -min_tokens_to_keep:].set(True)
-    thresh = jnp.min(jnp.where(keep, asc, jnp.inf), axis=-1, keepdims=True)
+    lf = logits.astype(jnp.float32)
+    vals = jax.lax.top_k(lf, k)[0]  # [B, k] descending (distinct levels <= k)
+    kth = vals[..., -1:]
+    support = lf >= kth
+    mx = vals[..., :1]
+    ex = jnp.where(support, jnp.exp(lf - mx), 0.0)
+    z = jnp.sum(ex, axis=-1, keepdims=True)
+    # c[b, j] = survivor mass at-or-below level vals[b, j]
+    at_or_below = lf[..., None, :] <= vals[..., :, None]  # [B, k, V]
+    c = jnp.sum(jnp.where(at_or_below, ex[..., None, :], 0.0), axis=-1) / z
+    keep = c > (1.0 - jnp.float32(top_p))
+    # min_tokens_to_keep: the composed path force-keeps the top entries of
+    # the ascending sort, i.e. the largest values
+    keep = keep.at[..., :min_tokens_to_keep].set(True)
+    thresh = jnp.min(jnp.where(keep, vals, jnp.inf), axis=-1, keepdims=True)
     return jnp.where(logits < thresh, NEG_INF, logits)
 
 

@@ -226,10 +226,13 @@ class TextNormalizer:
             lambda m: zh_num.zh_integer(m.group(1)) + "月" + zh_num.zh_integer(m.group(2)) + m.group(3),
             t,
         )
-        # weekdays: 周3 / 星期2 / 礼拜7
+        # weekdays: 周3 / 星期2 / 礼拜7 / 上周5. NOT converted when the digit
+        # reads as a count: another digit/dot follows (周1000米), or a
+        # measure word follows (一周7天, 每周3次) — there 周 is the noun
+        # "week" and the digit keeps its numeric reading
         _wd = {"1": "一", "2": "二", "3": "三", "4": "四", "5": "五", "6": "六", "7": "日"}
         t = re.sub(
-            r"(星期|周|礼拜)([1-7])",
+            r"(?<![0-9])(星期|周|礼拜)([1-7])(?![\d.次天个人回遍趟站年月号里米克磅吨寸尺码条件只张])",
             lambda m: m.group(1) + _wd[m.group(2)],
             t,
         )

@@ -411,18 +411,31 @@ class TestSampling:
 
 
 def test_fused_top_k_top_p_exact():
-    """apply_top_k_top_p == apply_top_p(apply_top_k(.)) bit-for-bit (the
-    fused form replaces top_p's full-vocab sort with the top-k scan)."""
+    """apply_top_k_top_p == apply_top_p(apply_top_k(.)) bit-for-bit,
+    INCLUDING ties at the k-th boundary (apply_top_k's `logits < kth` mask
+    keeps every tied copy, enlarging the softmax support — the fused form
+    must reproduce that, not take exactly k values)."""
     from indextts_tpu.ops.sampling import apply_top_k, apply_top_k_top_p, apply_top_p
 
+    # the boundary-tie counterexample: both 5s survive top_k=2, so the
+    # composed path keeps all three tokens at top_p=0.99
+    x = jnp.asarray([[10.0, 5.0, 5.0]])
+    np.testing.assert_array_equal(
+        np.asarray(apply_top_p(apply_top_k(x, 2), 0.99)),
+        np.asarray(apply_top_k_top_p(x, 2, 0.99)),
+    )
+
     rng = np.random.default_rng(42)
-    for _ in range(20):
+    for trial in range(20):
         b, v = int(rng.integers(1, 5)), int(rng.integers(40, 300))
         k = int(rng.integers(1, 35))
         p = float(rng.uniform(0.05, 1.0))
-        x = jnp.asarray((rng.standard_normal((b, v)) * 3).astype(np.float32))
-        gold = apply_top_p(apply_top_k(x, k), p)
-        np.testing.assert_array_equal(np.asarray(gold), np.asarray(apply_top_k_top_p(x, k, p)))
+        x = rng.standard_normal((b, v)) * 3
+        if trial % 2:  # quantize to force ties, incl. at the k-th boundary
+            x = np.round(x * 2) / 2
+        xj = jnp.asarray(x.astype(np.float32))
+        gold = apply_top_p(apply_top_k(xj, k), p)
+        np.testing.assert_array_equal(np.asarray(gold), np.asarray(apply_top_k_top_p(xj, k, p)))
     ties = jnp.zeros((2, 50), jnp.float32)
     np.testing.assert_array_equal(
         np.asarray(apply_top_p(apply_top_k(ties, 5), 0.5)),
