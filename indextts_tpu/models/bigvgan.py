@@ -134,7 +134,7 @@ def linear_interp_x4(x: jnp.ndarray) -> jnp.ndarray:
     src = jnp.clip(src, 0.0, t - 1)
     lo = jnp.floor(src).astype(jnp.int32)
     hi = jnp.minimum(lo + 1, t - 1)
-    w = (src - lo.astype(jnp.float32))[None, :, None]
+    w = (src - lo.astype(jnp.float32))[None, :, None].astype(x.dtype)
     return x[:, lo, :] * (1.0 - w) + x[:, hi, :] * w
 
 

@@ -64,10 +64,13 @@ def upsample1d(x: jnp.ndarray, ratio: int = 2, kernel_size: int = None) -> jnp.n
     pad_right = pad * stride + (kernel_size - stride + 1) // 2
     filt = kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio, kernel_size)
     c = x.shape[-1]
-    # depthwise transposed conv: identical filter per channel
-    w = jnp.asarray(filt)[:, None, None] * jnp.ones((1, 1, c), dtype=x.dtype)  # [K, 1(out/g), C(in)]
+    # depthwise transposed conv: identical filter per channel. Filter cast to
+    # the signal dtype — an f32 filter silently promotes the whole conv (and
+    # everything XLA fuses around it) to f32, doubling HBM traffic in bf16
+    # graphs (found via the f32[8,51230,192] buffers in the vocoder trace)
+    w = jnp.asarray(filt, x.dtype)[:, None, None] * jnp.ones((1, 1, c), dtype=x.dtype)  # [K, 1(out/g), C(in)]
     xp = pad1d(x, (pad, pad), mode="replicate")
-    y = ratio * conv_transpose1d(xp, w, stride=stride, padding=0, groups=c)
+    y = jnp.asarray(ratio, x.dtype) * conv_transpose1d(xp, w, stride=stride, padding=0, groups=c)
     return y[:, pad_left : y.shape[1] - pad_right, :]
 
 
@@ -80,7 +83,8 @@ def downsample1d(x: jnp.ndarray, ratio: int = 2, kernel_size: int = None) -> jnp
     pad_right = kernel_size // 2
     filt = kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio, kernel_size)
     c = x.shape[-1]
-    w = jnp.asarray(filt)[:, None, None] * jnp.ones((1, 1, c), dtype=x.dtype)  # [K, 1(in/g), C(out)]
+    # filter cast to the signal dtype (see upsample1d)
+    w = jnp.asarray(filt, x.dtype)[:, None, None] * jnp.ones((1, 1, c), dtype=x.dtype)  # [K, 1(in/g), C(out)]
     xp = pad1d(x, (pad_left, pad_right), mode="replicate")
     return conv1d(xp, w, stride=ratio, padding=0, groups=c)
 
