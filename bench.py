@@ -16,6 +16,11 @@ import os
 import sys
 import time
 
+
+def _mark(msg):
+    print(f"[bench +{time.perf_counter() - globals().get('_BENCH_START', 0):.0f}s] {msg}",
+          file=sys.stderr, flush=True)
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
@@ -117,6 +122,7 @@ def main():
         return wav, code_lens
 
     # warmup / compile
+    _mark("headline compile start")
     t0 = time.perf_counter()
     wav, code_lens = pipeline(jax.random.PRNGKey(1))
     wav.block_until_ready()
@@ -131,6 +137,7 @@ def main():
         wav.block_until_ready()
         times.append(time.perf_counter() - t0)
 
+    _mark("headline measured")
     wall = float(np.median(times))
     # audio duration actually produced this iteration
     total_codes = int(np.asarray(code_lens).sum())
@@ -160,6 +167,7 @@ def main():
     elapsed = time.perf_counter() - (bench_start or 0)
     if bench_start is not None and elapsed < budget_s - margin["ttfa"]:
         try:
+            _mark("ttfa start")
             conds = cond_fn(gpt_params, cond_mel, jnp.asarray([COND_FRAMES]))
             gen_s = GenerationConfig(do_sample=True, num_beams=1, top_k=30, max_new_tokens=25)
             decode_s = jax.jit(partial(generate_speech, cfg=gpt_cfg, gen=gen_s))
@@ -189,6 +197,7 @@ def main():
     elapsed = time.perf_counter() - (bench_start or 0)
     if bench_start is not None and elapsed < budget_s - margin["beam"]:
         try:
+            _mark("beam start")
             from indextts_tpu.models.gpt_decode import generate_speech_beam
 
             gen_b = GenerationConfig(do_sample=True, num_beams=3, top_k=30, max_new_tokens=GEN_TOKENS)
@@ -259,6 +268,7 @@ def main():
         if bench_start is None or elapsed >= budget_s - gate:
             break
         try:
+            _mark(f"e2e batch {bb} start")
             val = e2e_at_batch(bb)
         except Exception:
             break
@@ -275,6 +285,7 @@ def main():
     elapsed = time.perf_counter() - (bench_start or 0)
     if bench_start is not None and elapsed < budget_s - margin["stream"]:
         try:
+            _mark("stream start")
             from indextts_tpu.engine import IndexTTS
 
             eng = IndexTTS(

@@ -123,29 +123,71 @@ def _mel_logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
     return matmul_maybe_quantized(h, params["mel_head"])
 
 
+def _pair_heads(t: jnp.ndarray) -> jnp.ndarray:
+    """[L, B, H, S, Dh] -> [L, B, H/2, S, 2*Dh]: adjacent heads share the
+    lane axis. With Dh=64 a per-head cache tiles 64 lanes into 128-lane
+    registers — 2x physical HBM on every read; head-paired tensors are
+    exactly one lane tile (decode at batch 8 is at the weights+cache
+    streaming bound, docs/PERF.md)."""
+    l, b, h, s, dh = t.shape
+    return t.reshape(l, b, h // 2, 2, s, dh).transpose(0, 1, 2, 4, 3, 5).reshape(l, b, h // 2, s, 2 * dh)
+
+
+def _pair_heads_new(t: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, Dh] single-position K or V -> [B, H/2, 2*Dh]."""
+    b, h, dh = t.shape
+    return t.reshape(b, h // 2, 2 * dh)
+
+
 def _prefill(params: Params, cfg: GPTConfig, emb: jnp.ndarray, mask: jnp.ndarray, cache_len: int):
     """Run the full stack over the prompt, returning last-position logits and
-    the KV cache padded to `cache_len`."""
+    the HEAD-PAIRED caches (k2, v2), each [L, B, H/2, cache_len, 2*Dh].
+    Keeping K and V separate lets the score contraction stream only K bytes
+    and the value contraction only V bytes (a K|V-packed cache halves
+    padding but doubles the bytes EACH contraction touches — measured a
+    wash); head-pairing removes the Dh=64 lane padding."""
     hidden, (k, v) = gpt2_apply(params["gpt"], emb, cfg.heads, attention_mask=mask, return_kv=True)
-    # k/v: [L, B, H, P, Dh] -> pad to cache_len on the sequence axis
-    pad_amt = cache_len - k.shape[3]
-    k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, pad_amt), (0, 0)))
-    v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, pad_amt), (0, 0)))
+    k2 = _pair_heads(k)
+    v2 = _pair_heads(v)
+    pad_amt = cache_len - k2.shape[3]
+    pads = ((0, 0), (0, 0), (0, 0), (0, pad_amt), (0, 0))
     logits = _mel_logits(params, hidden[:, -1])
-    return logits, (k, v)
+    return logits, (jnp.pad(k2, pads), jnp.pad(v2, pads))
 
 
-def _decode_block(layer_p, x, k_cache, v_cache, attn_bias, heads):
-    """Single-token GPT-2 block against a read-only cache. x: [B, D].
-    The new token's K/V are NOT written here — attention treats them as an
-    extra (S+1)-th logit and they are returned for a single batched cache
-    write after the layer scan (writing the full cache back through the scan
-    costs ~B*H*S*Dh per layer per step of pure HBM write traffic).
-    Returns (out [B, D], k_new [B, H, Dh], v_new [B, H, Dh])."""
+def _qpad(q: jnp.ndarray) -> jnp.ndarray:
+    """[.., Dh] query -> [.., 2*Dh] zero-extended so a dot against a packed
+    K|V row contracts to exactly q.k (the V lanes meet zeros)."""
+    return jnp.concatenate([q, jnp.zeros_like(q)], axis=-1)
+
+
+def _qpad2(q: jnp.ndarray, heads: int) -> jnp.ndarray:
+    """[B, H, Dh] query -> block-diagonal [B, H/2, 2, 2*Dh] so a dot against
+    the head-paired K rows contracts to exactly q_h.k_h per head (the other
+    head's lanes meet zeros)."""
+    b, h, dh = q.shape
+    q2 = q.reshape(b, h // 2, 2, dh)
+    z = jnp.zeros_like(q2[:, :, :1])
+    top = jnp.concatenate([q2[:, :, :1], z], axis=-1)  # t=0: (q_{2g} | 0)
+    bot = jnp.concatenate([z, q2[:, :, 1:]], axis=-1)  # t=1: (0 | q_{2g+1})
+    return jnp.concatenate([top, bot], axis=2)
+
+
+def _decode_block(layer_p, x, k2, v2, attn_bias, heads):
+    """Single-token GPT-2 block against read-only HEAD-PAIRED caches
+    (k2/v2 [B, H/2, S, 2*Dh]). x: [B, D]. The new token's K/V are NOT
+    written here — attention treats them as an extra (S+1)-th logit and the
+    paired rows are returned for a single batched cache write after the
+    layer scan. Scores contract the block-diagonal query against k2 (exact:
+    the sibling head's lanes meet zeros); the value contraction runs both
+    heads' V jointly and the per-head halves are selected from the small
+    output. Returns (out [B, D], (k2_new, v2_new) each [B, H/2, 2*Dh])."""
     from indextts_tpu.ops.quant import matmul_maybe_quantized
 
     b, d = x.shape
     dh = d // heads
+    g2 = heads // 2
+    s_len = k2.shape[2]
     h = layer_norm(x, layer_p["ln_1"]["weight"], layer_p["ln_1"]["bias"])
     qkv = matmul_maybe_quantized(h, layer_p["attn_qkv"])
     q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
@@ -153,42 +195,46 @@ def _decode_block(layer_p, x, k_cache, v_cache, attn_bias, heads):
     k_new = k_new.reshape(b, heads, dh)
     v_new = v_new.reshape(b, heads, dh)
     scale = 1.0 / math.sqrt(dh)
-    scores_c = jnp.einsum("bhd,bhsd->bhs", q, k_cache).astype(jnp.float32) * scale + attn_bias
+    s2 = jnp.einsum("bgtd,bgsd->bgts", _qpad2(q, heads), k2).astype(jnp.float32)
+    scores_c = s2.reshape(b, heads, s_len) * scale + attn_bias
     score_self = (jnp.sum(q * k_new, axis=-1, keepdims=True)).astype(jnp.float32) * scale  # [B, H, 1]
     scores = jnp.concatenate([scores_c, score_self], axis=-1)  # [B, H, S+1]
     attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    a = jnp.einsum("bhs,bhsd->bhd", attn[..., :-1], v_cache) + attn[..., -1:] * v_new
+    a2 = attn[..., :-1].reshape(b, g2, 2, s_len)
+    o2 = jnp.einsum("bgts,bgsd->bgtd", a2, v2)  # [B, H/2, 2, 2*Dh]
+    o = jnp.stack([o2[:, :, 0, :dh], o2[:, :, 1, dh:]], axis=2).reshape(b, heads, dh)
+    a = o + attn[..., -1:] * v_new
     a = matmul_maybe_quantized(a.reshape(b, d), layer_p["attn_proj"])
     x = x + a
     h = layer_norm(x, layer_p["ln_2"]["weight"], layer_p["ln_2"]["bias"])
     h = gelu_new(matmul_maybe_quantized(h, layer_p["mlp_fc"]))
     h = matmul_maybe_quantized(h, layer_p["mlp_proj"])
-    return x + h, k_new, v_new
+    return x + h, (_pair_heads_new(k_new), _pair_heads_new(v_new))
 
 
 def _decode_step(params: Params, cfg: GPTConfig, token, mel_pos, cache, pos, base_mask):
     """One decode step. token: [B] int32; mel_pos: scalar mel-position index;
-    cache: (k [L,B,H,S,Dh], v); pos: scalar write index in the cache;
-    base_mask: [B, S] bool validity of already-written cache positions
-    (True = attend; position `pos` itself must be False — the new token's
-    K/V are handled as the extra attention logit inside the block).
-    Returns (logits [B, V], cache)."""
+    cache: head-paired (k2, v2) each [L,B,H/2,S,2*Dh]; pos: scalar write
+    index in the cache; base_mask: [B, S] bool validity of already-written
+    cache positions (True = attend; position `pos` itself must be False —
+    the new token's K/V are handled as the extra attention logit inside the
+    block). Returns (logits [B, V], cache)."""
     x = params["mel_embedding"][token] + params["mel_pos_embedding"][mel_pos]
-    k_all, v_all = cache
+    k2_all, v2_all = cache
     attn_bias = jnp.where(base_mask[:, None, :], 0.0, NEG_INF)  # [B, 1, S]
 
     def body(x, layer):
-        layer_p, kc, vc = layer
-        out, k_new, v_new = _decode_block(layer_p, x, kc, vc, attn_bias, cfg.heads)
-        return out, (k_new, v_new)
+        layer_p, k2c, v2c = layer
+        out, kv_new = _decode_block(layer_p, x, k2c, v2c, attn_bias, cfg.heads)
+        return out, kv_new
 
-    x, (k_news, v_news) = jax.lax.scan(body, x, (params["gpt"]["blocks"], k_all, v_all))
-    # one column write for all layers: [L, B, H, Dh] -> cache[:, :, :, pos]
-    k_all = jax.lax.dynamic_update_slice(k_all, k_news[:, :, :, None, :], (0, 0, 0, pos, 0))
-    v_all = jax.lax.dynamic_update_slice(v_all, v_news[:, :, :, None, :], (0, 0, 0, pos, 0))
+    x, (k2_news, v2_news) = jax.lax.scan(body, x, (params["gpt"]["blocks"], k2_all, v2_all))
+    # one column write per tensor for all layers: [L, B, H/2, 2*Dh]
+    k2_all = jax.lax.dynamic_update_slice(k2_all, k2_news[:, :, :, None, :], (0, 0, 0, pos, 0))
+    v2_all = jax.lax.dynamic_update_slice(v2_all, v2_news[:, :, :, None, :], (0, 0, 0, pos, 0))
     x = layer_norm(x, params["gpt"]["ln_f"]["weight"], params["gpt"]["ln_f"]["bias"])
     logits = _mel_logits(params, x)
-    return logits, (k_all, v_all)
+    return logits, (k2_all, v2_all)
 
 
 def generate_speech(
@@ -360,11 +406,11 @@ def grow_cache(state, prefill_valid, extra: int):
     """Extend a decode state's KV cache and validity mask by `extra` slots
     (the segmented-decode transition: each segment runs against the smallest
     cache that fits, so attention never streams unused slots)."""
-    i, codes, (k, v), done, seen, cur = state
-    k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, extra), (0, 0)))
-    v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, extra), (0, 0)))
+    i, codes, (k2, v2), done, seen, cur = state
+    pads = ((0, 0), (0, 0), (0, 0), (0, extra), (0, 0))
+    cache = (jnp.pad(k2, pads), jnp.pad(v2, pads))
     prefill_valid = jnp.pad(prefill_valid, ((0, 0), (0, extra)))
-    return (i, codes, (k, v), done, seen, cur), prefill_valid
+    return (i, codes, cache, done, seen, cur), prefill_valid
 
 
 def generate_speech_segmented(
@@ -700,17 +746,31 @@ def _generate_speech_beam_dense(
     return final_codes, final_len
 
 
-def _decode_block_beam(layer_p, x, kp, vp, kg, vg, bias_p, bias_g, heads, nb):
-    """Beam decode block with a split cache. x: [B*nb, D]; kp/vp: the shared
-    prefill cache [B, H, P, Dh] (identical for all beams of a row, so never
-    gathered on reorders); kg/vg: the generated-region cache
-    [B*nb, H, N, Dh]. bias_p: [B, P] additive; bias_g: [1, N] additive.
-    Returns (out [B*nb, D], k_new, v_new)."""
+def _select_paired(o2, dh: int):
+    """[..., H/2, 2, 2*Dh] joint value output -> [..., H, Dh]: row t of each
+    pair holds (sum attn_t . v_{2g} | sum attn_t . v_{2g+1}); keep the
+    matching half."""
+    lead = o2.shape[:-3]
+    g2 = o2.shape[-3]
+    sel = jnp.stack([o2[..., 0, :dh], o2[..., 1, dh:]], axis=-2)
+    return sel.reshape(*lead, 2 * g2, dh)
+
+
+def _decode_block_beam(layer_p, x, kvp, kvg, bias_p, bias_g, heads, nb):
+    """Beam decode block with a split HEAD-PAIRED cache. x: [B*nb, D]; kvp:
+    the shared prefill cache (k2, v2) each [B, H/2, P, 2*Dh] (identical for
+    all beams of a row, so never gathered on reorders); kvg: the
+    generated-region cache (k2, v2) each [B*nb, H/2, N, 2*Dh]. bias_p:
+    [B, P] additive; bias_g: [1, N] additive.
+    Returns (out [B*nb, D], (k2_new, v2_new) each [B*nb, H/2, 2*Dh])."""
     from indextts_tpu.ops.quant import matmul_maybe_quantized
 
+    k2p, v2p = kvp
+    k2g, v2g = kvg
     bn, d = x.shape
     b = bn // nb
     dh = d // heads
+    g2 = heads // 2
     h = layer_norm(x, layer_p["ln_1"]["weight"], layer_p["ln_1"]["bias"])
     qkv = matmul_maybe_quantized(h, layer_p["attn_qkv"])
     q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
@@ -720,25 +780,27 @@ def _decode_block_beam(layer_p, x, kp, vp, kg, vg, bias_p, bias_g, heads, nb):
     scale = 1.0 / math.sqrt(dh)
 
     # beams are laid out row-major (row*nb + beam), matching jnp.repeat
-    qb = q.reshape(b, nb, heads, dh)
-    sp = jnp.einsum("bnhd,bhpd->bnhp", qb, kp).astype(jnp.float32) * scale
-    sp = sp + bias_p[:, None, None, :]
-    p_len = kp.shape[2]
-    sp = sp.reshape(bn, heads, p_len)
-    sg = jnp.einsum("bhd,bhsd->bhs", q, kg).astype(jnp.float32) * scale + bias_g[:, None, :]
+    p_len = k2p.shape[2]
+    n_len = k2g.shape[2]
+    qb2 = _qpad2(q, heads).reshape(b, nb, g2, 2, 2 * dh)
+    sp = jnp.einsum("bngtd,bgpd->bngtp", qb2, k2p).astype(jnp.float32) * scale
+    sp = sp.reshape(bn, heads, p_len) + jnp.repeat(bias_p, nb, axis=0)[:, None, :]
+    sg = jnp.einsum("bgtd,bgsd->bgts", _qpad2(q, heads), k2g).astype(jnp.float32)
+    sg = sg.reshape(bn, heads, n_len) * scale + bias_g[:, None, :]
     ss = jnp.sum(q * k_new, axis=-1, keepdims=True).astype(jnp.float32) * scale
     scores = jnp.concatenate([sp, sg, ss], axis=-1)
     attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    ap = attn[..., :p_len].reshape(b, nb, heads, p_len)
-    op = jnp.einsum("bnhp,bhpd->bnhd", ap, vp).reshape(bn, heads, dh)
-    og = jnp.einsum("bhs,bhsd->bhd", attn[..., p_len:-1], vg)
+    ap2 = attn[..., :p_len].reshape(b, nb, g2, 2, p_len)
+    op = _select_paired(jnp.einsum("bngtp,bgpd->bngtd", ap2, v2p), dh).reshape(bn, heads, dh)
+    ag2 = attn[..., p_len:-1].reshape(bn, g2, 2, n_len)
+    og = _select_paired(jnp.einsum("bgts,bgsd->bgtd", ag2, v2g), dh)
     out = op + og + attn[..., -1:] * v_new
     a = matmul_maybe_quantized(out.reshape(bn, d), layer_p["attn_proj"])
     x = x + a
     h = layer_norm(x, layer_p["ln_2"]["weight"], layer_p["ln_2"]["bias"])
     h = gelu_new(matmul_maybe_quantized(h, layer_p["mlp_fc"]))
     h = matmul_maybe_quantized(h, layer_p["mlp_proj"])
-    return x + h, k_new, v_new
+    return x + h, (_pair_heads_new(k_new), _pair_heads_new(v_new))
 
 
 def _roll_beams(t: jnp.ndarray, delta: int, nb: int) -> jnp.ndarray:
@@ -752,7 +814,8 @@ def _roll_beams(t: jnp.ndarray, delta: int, nb: int) -> jnp.ndarray:
     return jnp.concatenate([g[:, m : m + 1] for m in idx], axis=1).reshape(t.shape)
 
 
-def _decode_block_beam_lineage(layer_p, x, kp, vp, kg, vg, lin_masks, bias_p, bias_g, heads, nb):
+def _decode_block_beam_lineage(layer_p, x, kvp, kvg, lin_masks, bias_p, bias_g, heads, nb):
+    # kvp/kvg: head-paired (k2, v2) tuples — see _decode_block_beam
     """Beam decode block with an UNPERMUTED split cache: beam ancestry is
     resolved inside attention instead of physically reordering the
     [B*nb, H, N, Dh] generated cache every step. The physical reorder
@@ -775,9 +838,12 @@ def _decode_block_beam_lineage(layer_p, x, kp, vp, kg, vg, lin_masks, bias_p, bi
     """
     from indextts_tpu.ops.quant import matmul_maybe_quantized
 
+    k2p, v2p = kvp
+    k2g, v2g = kvg
     bn, d = x.shape
     b = bn // nb
     dh = d // heads
+    g2 = heads // 2
     h = layer_norm(x, layer_p["ln_1"]["weight"], layer_p["ln_1"]["bias"])
     qkv = matmul_maybe_quantized(h, layer_p["attn_qkv"])
     q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
@@ -786,11 +852,11 @@ def _decode_block_beam_lineage(layer_p, x, kp, vp, kg, vg, lin_masks, bias_p, bi
     v_new = v_new.reshape(bn, heads, dh)
     scale = 1.0 / math.sqrt(dh)
 
-    qb = q.reshape(b, nb, heads, dh)
-    sp = jnp.einsum("bnhd,bhpd->bnhp", qb, kp).astype(jnp.float32) * scale
-    sp = sp + bias_p[:, None, None, :]
-    p_len = kp.shape[2]
-    sp = sp.reshape(bn, heads, p_len)
+    p_len = k2p.shape[2]
+    n_len = k2g.shape[2]
+    qb2 = _qpad2(q, heads).reshape(b, nb, g2, 2, 2 * dh)
+    sp = jnp.einsum("bngtd,bgpd->bngtp", qb2, k2p).astype(jnp.float32) * scale
+    sp = sp.reshape(bn, heads, p_len) + jnp.repeat(bias_p, nb, axis=0)[:, None, :]
 
     # scores: s_d[c, s] = q[sibling(c, +delta)] . kg[c, s]; rotate back to
     # query rows and lineage-select. (Stacking the rotated queries on an
@@ -799,23 +865,23 @@ def _decode_block_beam_lineage(layer_p, x, kp, vp, kg, vg, lin_masks, bias_p, bi
     # form keeps the greedy path's operand shapes and cheap column write.)
     sg = None
     for delta in range(nb):
-        qd = _roll_beams(q, delta, nb)
-        s_d = jnp.einsum("bhd,bhsd->bhs", qd, kg).astype(jnp.float32)
+        qd = _roll_beams(_qpad2(q, heads), delta, nb)
+        s_d = jnp.einsum("bgtd,bgsd->bgts", qd, k2g).astype(jnp.float32).reshape(bn, heads, n_len)
         term = _roll_beams(s_d, -delta, nb) * lin_masks[delta]
         sg = term if sg is None else sg + term
     sg = sg * scale + bias_g[:, None, :]
     ss = jnp.sum(q * k_new, axis=-1, keepdims=True).astype(jnp.float32) * scale
     scores = jnp.concatenate([sp, sg, ss], axis=-1)
     attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    ap = attn[..., :p_len].reshape(b, nb, heads, p_len)
-    op = jnp.einsum("bnhp,bhpd->bnhd", ap, vp).reshape(bn, heads, dh)
+    ap2 = attn[..., :p_len].reshape(b, nb, g2, 2, p_len)
+    op = _select_paired(jnp.einsum("bngtp,bgpd->bngtd", ap2, v2p), dh).reshape(bn, heads, dh)
     # values: mask the attention rows to the positions sourced at this
     # rotation, rotate them onto their cache rows, contract, rotate back
     ag = attn[..., p_len:-1]
     og = None
     for delta in range(nb):
-        a_d = _roll_beams(ag * lin_masks[delta].astype(x.dtype), delta, nb)
-        o_d = jnp.einsum("bhs,bhsd->bhd", a_d, vg)
+        a_d = _roll_beams(ag * lin_masks[delta].astype(x.dtype), delta, nb).reshape(bn, g2, 2, n_len)
+        o_d = _select_paired(jnp.einsum("bgts,bgsd->bgtd", a_d, v2g), dh)
         term = _roll_beams(o_d, -delta, nb)
         og = term if og is None else og + term
     out = op + og + attn[..., -1:] * v_new
@@ -824,7 +890,7 @@ def _decode_block_beam_lineage(layer_p, x, kp, vp, kg, vg, lin_masks, bias_p, bi
     h = layer_norm(x, layer_p["ln_2"]["weight"], layer_p["ln_2"]["bias"])
     h = gelu_new(matmul_maybe_quantized(h, layer_p["mlp_fc"]))
     h = matmul_maybe_quantized(h, layer_p["mlp_proj"])
-    return x + h, k_new, v_new
+    return x + h, (_pair_heads_new(k_new), _pair_heads_new(v_new))
 
 
 def generate_speech_beam(
@@ -864,12 +930,14 @@ def generate_speech_beam(
 
     emb, prefill_mask = prepare_gpt_inputs(params, cfg, conds, text_tokens, text_lengths)
     p = emb.shape[1]
-    # prefill on B rows only; cache stays [L, B, H, P, Dh]
-    logits0_b, (kp, vp) = _prefill(params, cfg, emb, prefill_mask, p)
+    # prefill on B rows only; packed cache stays [L, B, H, P, 2*Dh]
+    logits0_b, kvp = _prefill(params, cfg, emb, prefill_mask, p)
     logits0 = jnp.repeat(logits0_b, nb, axis=0)  # [bb, V]
 
-    kg = jnp.zeros((layers, bb, heads, max_new, dh), emb.dtype)
-    vg = jnp.zeros_like(kg)
+    kvg = (
+        jnp.zeros((layers, bb, heads // 2, max_new, 2 * dh), emb.dtype),
+        jnp.zeros((layers, bb, heads // 2, max_new, 2 * dh), emb.dtype),
+    )
 
     seen0 = jnp.zeros((bb, v), bool).at[:, 1].set(True).at[:, cfg.start_mel_token].set(True)
     bias_p = jnp.where(prefill_mask, 0.0, NEG_INF).astype(jnp.float32)  # [B, P]
@@ -937,7 +1005,7 @@ def generate_speech_beam(
     own_local = (jnp.arange(bb) % nb).astype(jnp.int32)
 
     def cond_fn(state):
-        i, codes, beam_scores, kg, vg, lin, seen, cur, (best_score, _, _) = state
+        i, codes, beam_scores, kvg, lin, seen, cur, (best_score, _, _) = state
         if not gen.early_stopping:
             return i < max_new - 1
         lp = jnp.asarray(max_new, jnp.float32) ** gen.length_penalty
@@ -945,7 +1013,7 @@ def generate_speech_beam(
         return jnp.logical_and(i < max_new - 1, jnp.any(best_possible > best_score))
 
     def body_fn(state):
-        i, codes, beam_scores, kg, vg, lin, seen, cur, done_best = state
+        i, codes, beam_scores, kvg, lin, seen, cur, done_best = state
         x = params["mel_embedding"][cur] + params["mel_pos_embedding"][i + 2]
         bias_g = jnp.where(gen_positions < i, 0.0, NEG_INF).astype(jnp.float32)  # [1, N]
         # lin_masks[delta][r, 1, s]: 1 iff query row r = (b, m) takes
@@ -958,15 +1026,17 @@ def generate_speech_beam(
         ]
 
         def scan_body(x, layer):
-            layer_p, kgl, vgl, kpl, vpl = layer
-            out, k_new, v_new = _decode_block_beam_lineage(
-                layer_p, x, kpl, vpl, kgl, vgl, lin_masks, bias_p, bias_g, heads, nb
+            layer_p, kvgl, kvpl = layer
+            out, kv_new = _decode_block_beam_lineage(
+                layer_p, x, kvpl, kvgl, lin_masks, bias_p, bias_g, heads, nb
             )
-            return out, (k_new, v_new)
+            return out, kv_new
 
-        x, (k_news, v_news) = jax.lax.scan(scan_body, x, (params["gpt"]["blocks"], kg, vg, kp, vp))
-        kg2 = jax.lax.dynamic_update_slice(kg, k_news[:, :, :, None, :], (0, 0, 0, i, 0))
-        vg2 = jax.lax.dynamic_update_slice(vg, v_news[:, :, :, None, :], (0, 0, 0, i, 0))
+        x, kv_news = jax.lax.scan(scan_body, x, (params["gpt"]["blocks"], kvg, kvp))
+        kvg2 = tuple(
+            jax.lax.dynamic_update_slice(c, n[:, :, :, None, :], (0, 0, 0, i, 0))
+            for c, n in zip(kvg, kv_news)
+        )
         x = layer_norm(x, params["gpt"]["ln_f"]["weight"], params["gpt"]["ln_f"]["bias"])
         logits = _mel_logits(params, x)
         codes, beam_scores, seen, done_best, flat_src, nxt = step_beams(
@@ -976,10 +1046,10 @@ def generate_speech_beam(
         # physical row; compose that into the lineage, then permute the SMALL
         # per-position map (bb x max_new int32) by the successor choice
         lin2 = jax.lax.dynamic_update_slice(lin, own_local[:, None], (0, i))[flat_src]
-        return (i + 1, codes, beam_scores, kg2, vg2, lin2, seen, nxt, done_best)
+        return (i + 1, codes, beam_scores, kvg2, lin2, seen, nxt, done_best)
 
-    state = (jnp.asarray(0), codes, beam_scores, kg, vg, lin0, seen, cur, done_best)
-    i, codes, beam_scores, kg, vg, lin, seen, cur, (best_score, best_codes, best_len) = jax.lax.while_loop(
+    state = (jnp.asarray(0), codes, beam_scores, kvg, lin0, seen, cur, done_best)
+    i, codes, beam_scores, kvg, lin, seen, cur, (best_score, best_codes, best_len) = jax.lax.while_loop(
         cond_fn, body_fn, state
     )
 
@@ -1054,7 +1124,7 @@ def generate_speech_beam_segmented(
     args = (jnp.float32(temperature), jnp.float32(top_p), jnp.float32(repetition_penalty))
     state, aux_arrays = seg_fn(0)(params, conds, text_tokens, text_lengths, rng, *args)
     for k_seg in range(1, n_segments):
-        i, codes, beam_scores, kg, vg, seen, cur, (best_score, _, _) = state
+        i, codes, beam_scores, kvg, seen, cur, (best_score, _, _) = state
         # host-side early exit mirroring the device cond
         lp = float(max_new) ** gen.length_penalty
         bp = np.max(np.asarray(beam_scores).reshape(b, nb), axis=1) / lp
@@ -1064,7 +1134,7 @@ def generate_speech_beam_segmented(
             break
         state, aux_arrays = seg_fn(k_seg)(params, state, aux_arrays, rng, *args)
 
-    i, codes, beam_scores, kg, vg, seen, cur, (best_score, best_codes, best_len) = state
+    i, codes, beam_scores, kvg, seen, cur, (best_score, best_codes, best_len) = state
     live_best = jnp.argmax(beam_scores.reshape(b, nb), axis=1)
     live_flat = jnp.arange(b) * nb + live_best
     has_finished = best_score > NEG_INF / 2
@@ -1110,10 +1180,12 @@ def _beam_segment_run(params, cfg, gen, conds, text_tokens, text_lengths, rng,
         bb = b * nb
         emb, prefill_mask = prepare_gpt_inputs(params, cfg, conds, text_tokens, text_lengths)
         p = emb.shape[1]
-        logits0_b, (kp, vp) = _prefill(params, cfg, emb, prefill_mask, p)
+        logits0_b, kvp = _prefill(params, cfg, emb, prefill_mask, p)
         logits0 = jnp.repeat(logits0_b, nb, axis=0)
-        kg = jnp.zeros((layers, bb, heads, cache_len, dh), emb.dtype)
-        vg = jnp.zeros_like(kg)
+        kvg = (
+            jnp.zeros((layers, bb, heads // 2, cache_len, 2 * dh), emb.dtype),
+            jnp.zeros((layers, bb, heads // 2, cache_len, 2 * dh), emb.dtype),
+        )
         seen0 = jnp.zeros((bb, v), bool).at[:, 1].set(True).at[:, cfg.start_mel_token].set(True)
         bias_p = jnp.where(prefill_mask, 0.0, NEG_INF).astype(jnp.float32)
         beam_scores0 = jnp.tile(jnp.array([0.0] + [NEG_INF] * (nb - 1), jnp.float32), (b,))
@@ -1125,25 +1197,25 @@ def _beam_segment_run(params, cfg, gen, conds, text_tokens, text_lengths, rng,
             cfg, gen, 0, logits0, codes0, beam_scores0, seen0, best0, warp,
             lambda lj, key, s: select_successors(lj, key, s, b), rng, b, nb,
         )
-        st = (jnp.asarray(0), codes, beam_scores, kg, vg, seen, cur, done_best)
-        aux = (kp, vp, bias_p)
+        st = (jnp.asarray(0), codes, beam_scores, kvg, seen, cur, done_best)
+        aux = (kvp, bias_p)
     else:
         st, aux = state
-        i, codes, beam_scores, kg, vg, seen, cur, done_best = st
-        extra = cache_len - kg.shape[3]
-        kg = jnp.pad(kg, ((0, 0), (0, 0), (0, 0), (0, extra), (0, 0)))
-        vg = jnp.pad(vg, ((0, 0), (0, 0), (0, 0), (0, extra), (0, 0)))
-        st = (i, codes, beam_scores, kg, vg, seen, cur, done_best)
-        kp, vp, bias_p = aux
-        bb = kg.shape[1]
+        i, codes, beam_scores, kvg, seen, cur, done_best = st
+        extra = cache_len - kvg[0].shape[3]
+        pads = ((0, 0), (0, 0), (0, 0), (0, extra), (0, 0))
+        kvg = tuple(jnp.pad(c, pads) for c in kvg)
+        st = (i, codes, beam_scores, kvg, seen, cur, done_best)
+        kvp, bias_p = aux
+        bb = kvg[0].shape[1]
         b = bb // nb
 
-    kp, vp, bias_p = aux
+    kvp, bias_p = aux
     gen_positions = jnp.arange(cache_len)[None, :]
     start_i = st[0]
 
     def cond_fn(s):
-        i, codes, beam_scores, kg, vg, seen, cur, (best_score, _, _) = s
+        i, codes, beam_scores, kvg, seen, cur, (best_score, _, _) = s
         bound = jnp.logical_and(i < max_new - 1, i < start_i + n_steps)
         bound = jnp.logical_and(bound, i < cache_len - 0)  # cache capacity
         if not gen.early_stopping:
@@ -1153,32 +1225,33 @@ def _beam_segment_run(params, cfg, gen, conds, text_tokens, text_lengths, rng,
         return jnp.logical_and(bound, jnp.any(best_possible > best_score))
 
     def body_fn(s):
-        i, codes, beam_scores, kg, vg, seen, cur, done_best = s
+        i, codes, beam_scores, kvg, seen, cur, done_best = s
         x = params["mel_embedding"][cur] + params["mel_pos_embedding"][i + 2]
         bias_g = jnp.where(gen_positions < i, 0.0, NEG_INF).astype(jnp.float32)
 
         def scan_body(x, layer):
-            layer_p, kgl, vgl, kpl, vpl = layer
-            out, k_new, v_new = _decode_block_beam(
-                layer_p, x, kpl, vpl, kgl, vgl, bias_p, bias_g, heads, nb
+            layer_p, kvgl, kvpl = layer
+            out, kv_new = _decode_block_beam(
+                layer_p, x, kvpl, kvgl, bias_p, bias_g, heads, nb
             )
-            return out, (k_new, v_new)
+            return out, kv_new
 
-        x, (k_news, v_news) = jax.lax.scan(scan_body, x, (params["gpt"]["blocks"], kg, vg, kp, vp))
-        kg2 = jax.lax.dynamic_update_slice(kg, k_news[:, :, :, None, :], (0, 0, 0, i, 0))
-        vg2 = jax.lax.dynamic_update_slice(vg, v_news[:, :, :, None, :], (0, 0, 0, i, 0))
+        x, kv_news = jax.lax.scan(scan_body, x, (params["gpt"]["blocks"], kvg, kvp))
+        kvg2 = tuple(
+            jax.lax.dynamic_update_slice(c, n[:, :, :, None, :], (0, 0, 0, i, 0))
+            for c, n in zip(kvg, kv_news)
+        )
         x = layer_norm(x, params["gpt"]["ln_f"]["weight"], params["gpt"]["ln_f"]["bias"])
         logits = _mel_logits(params, x)
         codes, beam_scores, seen, done_best, flat_src, nxt = _beam_step(
             cfg, gen, i + 1, logits, codes, beam_scores, seen, done_best, warp,
             lambda lj, key, s_: select_successors(lj, key, s_, b), rng, b, nb,
         )
-        kg2 = kg2[:, flat_src]
-        vg2 = vg2[:, flat_src]
-        return (i + 1, codes, beam_scores, kg2, vg2, seen, nxt, done_best)
+        kvg2 = tuple(c[:, flat_src] for c in kvg2)
+        return (i + 1, codes, beam_scores, kvg2, seen, nxt, done_best)
 
     st = jax.lax.while_loop(cond_fn, body_fn, st)
-    return st, (kp, vp, bias_p)
+    return st, (kvp, bias_p)
 
 
 def _beam_step(cfg, gen, si, logits, codes, beam_scores, seen, done_best, warp, select, rng, b, nb):
