@@ -155,10 +155,14 @@ def _prefill(params: Params, cfg: GPTConfig, emb: jnp.ndarray, mask: jnp.ndarray
     return logits, (jnp.pad(k2, pads), jnp.pad(v2, pads))
 
 
-def _qpad(q: jnp.ndarray) -> jnp.ndarray:
-    """[.., Dh] query -> [.., 2*Dh] zero-extended so a dot against a packed
-    K|V row contracts to exactly q.k (the V lanes meet zeros)."""
-    return jnp.concatenate([q, jnp.zeros_like(q)], axis=-1)
+def _select_paired(o2, dh: int):
+    """[..., H/2, 2, 2*Dh] joint value output -> [..., H, Dh]: row t of each
+    pair holds (sum attn_t . v_{2g} | sum attn_t . v_{2g+1}); keep the
+    matching half."""
+    lead = o2.shape[:-3]
+    g2 = o2.shape[-3]
+    sel = jnp.stack([o2[..., 0, :dh], o2[..., 1, dh:]], axis=-2)
+    return sel.reshape(*lead, 2 * g2, dh)
 
 
 def _qpad2(q: jnp.ndarray, heads: int) -> jnp.ndarray:
@@ -202,8 +206,7 @@ def _decode_block(layer_p, x, k2, v2, attn_bias, heads):
     attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
     a2 = attn[..., :-1].reshape(b, g2, 2, s_len)
     o2 = jnp.einsum("bgts,bgsd->bgtd", a2, v2)  # [B, H/2, 2, 2*Dh]
-    o = jnp.stack([o2[:, :, 0, :dh], o2[:, :, 1, dh:]], axis=2).reshape(b, heads, dh)
-    a = o + attn[..., -1:] * v_new
+    a = _select_paired(o2, dh) + attn[..., -1:] * v_new
     a = matmul_maybe_quantized(a.reshape(b, d), layer_p["attn_proj"])
     x = x + a
     h = layer_norm(x, layer_p["ln_2"]["weight"], layer_p["ln_2"]["bias"])
@@ -746,16 +749,6 @@ def _generate_speech_beam_dense(
     return final_codes, final_len
 
 
-def _select_paired(o2, dh: int):
-    """[..., H/2, 2, 2*Dh] joint value output -> [..., H, Dh]: row t of each
-    pair holds (sum attn_t . v_{2g} | sum attn_t . v_{2g+1}); keep the
-    matching half."""
-    lead = o2.shape[:-3]
-    g2 = o2.shape[-3]
-    sel = jnp.stack([o2[..., 0, :dh], o2[..., 1, dh:]], axis=-2)
-    return sel.reshape(*lead, 2 * g2, dh)
-
-
 def _decode_block_beam(layer_p, x, kvp, kvg, bias_p, bias_g, heads, nb):
     """Beam decode block with a split HEAD-PAIRED cache. x: [B*nb, D]; kvp:
     the shared prefill cache (k2, v2) each [B, H/2, P, 2*Dh] (identical for
@@ -784,7 +777,7 @@ def _decode_block_beam(layer_p, x, kvp, kvg, bias_p, bias_g, heads, nb):
     n_len = k2g.shape[2]
     qb2 = _qpad2(q, heads).reshape(b, nb, g2, 2, 2 * dh)
     sp = jnp.einsum("bngtd,bgpd->bngtp", qb2, k2p).astype(jnp.float32) * scale
-    sp = sp.reshape(bn, heads, p_len) + jnp.repeat(bias_p, nb, axis=0)[:, None, :]
+    sp = (sp + bias_p[:, None, None, None, :]).reshape(bn, heads, p_len)
     sg = jnp.einsum("bgtd,bgsd->bgts", _qpad2(q, heads), k2g).astype(jnp.float32)
     sg = sg.reshape(bn, heads, n_len) * scale + bias_g[:, None, :]
     ss = jnp.sum(q * k_new, axis=-1, keepdims=True).astype(jnp.float32) * scale
@@ -856,7 +849,7 @@ def _decode_block_beam_lineage(layer_p, x, kvp, kvg, lin_masks, bias_p, bias_g, 
     n_len = k2g.shape[2]
     qb2 = _qpad2(q, heads).reshape(b, nb, g2, 2, 2 * dh)
     sp = jnp.einsum("bngtd,bgpd->bngtp", qb2, k2p).astype(jnp.float32) * scale
-    sp = sp.reshape(bn, heads, p_len) + jnp.repeat(bias_p, nb, axis=0)[:, None, :]
+    sp = (sp + bias_p[:, None, None, None, :]).reshape(bn, heads, p_len)
 
     # scores: s_d[c, s] = q[sibling(c, +delta)] . kg[c, s]; rotate back to
     # query rows and lineage-select. (Stacking the rotated queries on an
