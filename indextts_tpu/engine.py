@@ -397,7 +397,7 @@ class IndexTTS:
         return self._vocoder_cache[key]
 
     def _gpt_generate(self, conds, text_tokens: np.ndarray, text_lengths: np.ndarray, gen: GenerationConfig,
-                      temperature, top_p, repetition_penalty):
+                      temperature, top_p, repetition_penalty, length_penalty=0.0, typical_mass=0.9):
         """Run the bucketed decode. text_tokens: [B, L] np int32."""
         b, l0 = text_tokens.shape
         l = max(_round_up(l0, 8), 8)
@@ -425,15 +425,18 @@ class IndexTTS:
             )
 
             seg_fn = generate_speech_beam_segmented if gen.num_beams > 1 else generate_speech_segmented
+            extra = {"length_penalty": float(length_penalty)} if gen.num_beams > 1 else {}
             codes, lengths = seg_fn(
                 self.gpt_params, self.cfg.gpt, gen,
                 conds_b.astype(self.dtype), jnp.asarray(padded), jnp.asarray(text_lengths), sub,
                 temperature=jnp.float32(temperature), top_p=jnp.float32(top_p),
                 repetition_penalty=jnp.float32(repetition_penalty),
-                segment=seg, jit_cache=self._decode_cache,
+                typical_mass=jnp.float32(typical_mass),
+                segment=seg, jit_cache=self._decode_cache, **extra,
             )
             return np.asarray(codes), np.asarray(lengths)
         fn = self._decode_fn(b, l, gen)
+        extra = {"length_penalty": jnp.float32(length_penalty)} if gen.num_beams > 1 else {}
         codes, lengths = fn(
             params=self.gpt_params,
             conds=conds_b.astype(self.dtype),
@@ -443,6 +446,8 @@ class IndexTTS:
             temperature=jnp.float32(temperature),
             top_p=jnp.float32(top_p),
             repetition_penalty=jnp.float32(repetition_penalty),
+            typical_mass=jnp.float32(typical_mass),
+            **extra,
         )
         return np.asarray(codes), np.asarray(lengths)
 
@@ -556,9 +561,7 @@ class IndexTTS:
             num_beams=num_beams,
             top_k=int(top_k) if top_k else 0,
             typical_sampling=typical_sampling,
-            typical_mass=typical_mass,
             max_new_tokens=int(max_mel_tokens),
-            length_penalty=float(length_penalty),
         )
 
         conds = self._conds_for(prompt_mel)
@@ -581,7 +584,7 @@ class IndexTTS:
             m_start = time.perf_counter()
             codes, code_lens = self._gpt_generate(
                 conds, text_tokens, np.asarray([text_tokens.shape[1]]), gen,
-                temperature, top_p, repetition_penalty,
+                temperature, top_p, repetition_penalty, length_penalty, typical_mass,
             )
             gpt_gen_time += time.perf_counter() - m_start
             if not has_warned and not (codes[:, -1] == self.stop_mel_token).all() and code_lens.max() >= gen.max_new_tokens:
@@ -671,9 +674,7 @@ class IndexTTS:
             num_beams=num_beams,
             top_k=int(top_k) if top_k else 0,
             typical_sampling=typical_sampling,
-            typical_mass=typical_mass,
             max_new_tokens=int(max_mel_tokens),
-            length_penalty=float(length_penalty),
         )
         conds = self._conds_for(prompt_mel)
 
@@ -705,7 +706,7 @@ class IndexTTS:
                 f"gpt inference speech... {processed_num}/{all_batch_num}",
             )
             m_start = time.perf_counter()
-            codes, lens = self._gpt_generate(conds, batch_text, text_lens, gen, temperature, top_p, repetition_penalty)
+            codes, lens = self._gpt_generate(conds, batch_text, text_lens, gen, temperature, top_p, repetition_penalty, length_penalty, typical_mass)
             gpt_gen_time += time.perf_counter() - m_start
             all_batch_codes.append(codes)
             all_batch_lens.append(lens)
@@ -780,14 +781,14 @@ class IndexTTS:
             cfg = self.cfg.gpt
 
             @jax.jit
-            def step_fn(params, state, prefill_valid, rng, temperature, top_p, repetition_penalty):
+            def step_fn(params, state, prefill_valid, rng, temperature, top_p, repetition_penalty, typical_mass):
                 from indextts_tpu.models.gpt_decode import decode_steps
                 from indextts_tpu.ops.sampling import greedy_token, process_logits, sample_token
 
                 def sample_from(logits, seen, key_, step):
                     lf = process_logits(
                         logits, seen_mask=seen, repetition_penalty=repetition_penalty,
-                        typical_sampling=gen.typical_sampling, typical_mass=gen.typical_mass,
+                        typical_sampling=gen.typical_sampling, typical_mass=typical_mass,
                         temperature=temperature, top_k=gen.top_k if gen.do_sample else 0,
                         top_p=top_p, do_sample=gen.do_sample,
                     )
@@ -831,10 +832,11 @@ class IndexTTS:
 
             @jax.jit
             def fn(params, bv_params, conds, text, lens, rng,
-                   temperature, top_p, repetition_penalty, mel_ref, mel_lens):
+                   temperature, top_p, repetition_penalty, typical_mass, mel_ref, mel_lens):
                 state, aux = prefill_decode_state(
                     params, cfg, gen, conds, text, lens, rng,
                     temperature=temperature, top_p=top_p, repetition_penalty=repetition_penalty,
+                    typical_mass=typical_mass,
                 )
                 pv = aux["prefill_valid"]
                 state = decode_steps(
@@ -890,6 +892,7 @@ class IndexTTS:
         repetition_penalty = generation_kwargs.pop("repetition_penalty", 10.0)
         max_mel_tokens = generation_kwargs.pop("max_mel_tokens", 600)
         typical_sampling = generation_kwargs.pop("typical_sampling", False)
+        typical_mass = generation_kwargs.pop("typical_mass", 0.9)
         gen = GenerationConfig(
             do_sample=do_sample, num_beams=1, top_k=int(top_k) if top_k else 0,
             typical_sampling=typical_sampling, max_new_tokens=int(max_mel_tokens),
@@ -915,7 +918,7 @@ class IndexTTS:
             step_fn = self._stream_fns(1, l, gen, chunk_codes)[0]
             first_fused = self._first_chunk_fn(l, gen, first_chunk_codes, fb)
             self._rng, sub = jax.random.split(self._rng)
-            args = (jnp.float32(temperature), jnp.float32(top_p), jnp.float32(repetition_penalty))
+            args = (jnp.float32(temperature), jnp.float32(top_p), jnp.float32(repetition_penalty), jnp.float32(typical_mass))
             packed, state, prefill_valid = first_fused(
                 self.gpt_params, self.bigvgan_params, conds.astype(self.dtype),
                 jnp.asarray(padded), jnp.asarray([l0]), sub, *args, mel_ref_j, mel_lens,

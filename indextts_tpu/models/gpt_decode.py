@@ -53,16 +53,15 @@ NEG_INF = jnp.finfo(jnp.float32).min
 @dataclass(frozen=True)
 class GenerationConfig:
     """Static (shape/trace-affecting) generation settings. Dynamic scalars
-    (temperature/top_p/repetition_penalty) are traced arguments instead so
-    tweaking them never recompiles."""
+    (temperature/top_p/repetition_penalty/length_penalty/typical_mass) are
+    traced arguments instead so tweaking them never recompiles — this config
+    participates in jit cache keys, so only structure belongs here."""
 
     do_sample: bool = True
     num_beams: int = 1
     top_k: int = 30
     typical_sampling: bool = False
-    typical_mass: float = 0.9
     max_new_tokens: int = 600
-    length_penalty: float = 0.0
     early_stopping: bool = True
 
 
@@ -251,6 +250,7 @@ def generate_speech(
     temperature=1.0,
     top_p=0.8,
     repetition_penalty=10.0,
+    typical_mass=0.9,
     input_tokens: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy / sampled generation (num_beams == 1).
@@ -298,7 +298,7 @@ def generate_speech(
             seen_mask=seen,
             repetition_penalty=repetition_penalty,
             typical_sampling=gen.typical_sampling,
-            typical_mass=gen.typical_mass,
+            typical_mass=typical_mass,
             temperature=temperature,
             top_k=gen.top_k if gen.do_sample else 0,
             top_p=top_p,
@@ -369,6 +369,7 @@ def prefill_decode_state(
     temperature=1.0,
     top_p=0.8,
     repetition_penalty=10.0,
+    typical_mass=0.9,
     cache_len: Optional[int] = None,
 ):
     """Prefill + first token; returns (state, aux) where aux carries the
@@ -388,7 +389,7 @@ def prefill_decode_state(
     def sample_from(logits, seen, key, step):
         lf = process_logits(
             logits, seen_mask=seen, repetition_penalty=repetition_penalty,
-            typical_sampling=gen.typical_sampling, typical_mass=gen.typical_mass,
+            typical_sampling=gen.typical_sampling, typical_mass=typical_mass,
             temperature=temperature, top_k=gen.top_k if gen.do_sample else 0,
             top_p=top_p, do_sample=gen.do_sample,
         )
@@ -427,6 +428,7 @@ def generate_speech_segmented(
     temperature=1.0,
     top_p=0.8,
     repetition_penalty=10.0,
+    typical_mass=0.9,
     segment: int = 160,
     jit_cache: Optional[Dict[Any, Any]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -451,11 +453,11 @@ def generate_speech_segmented(
         if key not in cache:
             if seg_idx == 0:
                 @jax.jit
-                def prefill_fn(params, conds, text_tokens, text_lengths, rng, temperature, top_p, repetition_penalty):
+                def prefill_fn(params, conds, text_tokens, text_lengths, rng, temperature, top_p, repetition_penalty, typical_mass):
                     state, aux = prefill_decode_state(
                         params, cfg, gen, conds, text_tokens, text_lengths, rng,
                         temperature=temperature, top_p=top_p, repetition_penalty=repetition_penalty,
-                        cache_len=cache_len,
+                        typical_mass=typical_mass, cache_len=cache_len,
                     )
                     state = decode_steps(
                         params, cfg, state, segment - 1, aux["p"], 0, aux["prefill_valid"],
@@ -468,11 +470,11 @@ def generate_speech_segmented(
                 n_steps = min(segment * (seg_idx + 1), max_new) - segment * seg_idx
 
                 @jax.jit
-                def step_fn(params, state, prefill_valid, rng, temperature, top_p, repetition_penalty):
+                def step_fn(params, state, prefill_valid, rng, temperature, top_p, repetition_penalty, typical_mass):
                     def sample_from(logits, seen, key_, step):
                         lf = process_logits(
                             logits, seen_mask=seen, repetition_penalty=repetition_penalty,
-                            typical_sampling=gen.typical_sampling, typical_mass=gen.typical_mass,
+                            typical_sampling=gen.typical_sampling, typical_mass=typical_mass,
                             temperature=temperature, top_k=gen.top_k if gen.do_sample else 0,
                             top_p=top_p, do_sample=gen.do_sample,
                         )
@@ -489,7 +491,7 @@ def generate_speech_segmented(
                 cache[key] = step_fn
         return cache[key]
 
-    args = (jnp.float32(temperature), jnp.float32(top_p), jnp.float32(repetition_penalty))
+    args = (jnp.float32(temperature), jnp.float32(top_p), jnp.float32(repetition_penalty), jnp.float32(typical_mass))
     state, prefill_valid = seg_fns(0)(params, conds, text_tokens, text_lengths, rng, *args)
     for k_seg in range(1, n_segments):
         i, codes, _, done, _, _ = state
@@ -557,20 +559,19 @@ def inference_speech(
         num_beams=num_beams,
         top_k=int(top_k) if top_k else 0,
         typical_sampling=typical_sampling,
-        typical_mass=typical_mass,
         max_new_tokens=int(max_new),
-        length_penalty=float(length_penalty),
     )
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     if num_beams > 1:
         return generate_speech_beam(
             params, cfg, gen, conds, text_inputs, text_lengths, rng,
             temperature=temperature, top_p=top_p, repetition_penalty=repetition_penalty,
+            length_penalty=length_penalty, typical_mass=typical_mass,
         )
     return generate_speech(
         params, cfg, gen, conds, text_inputs, text_lengths, rng,
         temperature=temperature, top_p=top_p, repetition_penalty=repetition_penalty,
-        input_tokens=input_tokens,
+        typical_mass=typical_mass, input_tokens=input_tokens,
     )
 
 
@@ -590,6 +591,8 @@ def _generate_speech_beam_dense(
     temperature=1.0,
     top_p=0.8,
     repetition_penalty=10.0,
+    length_penalty=0.0,
+    typical_mass=0.9,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Reference implementation of beam decode: the whole (prefill +
     generated) KV cache is gathered on every beam reorder (replaces HF
@@ -631,7 +634,7 @@ def _generate_speech_beam_dense(
             seen_mask=seen,
             repetition_penalty=repetition_penalty,
             typical_sampling=gen.typical_sampling,
-            typical_mass=gen.typical_mass,
+            typical_mass=typical_mass,
             temperature=temperature,
             top_k=gen.top_k if gen.do_sample else 0,
             top_p=top_p,
@@ -675,7 +678,7 @@ def _generate_speech_beam_dense(
 
         is_eos = tok == cfg.stop_mel_token
         cur_len = jnp.asarray(i + 1, jnp.float32)
-        lp = jnp.where(cur_len > 0, cur_len**gen.length_penalty, 1.0)
+        lp = jnp.where(cur_len > 0, cur_len**length_penalty, 1.0)
         finished_scores = jnp.where(is_eos, vals / lp, NEG_INF)  # [b, 2nb]
         # best finished candidate this step
         fbest = jnp.max(finished_scores, axis=1)
@@ -713,7 +716,7 @@ def _generate_speech_beam_dense(
             return i < max_new - 1
         # worst-case continuing score cannot beat best finished -> stop
         max_len = jnp.asarray(max_new, jnp.float32)
-        lp = max_len**gen.length_penalty
+        lp = max_len**length_penalty
         best_possible = jnp.max(beam_scores.reshape(b, nb), axis=1) / lp
         return jnp.logical_and(i < max_new - 1, jnp.any(best_possible > best_score))
 
@@ -741,59 +744,12 @@ def _generate_speech_beam_dense(
     # if no beam finished, fall back to the best live beam (unfinished)
     live_best = jnp.argmax(beam_scores.reshape(b, nb), axis=1)
     live_flat = jnp.arange(b) * nb + live_best
-    live_lp = jnp.asarray(max_new, jnp.float32) ** gen.length_penalty
+    live_lp = jnp.asarray(max_new, jnp.float32) ** length_penalty
     live_scores = beam_scores.reshape(b, nb)[jnp.arange(b), live_best] / live_lp
     has_finished = best_score > NEG_INF / 2
     final_codes = jnp.where(has_finished[:, None], best_codes, codes[live_flat])
     final_len = jnp.where(has_finished, best_len, max_new)
     return final_codes, final_len
-
-
-def _decode_block_beam(layer_p, x, kvp, kvg, bias_p, bias_g, heads, nb):
-    """Beam decode block with a split HEAD-PAIRED cache. x: [B*nb, D]; kvp:
-    the shared prefill cache (k2, v2) each [B, H/2, P, 2*Dh] (identical for
-    all beams of a row, so never gathered on reorders); kvg: the
-    generated-region cache (k2, v2) each [B*nb, H/2, N, 2*Dh]. bias_p:
-    [B, P] additive; bias_g: [1, N] additive.
-    Returns (out [B*nb, D], (k2_new, v2_new) each [B*nb, H/2, 2*Dh])."""
-    from indextts_tpu.ops.quant import matmul_maybe_quantized
-
-    k2p, v2p = kvp
-    k2g, v2g = kvg
-    bn, d = x.shape
-    b = bn // nb
-    dh = d // heads
-    g2 = heads // 2
-    h = layer_norm(x, layer_p["ln_1"]["weight"], layer_p["ln_1"]["bias"])
-    qkv = matmul_maybe_quantized(h, layer_p["attn_qkv"])
-    q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
-    q = q.reshape(bn, heads, dh)
-    k_new = k_new.reshape(bn, heads, dh)
-    v_new = v_new.reshape(bn, heads, dh)
-    scale = 1.0 / math.sqrt(dh)
-
-    # beams are laid out row-major (row*nb + beam), matching jnp.repeat
-    p_len = k2p.shape[2]
-    n_len = k2g.shape[2]
-    qb2 = _qpad2(q, heads).reshape(b, nb, g2, 2, 2 * dh)
-    sp = jnp.einsum("bngtd,bgpd->bngtp", qb2, k2p).astype(jnp.float32) * scale
-    sp = (sp + bias_p[:, None, None, None, :]).reshape(bn, heads, p_len)
-    sg = jnp.einsum("bgtd,bgsd->bgts", _qpad2(q, heads), k2g).astype(jnp.float32)
-    sg = sg.reshape(bn, heads, n_len) * scale + bias_g[:, None, :]
-    ss = jnp.sum(q * k_new, axis=-1, keepdims=True).astype(jnp.float32) * scale
-    scores = jnp.concatenate([sp, sg, ss], axis=-1)
-    attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    ap2 = attn[..., :p_len].reshape(b, nb, g2, 2, p_len)
-    op = _select_paired(jnp.einsum("bngtp,bgpd->bngtd", ap2, v2p), dh).reshape(bn, heads, dh)
-    ag2 = attn[..., p_len:-1].reshape(bn, g2, 2, n_len)
-    og = _select_paired(jnp.einsum("bgts,bgsd->bgtd", ag2, v2g), dh)
-    out = op + og + attn[..., -1:] * v_new
-    a = matmul_maybe_quantized(out.reshape(bn, d), layer_p["attn_proj"])
-    x = x + a
-    h = layer_norm(x, layer_p["ln_2"]["weight"], layer_p["ln_2"]["bias"])
-    h = gelu_new(matmul_maybe_quantized(h, layer_p["mlp_fc"]))
-    h = matmul_maybe_quantized(h, layer_p["mlp_proj"])
-    return x + h, (_pair_heads_new(k_new), _pair_heads_new(v_new))
 
 
 def _roll_beams(t: jnp.ndarray, delta: int, nb: int) -> jnp.ndarray:
@@ -808,7 +764,12 @@ def _roll_beams(t: jnp.ndarray, delta: int, nb: int) -> jnp.ndarray:
 
 
 def _decode_block_beam_lineage(layer_p, x, kvp, kvg, lin_masks, bias_p, bias_g, heads, nb):
-    # kvp/kvg: head-paired (k2, v2) tuples — see _decode_block_beam
+    # x: [B*nb, D] (beams row-major: row*nb + beam, matching jnp.repeat).
+    # kvp: shared HEAD-PAIRED prefill cache (k2, v2) each [B, H/2, P, 2*Dh]
+    # (identical for all beams of a row, never gathered). kvg: generated-
+    # region cache (k2, v2) each [B*nb, H/2, N, 2*Dh]. bias_p: [B, P]
+    # additive; bias_g: [1, N] additive. Returns (out [B*nb, D],
+    # (k2_new, v2_new) each [B*nb, H/2, 2*Dh]).
     """Beam decode block with an UNPERMUTED split cache: beam ancestry is
     resolved inside attention instead of physically reordering the
     [B*nb, H, N, Dh] generated cache every step. The physical reorder
@@ -897,10 +858,13 @@ def generate_speech_beam(
     temperature=1.0,
     top_p=0.8,
     repetition_penalty=10.0,
+    length_penalty=0.0,
+    typical_mass=0.9,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Beam decode with a split, NEVER-REORDERED KV cache: the prefill runs
     once per batch row (not per beam) and is shared read-only across beams;
-    the generated-region cache [L, B*nb, H, max_new, Dh] stays where each
+    the head-paired generated-region cache (k2, v2 each
+    [L, B*nb, H/2, max_new, 2*Dh]) stays where each
     physical row wrote it, and beam ancestry is resolved inside attention
     from a small per-position lineage map (_decode_block_beam_lineage) —
     the HF `_reorder_cache` equivalent (model.py:194-207) with zero
@@ -939,7 +903,7 @@ def generate_speech_beam(
     def warp(logits, seen):
         lf = process_logits(
             logits, seen_mask=seen, repetition_penalty=repetition_penalty,
-            typical_sampling=gen.typical_sampling, typical_mass=gen.typical_mass,
+            typical_sampling=gen.typical_sampling, typical_mass=typical_mass,
             temperature=temperature, top_k=gen.top_k if gen.do_sample else 0,
             top_p=top_p, do_sample=gen.do_sample, num_beams=nb,
         )
@@ -969,7 +933,7 @@ def generate_speech_beam(
         tok = (idx % v).astype(jnp.int32)
         is_eos = tok == cfg.stop_mel_token
         cur_len = jnp.asarray(si + 1, jnp.float32)
-        lp = jnp.where(cur_len > 0, cur_len**gen.length_penalty, 1.0)
+        lp = jnp.where(cur_len > 0, cur_len**length_penalty, 1.0)
         finished_scores = jnp.where(is_eos, vals / lp, NEG_INF)
         fbest = jnp.max(finished_scores, axis=1)
         fargmax = jnp.argmax(finished_scores, axis=1)
@@ -1001,7 +965,7 @@ def generate_speech_beam(
         i, codes, beam_scores, kvg, lin, seen, cur, (best_score, _, _) = state
         if not gen.early_stopping:
             return i < max_new - 1
-        lp = jnp.asarray(max_new, jnp.float32) ** gen.length_penalty
+        lp = jnp.asarray(max_new, jnp.float32) ** length_penalty
         best_possible = jnp.max(beam_scores.reshape(b, nb), axis=1) / lp
         return jnp.logical_and(i < max_new - 1, jnp.any(best_possible > best_score))
 
@@ -1065,13 +1029,15 @@ def generate_speech_beam_segmented(
     temperature=1.0,
     top_p=0.8,
     repetition_penalty=10.0,
+    length_penalty=0.0,
+    typical_mass=0.9,
     segment: int = 160,
     jit_cache: Optional[Dict[Any, Any]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Split-cache beam decode with segment-growing generated cache: the
-    per-step beam-reorder gather touches only p-free cache slots that can
-    actually be written in the current segment. Host-driven like
-    generate_speech_segmented; identical sampling state machine to
+    """Split-cache beam decode with segment-growing generated cache:
+    lineage-resolved attention (no physical cache reorder) against a
+    generated cache that only holds the slots writable so far. Host-driven
+    like generate_speech_segmented; identical sampling state machine to
     generate_speech_beam (which it matches bit-exactly — see tests)."""
     nb = gen.num_beams
     b, l = text_tokens.shape
@@ -1089,10 +1055,10 @@ def generate_speech_beam_segmented(
             n_steps = cache_len - 1
 
             @jax.jit
-            def first_fn(params, conds, text_tokens, text_lengths, rng, temperature, top_p, repetition_penalty):
+            def first_fn(params, conds, text_tokens, text_lengths, rng, temperature, top_p, repetition_penalty, length_penalty, typical_mass):
                 return _beam_segment_run(
                     params, cfg, gen, conds, text_tokens, text_lengths, rng,
-                    temperature, top_p, repetition_penalty,
+                    temperature, top_p, repetition_penalty, length_penalty, typical_mass,
                     cache_len=cache_len, n_steps=n_steps, init=True, state=None,
                 )
 
@@ -1101,10 +1067,10 @@ def generate_speech_beam_segmented(
             n_steps = cache_len - segment * seg_idx
 
             @jax.jit
-            def step_fn(params, state, aux_arrays, rng, temperature, top_p, repetition_penalty):
+            def step_fn(params, state, aux_arrays, rng, temperature, top_p, repetition_penalty, length_penalty, typical_mass):
                 return _beam_segment_run(
                     params, cfg, gen, None, None, None, rng,
-                    temperature, top_p, repetition_penalty,
+                    temperature, top_p, repetition_penalty, length_penalty, typical_mass,
                     cache_len=cache_len, n_steps=n_steps, init=False,
                     state=(state, aux_arrays),
                 )
@@ -1114,12 +1080,13 @@ def generate_speech_beam_segmented(
 
     import numpy as np
 
-    args = (jnp.float32(temperature), jnp.float32(top_p), jnp.float32(repetition_penalty))
+    args = (jnp.float32(temperature), jnp.float32(top_p), jnp.float32(repetition_penalty),
+            jnp.float32(length_penalty), jnp.float32(typical_mass))
     state, aux_arrays = seg_fn(0)(params, conds, text_tokens, text_lengths, rng, *args)
     for k_seg in range(1, n_segments):
-        i, codes, beam_scores, kvg, seen, cur, (best_score, _, _) = state
+        i, codes, beam_scores, kvg, lin, seen, cur, (best_score, _, _) = state
         # host-side early exit mirroring the device cond
-        lp = float(max_new) ** gen.length_penalty
+        lp = float(max_new) ** float(length_penalty)
         bp = np.max(np.asarray(beam_scores).reshape(b, nb), axis=1) / lp
         if gen.early_stopping and not bool((bp > np.asarray(best_score)).any()):
             break
@@ -1127,7 +1094,7 @@ def generate_speech_beam_segmented(
             break
         state, aux_arrays = seg_fn(k_seg)(params, state, aux_arrays, rng, *args)
 
-    i, codes, beam_scores, kvg, seen, cur, (best_score, best_codes, best_len) = state
+    i, codes, beam_scores, kvg, lin, seen, cur, (best_score, best_codes, best_len) = state
     live_best = jnp.argmax(beam_scores.reshape(b, nb), axis=1)
     live_flat = jnp.arange(b) * nb + live_best
     has_finished = best_score > NEG_INF / 2
@@ -1137,7 +1104,7 @@ def generate_speech_beam_segmented(
 
 
 def _beam_segment_run(params, cfg, gen, conds, text_tokens, text_lengths, rng,
-                      temperature, top_p, repetition_penalty, *,
+                      temperature, top_p, repetition_penalty, length_penalty, typical_mass, *,
                       cache_len, n_steps, init, state):
     """One jitted beam segment: optionally prefill+first-token, then up to
     n_steps decode iterations against a generated cache of size cache_len."""
@@ -1152,7 +1119,7 @@ def _beam_segment_run(params, cfg, gen, conds, text_tokens, text_lengths, rng,
     def warp(logits, seen):
         lf = process_logits(
             logits, seen_mask=seen, repetition_penalty=repetition_penalty,
-            typical_sampling=gen.typical_sampling, typical_mass=gen.typical_mass,
+            typical_sampling=gen.typical_sampling, typical_mass=typical_mass,
             temperature=temperature, top_k=gen.top_k if gen.do_sample else 0,
             top_p=top_p, do_sample=gen.do_sample, num_beams=nb,
         )
@@ -1188,17 +1155,23 @@ def _beam_segment_run(params, cfg, gen, conds, text_tokens, text_lengths, rng,
                  jnp.zeros((b,), jnp.int32))
         codes, beam_scores, seen, done_best, flat_src, cur = _beam_step(
             cfg, gen, 0, logits0, codes0, beam_scores0, seen0, best0, warp,
-            lambda lj, key, s: select_successors(lj, key, s, b), rng, b, nb,
+            lambda lj, key, s: select_successors(lj, key, s, b), rng, b, nb, length_penalty,
         )
-        st = (jnp.asarray(0), codes, beam_scores, kvg, seen, cur, done_best)
+        # nothing written to kg/vg yet -> the lineage map starts empty; it is
+        # NOT permuted by step 0's flat_src (all cache rows are still empty)
+        lin = jnp.zeros((bb, cache_len), jnp.int32)
+        st = (jnp.asarray(0), codes, beam_scores, kvg, lin, seen, cur, done_best)
         aux = (kvp, bias_p)
     else:
         st, aux = state
-        i, codes, beam_scores, kvg, seen, cur, done_best = st
+        i, codes, beam_scores, kvg, lin, seen, cur, done_best = st
         extra = cache_len - kvg[0].shape[3]
         pads = ((0, 0), (0, 0), (0, 0), (0, extra), (0, 0))
         kvg = tuple(jnp.pad(c, pads) for c in kvg)
-        st = (i, codes, beam_scores, kvg, seen, cur, done_best)
+        # grow the lineage map with the cache; new positions are bias-masked
+        # until written, so their lineage value (0) is irrelevant
+        lin = jnp.pad(lin, ((0, 0), (0, extra)))
+        st = (i, codes, beam_scores, kvg, lin, seen, cur, done_best)
         kvp, bias_p = aux
         bb = kvg[0].shape[1]
         b = bb // nb
@@ -1206,26 +1179,35 @@ def _beam_segment_run(params, cfg, gen, conds, text_tokens, text_lengths, rng,
     kvp, bias_p = aux
     gen_positions = jnp.arange(cache_len)[None, :]
     start_i = st[0]
+    own_local = (jnp.arange(bb) % nb).astype(jnp.int32)
+    m_idx = (jnp.arange(bb, dtype=jnp.int32) % nb)[:, None]  # [bb, 1]
 
     def cond_fn(s):
-        i, codes, beam_scores, kvg, seen, cur, (best_score, _, _) = s
+        i, codes, beam_scores, kvg, lin, seen, cur, (best_score, _, _) = s
         bound = jnp.logical_and(i < max_new - 1, i < start_i + n_steps)
         bound = jnp.logical_and(bound, i < cache_len - 0)  # cache capacity
         if not gen.early_stopping:
             return bound
-        lp = jnp.asarray(max_new, jnp.float32) ** gen.length_penalty
+        lp = jnp.asarray(max_new, jnp.float32) ** length_penalty
         best_possible = jnp.max(beam_scores.reshape(b, nb), axis=1) / lp
         return jnp.logical_and(bound, jnp.any(best_possible > best_score))
 
     def body_fn(s):
-        i, codes, beam_scores, kvg, seen, cur, done_best = s
+        i, codes, beam_scores, kvg, lin, seen, cur, done_best = s
         x = params["mel_embedding"][cur] + params["mel_pos_embedding"][i + 2]
         bias_g = jnp.where(gen_positions < i, 0.0, NEG_INF).astype(jnp.float32)
+        # lineage-resolved attention (same machinery as generate_speech_beam):
+        # the generated cache is NEVER physically reordered — beam ancestry is
+        # selected inside attention from the small [bb, cache_len] int32 map
+        lin_masks = [
+            (((m_idx - lin) % nb) == delta).astype(jnp.float32)[:, None, :]
+            for delta in range(nb)
+        ]
 
         def scan_body(x, layer):
             layer_p, kvgl, kvpl = layer
-            out, kv_new = _decode_block_beam(
-                layer_p, x, kvpl, kvgl, bias_p, bias_g, heads, nb
+            out, kv_new = _decode_block_beam_lineage(
+                layer_p, x, kvpl, kvgl, lin_masks, bias_p, bias_g, heads, nb
             )
             return out, kv_new
 
@@ -1238,16 +1220,19 @@ def _beam_segment_run(params, cfg, gen, conds, text_tokens, text_lengths, rng,
         logits = _mel_logits(params, x)
         codes, beam_scores, seen, done_best, flat_src, nxt = _beam_step(
             cfg, gen, i + 1, logits, codes, beam_scores, seen, done_best, warp,
-            lambda lj, key, s_: select_successors(lj, key, s_, b), rng, b, nb,
+            lambda lj, key, s_: select_successors(lj, key, s_, b), rng, b, nb, length_penalty,
         )
-        kvg2 = tuple(c[:, flat_src] for c in kvg2)
-        return (i + 1, codes, beam_scores, kvg2, seen, nxt, done_best)
+        # no cache reorder: position i was just written by each beam's own
+        # physical row; compose that into the lineage, then permute the SMALL
+        # per-position map by the successor choice
+        lin2 = jax.lax.dynamic_update_slice(lin, own_local[:, None], (0, i))[flat_src]
+        return (i + 1, codes, beam_scores, kvg2, lin2, seen, nxt, done_best)
 
     st = jax.lax.while_loop(cond_fn, body_fn, st)
     return st, (kvp, bias_p)
 
 
-def _beam_step(cfg, gen, si, logits, codes, beam_scores, seen, done_best, warp, select, rng, b, nb):
+def _beam_step(cfg, gen, si, logits, codes, beam_scores, seen, done_best, warp, select, rng, b, nb, length_penalty=0.0):
     """One beam-successor selection step (shared by split/segmented drivers)."""
     bb = b * nb
     v = cfg.number_mel_codes
@@ -1259,7 +1244,7 @@ def _beam_step(cfg, gen, si, logits, codes, beam_scores, seen, done_best, warp, 
     tok = (idx % v).astype(jnp.int32)
     is_eos = tok == cfg.stop_mel_token
     cur_len = jnp.asarray(si + 1, jnp.float32)
-    lp = jnp.where(cur_len > 0, cur_len**gen.length_penalty, 1.0)
+    lp = jnp.where(cur_len > 0, cur_len**length_penalty, 1.0)
     finished_scores = jnp.where(is_eos, vals / lp, NEG_INF)
     fbest = jnp.max(finished_scores, axis=1)
     fargmax = jnp.argmax(finished_scores, axis=1)

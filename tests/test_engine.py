@@ -179,3 +179,77 @@ class TestEngine:
 
     def test_infer_stream_entrypoint_exists(self, engine):
         assert hasattr(engine, "infer_stream")
+
+
+class TestRemoveLongSilence:
+    """Direct case-table tests for remove_long_silence (reference semantics:
+    infer.py:244-298). Key behaviors pinned: (a) the COMPACTION TRIGGER is the
+    total silent-token COUNT over the pre-stop region exceeding
+    max_consecutive (30), not the longest run; (b) once triggered, each run
+    is capped at 10 kept silences; (c) rows are first trimmed at the first
+    stop token; (d) multi-row output re-pads with stop_mel_token to the new
+    max length. STOP=65, SILENT=52 in the tiny config."""
+
+    STOP = 65
+    SIL = 52
+
+    def _codes(self, *rows):
+        width = max(len(r) for r in rows)
+        out = np.full((len(rows), width), self.STOP, np.int32)
+        for i, r in enumerate(rows):
+            out[i, : len(r)] = r
+        return out
+
+    def test_run_of_exactly_30_untouched(self, engine):
+        row = [7] + [self.SIL] * 30 + [9]
+        codes, lens = engine.remove_long_silence(self._codes(row))
+        assert lens[0] == 32
+        assert codes[0, :32].tolist() == row
+
+    def test_run_of_31_compacted_to_10(self, engine):
+        row = [7] + [self.SIL] * 31 + [9]
+        codes, lens = engine.remove_long_silence(self._codes(row))
+        # 31-run -> 10 kept; total 1 + 10 + 1 = 12
+        assert lens[0] == 12
+        assert codes[0, :12].tolist() == [7] + [self.SIL] * 10 + [9]
+
+    def test_scattered_silences_trigger_but_keep_short_runs(self, engine):
+        # 31 isolated silences: count > 30 triggers compaction, but every
+        # run is < 10 so nothing is removed (reference's count-based trigger)
+        row = []
+        for _ in range(31):
+            row += [7, self.SIL]
+        codes, lens = engine.remove_long_silence(self._codes(row))
+        assert lens[0] == 62
+        assert codes[0, :62].tolist() == row
+
+    def test_trim_at_stop_token(self, engine):
+        row = [7, 8, 9, self.STOP, 11, 12]
+        codes, lens = engine.remove_long_silence(self._codes(row))
+        assert lens[0] == 3
+        assert codes.shape[1] == 3
+        assert codes[0].tolist() == [7, 8, 9]
+
+    def test_mixed_runs_capped_per_run(self, engine):
+        # 15-run + 20-run = 35 > 30 triggers; each capped at 10
+        row = [1] + [self.SIL] * 15 + [2] + [self.SIL] * 20 + [3]
+        codes, lens = engine.remove_long_silence(self._codes(row))
+        expect = [1] + [self.SIL] * 10 + [2] + [self.SIL] * 10 + [3]
+        assert lens[0] == len(expect)
+        assert codes[0, : len(expect)].tolist() == expect
+
+    def test_multirow_padding_and_lens(self, engine):
+        r0 = [7] + [self.SIL] * 31 + [9]          # compacts to 12
+        r1 = [4, 5, 6, self.STOP]                  # trims to 3
+        codes, lens = engine.remove_long_silence(self._codes(r0, r1))
+        assert lens.tolist() == [12, 3]
+        assert codes.shape == (2, 12)
+        assert codes[0].tolist() == [7] + [self.SIL] * 10 + [9]
+        # shorter row re-padded with stop tokens
+        assert codes[1].tolist() == [4, 5, 6] + [self.STOP] * 9
+
+    def test_no_stop_no_silence_passthrough(self, engine):
+        row = [3, 4, 5, 6]
+        codes, lens = engine.remove_long_silence(self._codes(row))
+        assert lens[0] == 4
+        assert codes[0].tolist() == row

@@ -1,6 +1,8 @@
 """Frontend tests: normalizer cases (reference behavior: front.py:431-536
 __main__ cases), tokenizer round-trips, and sentence-split invariants."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -336,3 +338,56 @@ class TestTokenizer:
         toks = ["▁A", "b", ".", "'", "▁C", "."]
         out = TextTokenizer.split_sentences_by_token(toks, ["."], 120)
         assert out == [["▁A", "b", ".", "'", "▁C", "."]]
+
+
+class TestLongCorpusSplit:
+    """The reference frontend self-test's three long-document cases
+    (front.py:478-481) driven through normalize + the sentence splitter with
+    the reference's split-length assertion (front.py:521-529): every split
+    sentence must fit max_tokens_per_sentence and no token may be lost."""
+
+    LONG_CASES = [
+        "《盗梦空间》是由美国华纳兄弟影片公司出品的电影，由克里斯托弗·诺兰执导并编剧，莱昂纳多·迪卡普里奥、玛丽昂·歌迪亚、约瑟夫·高登-莱维特、艾利奥特·佩吉、汤姆·哈迪等联袂主演，2010年7月16日在美国上映，2010年9月1日在中国内地上映，2020年8月28日在中国内地重映。影片剧情游走于梦境与现实之间，被定义为“发生在意识结构内的当代动作科幻片”，讲述了由莱昂纳多·迪卡普里奥扮演的造梦师，带领特工团队进入他人梦境，从他人的潜意识中盗取机密，并重塑他人梦境的故事。",
+        "清晨拉开窗帘，阳光洒在窗台的Bloomixy花艺礼盒上——薰衣草香薰蜡烛唤醒嗅觉，永生花束折射出晨露般光泽。设计师将“自然绽放美学”融入每个细节：手工陶瓷花瓶可作首饰收纳，香薰精油含依兰依兰舒缓配方。限量款附赠《365天插花灵感手册》，让每个平凡日子都有花开仪式感。\n宴会厅灯光暗下的刹那，Glimmeria星月系列耳坠开始发光——瑞士冷珐琅工艺让蓝宝石如银河流动，钛合金骨架仅3.2g无负重感。设计师秘密：内置微型重力感应器，随步伐产生0.01mm振幅，打造“行走的星光”。七夕限定礼盒含星座定制铭牌，让爱意如星辰永恒闪耀。",
+        "电影1：“黑暗骑士”（演员：克里斯蒂安·贝尔、希斯·莱杰；导演：克里斯托弗·诺兰）；电影2：“盗梦空间”（演员：莱昂纳多·迪卡普里奥；导演：克里斯托弗·诺兰）；电影3：“钢琴家”（演员：艾德里安·布洛迪；导演：罗曼·波兰斯基）；电影4：“泰坦尼克号”（演员：莱昂纳多·迪卡普里奥；导演：詹姆斯·卡梅隆）；电影5：“阿凡达”（演员：萨姆·沃辛顿；导演：詹姆斯·卡梅隆）；电影6：“南方公园：大电影”（演员：马特·斯通、托马斯·艾恩格瑞；导演：特雷·帕克）",
+    ]
+
+    SENT_MARKS = [".", "!", "?", "▁.", "▁?", "▁..."]
+
+    @pytest.mark.parametrize("idx", [0, 1, 2])
+    def test_normalize_verbalizes_fully(self, normalizer, idx):
+        import re
+
+        out = normalizer.normalize(self.LONG_CASES[idx])
+        assert re.search(r"\d", out) is None, f"digits left: {out!r}"
+        # name protection survives inside long documents
+        if idx == 0:
+            assert "克里斯托弗-诺兰" in out
+            assert "约瑟夫-高登-莱维特" in out
+
+    @pytest.mark.parametrize("max_tokens", [120, 60])
+    @pytest.mark.parametrize("idx", [0, 1, 2])
+    def test_split_lengths(self, normalizer, idx, max_tokens):
+        out = normalizer.normalize(self.LONG_CASES[idx])
+        toks = [t for t in tokenize_by_CJK_char(out).split(" ") if t]
+        sents = TextTokenizer.split_sentences_by_token(toks, self.SENT_MARKS, max_tokens)
+        assert len(sents) > 1
+        assert all(len(s) <= max_tokens for s in sents), [len(s) for s in sents]
+        assert [t for s in sents for t in s] == toks  # nothing lost
+
+
+def test_pinyin_vocab_id_range():
+    """Reference check (front.py:505-509): vocab ids 8474-10201 of the
+    published bpe.model are all pinyin-tone tokens. Needs the real
+    checkpoint vocab; skipped when absent from the image."""
+    import re
+
+    path = os.environ.get("INDEXTTS_BPE", "checkpoints/bpe.model")
+    if not os.path.exists(path):
+        pytest.skip("published bpe.model not present")
+    from indextts_tpu.utils.spm import SentencePieceProcessor
+
+    sp = SentencePieceProcessor(path)
+    for i in range(8474, 10201):
+        piece = sp.id_to_piece(i)
+        assert re.match(TextNormalizer.PINYIN_TONE_PATTERN, piece, re.IGNORECASE), piece

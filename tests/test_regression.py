@@ -36,7 +36,7 @@ def prompt_mel(engine):
 CASES = load_cases()
 
 
-@pytest.mark.parametrize("case", CASES[:4] + CASES[6:7], ids=lambda c: c["text"][:16])
+@pytest.mark.parametrize("case", CASES, ids=lambda c: c["text"][:16])
 def test_case_synthesizes(engine, prompt_mel, case, tmp_path):
     out = str(tmp_path / "case.wav")
     infer = engine.infer_fast if case["infer_mode"] == 1 else engine.infer
