@@ -318,9 +318,9 @@ def main():
     except OSError:
         cache_warm = False
     margin = (
-        {"verify": 100, "ttfa": 90, "beam": 120, "b16": 120, "b32": 100, "stream": 60}
+        {"verify": 100, "ttfa": 90, "beam": 120, "beam_default": 150, "b16": 120, "b32": 100, "stream": 60}
         if cache_warm
-        else {"verify": 200, "ttfa": 240, "beam": 330, "b16": 360, "b32": 360, "stream": 450}
+        else {"verify": 200, "ttfa": 240, "beam": 330, "beam_default": 420, "b16": 360, "b32": 360, "stream": 450}
     )
 
     # TPU-vs-CPU numerical gate (VERDICT round-2 missing #2): every parity
@@ -364,6 +364,7 @@ def main():
     # infer.py:122-124) — round 1 reported only ms/step for beams; report
     # audio-s/s too when budget allows (VERDICT weak #4)
     beam3_rtf_inv = None
+    beam3_decode_rtf_inv = None
     elapsed = time.perf_counter() - (bench_start or 0)
     if bench_start is not None and elapsed < budget_s - margin["beam"]:
         try:
@@ -394,8 +395,59 @@ def main():
             wall_b = time.perf_counter() - t0
             audio_b = int(np.asarray(lens_b).sum()) * SAMPLES_PER_CODE / SAMPLE_RATE
             beam3_rtf_inv = round(audio_b / wall_b, 2)
+            # decode-only figure for comparison with beam3_default below
+            conds = cond_fn(gpt_params, cond_mel, jnp.asarray([COND_FRAMES]))
+            conds_b = jnp.broadcast_to(conds, (BATCH,) + conds.shape[1:])
+            t0 = time.perf_counter()
+            codes_d, lens_d = beam_fn(
+                params=gpt_params, conds=conds_b, text_tokens=text, text_lengths=text_lens,
+                rng=jax.random.PRNGKey(22), temperature=jnp.float32(1.0),
+                top_p=jnp.float32(0.8), repetition_penalty=jnp.float32(10.0),
+            )
+            codes_d.block_until_ready()
+            wall_d = time.perf_counter() - t0
+            beam3_decode_rtf_inv = round(
+                int(np.asarray(lens_d).sum()) * SAMPLES_PER_CODE / SAMPLE_RATE / wall_d, 2
+            )
         except Exception:
             beam3_rtf_inv = None
+
+    # beam-3 at the ENGINE DEFAULT config (max_mel_tokens=600 -> the
+    # segmented lineage driver; reference defaults infer.py:122-124). Round 2
+    # silently measured only the non-segmented 200-token path while the
+    # production path paid a per-step cache gather; the lineage port makes
+    # this number meaningful — it must land near the 200-token figure.
+    beam3_default_rtf_inv = None
+    elapsed = time.perf_counter() - (bench_start or 0)
+    if bench_start is not None and elapsed < budget_s - margin.get("beam_default", margin["beam"]):
+        try:
+            _mark("beam default (segmented, 600) start")
+            from indextts_tpu.models.gpt_decode import generate_speech_beam_segmented
+
+            gen_bd = GenerationConfig(do_sample=True, num_beams=3, top_k=30, max_new_tokens=600)
+            seg_cache = {}
+
+            def pipeline_beam_default(key):
+                conds = cond_fn(gpt_params, cond_mel, jnp.asarray([COND_FRAMES]))
+                conds_b = jnp.broadcast_to(conds, (BATCH,) + conds.shape[1:])
+                codes, code_lens = generate_speech_beam_segmented(
+                    gpt_params, gpt_cfg, gen_bd, conds_b, text, text_lens, key,
+                    temperature=jnp.float32(1.0), top_p=jnp.float32(0.8),
+                    repetition_penalty=jnp.float32(10.0), jit_cache=seg_cache,
+                )
+                return codes, code_lens
+
+            pipeline_beam_default(jax.random.PRNGKey(40))[0].block_until_ready()  # compile
+            t0 = time.perf_counter()
+            codes_bd, lens_bd = pipeline_beam_default(jax.random.PRNGKey(41))
+            codes_bd.block_until_ready()
+            wall_bd = time.perf_counter() - t0
+            audio_bd = int(np.asarray(lens_bd).sum()) * SAMPLES_PER_CODE / SAMPLE_RATE
+            # decode-only ratio (the latent+vocoder stages are identical to
+            # the beam extra above; this isolates the segmented driver)
+            beam3_default_rtf_inv = round(audio_bd / wall_bd, 2)
+        except Exception:
+            beam3_default_rtf_inv = None
 
     # end-to-end batch scaling (VERDICT round-2 #7): decode-side B=16/32 won
     # 1.8x/2.6x, but the vocoder scales linearly — report e2e so the serving
@@ -425,12 +477,17 @@ def main():
 
         wav_b, lens_out = pipe(jax.random.PRNGKey(30 + bb))
         wav_b.block_until_ready()  # compile
-        t0 = time.perf_counter()
-        wav_b, lens_out = pipe(jax.random.PRNGKey(31 + bb))
-        wav_b.block_until_ready()
-        wall_b = time.perf_counter() - t0
-        audio_b = int(np.asarray(lens_out).sum()) * SAMPLES_PER_CODE / SAMPLE_RATE
-        return round(audio_b / wall_b, 2)
+        # median of 3 when the cache is warm (chip is ±10% run-to-run;
+        # single-iteration extras were noticeably noisier than the headline)
+        vals = []
+        for it in range(3 if cache_warm else 1):
+            t0 = time.perf_counter()
+            wav_b, lens_out = pipe(jax.random.PRNGKey(31 + bb + 100 * it))
+            wav_b.block_until_ready()
+            wall_b = time.perf_counter() - t0
+            audio_b = int(np.asarray(lens_out).sum()) * SAMPLES_PER_CODE / SAMPLE_RATE
+            vals.append(audio_b / wall_b)
+        return round(float(np.median(vals)), 2)
 
     b16 = b32 = None
     for bb, gate in ((16, margin["b16"]), (32, margin["b32"])):
@@ -495,6 +552,8 @@ def main():
             "ttfa_ms": ttfa_ms,
             "ttfa_stream_ms": ttfa_stream_ms,
             "beam3_audio_s_per_s": beam3_rtf_inv,
+            "beam3_decode_audio_s_per_s": beam3_decode_rtf_inv,
+            "beam3_default_audio_s_per_s": beam3_default_rtf_inv,
             "b16_audio_s_per_s": b16,
             "b32_audio_s_per_s": b32,
             "compile_s": round(compile_s, 1),

@@ -102,17 +102,31 @@ class IndexTTS:
         use_mesh: Optional[bool] = None,
         tp: Optional[int] = None,
         fast_init: bool = False,
+        fast_latents: bool = False,
     ):
         """Device policy: jax picks the platform (TPU when present; the
         cuda/mps/xpu/cpu cascade of infer.py:26-44 has no TPU meaning).
         `is_fp16` maps to the bf16 compute policy; `use_cuda_kernel` maps to
-        the fused Pallas anti-alias kernel toggle."""
+        the fused Pallas anti-alias kernel toggle.
+
+        `fast_latents`: consistent-positions serving mode. The reference
+        decodes with a mel positional off-by-one (model.py:151-155) and then
+        re-encodes the codes with CORRECT positions in a second teacher-
+        forced pass to get vocoder latents (infer.py:196-200) — it is
+        internally inconsistent, and the second pass is the cost. With this
+        flag, num_beams==1 decodes run with consistent positions and emit
+        the final_norm'd hiddens directly (tests/test_capture_latents.py
+        pins captured == teacher-forced under these positions); the stage-2
+        pass is skipped whenever remove_long_silence left the codes
+        untouched. Generated tokens deviate slightly from reference
+        generate() (positions differ); OFF by default for parity."""
         self.device = jax.devices()[0].platform
         self.is_fp16 = bool(is_fp16) and self.device != "cpu"
         self.dtype = jnp.bfloat16 if self.is_fp16 else jnp.float32
         # fused Pallas anti-alias kernel: opt-in (XLA's fusion of the composed
         # path measures slightly faster inside the full vocoder graph)
         self.use_pallas_kernel = bool(use_cuda_kernel) if use_cuda_kernel is not None else False
+        self.fast_latents = bool(fast_latents)
 
         self.cfg: IndexTTSConfig = load_config(cfg_path) if os.path.exists(cfg_path) else IndexTTSConfig()
         self.model_dir = model_dir
@@ -354,14 +368,19 @@ class IndexTTS:
         self._cond_cache[vkey] = conds
         return conds
 
-    def _decode_fn(self, b: int, l: int, gen: GenerationConfig):
-        key = ("dec", b, l, gen)
+    def _decode_fn(self, b: int, l: int, gen: GenerationConfig, capture: bool = False):
+        key = ("dec", b, l, gen, capture)
         if key not in self._decode_cache:
             cfg = self.cfg.gpt
-            fn = generate_speech_beam if gen.num_beams > 1 else generate_speech
             from functools import partial
 
-            jitted = jax.jit(partial(fn, cfg=cfg, gen=gen))
+            if gen.num_beams > 1:
+                jitted = jax.jit(partial(generate_speech_beam, cfg=cfg, gen=gen))
+            else:
+                jitted = jax.jit(partial(
+                    generate_speech, cfg=cfg, gen=gen,
+                    capture_latents=capture, pos_off=1 if capture else 2,
+                ))
             self._decode_cache[key] = jitted
         return self._decode_cache[key]
 
@@ -398,7 +417,12 @@ class IndexTTS:
 
     def _gpt_generate(self, conds, text_tokens: np.ndarray, text_lengths: np.ndarray, gen: GenerationConfig,
                       temperature, top_p, repetition_penalty, length_penalty=0.0, typical_mass=0.9):
-        """Run the bucketed decode. text_tokens: [B, L] np int32."""
+        """Run the bucketed decode. text_tokens: [B, L] np int32.
+
+        Returns (codes, lengths, latents_or_None): latents [B, max_new, D]
+        (device-resident) when the engine's fast_latents mode captured them
+        during decode (num_beams==1 only)."""
+        capture = self.fast_latents and gen.num_beams == 1
         b, l0 = text_tokens.shape
         l = max(_round_up(l0, 8), 8)
         padded = np.full((b, l), self.cfg.gpt.stop_text_token, np.int32)
@@ -425,8 +449,11 @@ class IndexTTS:
             )
 
             seg_fn = generate_speech_beam_segmented if gen.num_beams > 1 else generate_speech_segmented
-            extra = {"length_penalty": float(length_penalty)} if gen.num_beams > 1 else {}
-            codes, lengths = seg_fn(
+            if gen.num_beams > 1:
+                extra = {"length_penalty": float(length_penalty)}
+            else:
+                extra = {"capture_latents": capture, "pos_off": 1 if capture else 2}
+            out = seg_fn(
                 self.gpt_params, self.cfg.gpt, gen,
                 conds_b.astype(self.dtype), jnp.asarray(padded), jnp.asarray(text_lengths), sub,
                 temperature=jnp.float32(temperature), top_p=jnp.float32(top_p),
@@ -434,10 +461,11 @@ class IndexTTS:
                 typical_mass=jnp.float32(typical_mass),
                 segment=seg, jit_cache=self._decode_cache, **extra,
             )
-            return np.asarray(codes), np.asarray(lengths)
-        fn = self._decode_fn(b, l, gen)
+            lat = out[2] if capture else None
+            return np.asarray(out[0]), np.asarray(out[1]), lat
+        fn = self._decode_fn(b, l, gen, capture=capture)
         extra = {"length_penalty": jnp.float32(length_penalty)} if gen.num_beams > 1 else {}
-        codes, lengths = fn(
+        out = fn(
             params=self.gpt_params,
             conds=conds_b.astype(self.dtype),
             text_tokens=jnp.asarray(padded),
@@ -449,7 +477,8 @@ class IndexTTS:
             typical_mass=jnp.float32(typical_mass),
             **extra,
         )
-        return np.asarray(codes), np.asarray(lengths)
+        lat = out[2] if capture else None
+        return np.asarray(out[0]), np.asarray(out[1]), lat
 
     def _gpt_latent(self, conds, text_tokens: np.ndarray, codes: np.ndarray, code_lens: np.ndarray,
                     text_lengths: Optional[np.ndarray] = None):
@@ -582,7 +611,7 @@ class IndexTTS:
                 f"gpt inference latent... {progress}/{len(sentences)}",
             )
             m_start = time.perf_counter()
-            codes, code_lens = self._gpt_generate(
+            codes, code_lens, cap_lat = self._gpt_generate(
                 conds, text_tokens, np.asarray([text_tokens.shape[1]]), gen,
                 temperature, top_p, repetition_penalty, length_penalty, typical_mass,
             )
@@ -596,15 +625,21 @@ class IndexTTS:
                     category=RuntimeWarning,
                 )
                 has_warned = True
-            codes = codes[:, : int(code_lens.max())]
-            codes, code_lens = self.remove_long_silence(codes, silent_token=52, max_consecutive=30)
+            codes_orig = codes[:, : int(code_lens.max())]
+            codes, code_lens = self.remove_long_silence(codes_orig, silent_token=52, max_consecutive=30)
             if verbose:
                 print(f"fix codes shape: {codes.shape}, code_lens: {code_lens}")
             self._set_gr_progress(
                 0.2 + 0.4 * progress / len(sentences), f"gpt inference speech... {progress}/{len(sentences)}"
             )
             m_start = time.perf_counter()
-            latent = self._gpt_latent(conds, text_tokens, codes, code_lens)
+            # fast_latents: the decode already emitted the latents; they are
+            # indexed by original code position, so they are only valid when
+            # silence removal did not compact the row
+            if cap_lat is not None and np.array_equal(codes, codes_orig[:, : codes.shape[1]]):
+                latent = cap_lat
+            else:
+                latent = self._gpt_latent(conds, text_tokens, codes, code_lens)
             gpt_forward_time += time.perf_counter() - m_start
 
             m_start = time.perf_counter()
@@ -690,6 +725,7 @@ class IndexTTS:
         all_batch_num = sum(len(s) for s in all_sentences)
         all_batch_codes = []
         all_batch_lens = []
+        all_batch_lats = []
         all_text_tokens: List[List[np.ndarray]] = []
         processed_num = 0
         for bucket in all_sentences:
@@ -706,17 +742,18 @@ class IndexTTS:
                 f"gpt inference speech... {processed_num}/{all_batch_num}",
             )
             m_start = time.perf_counter()
-            codes, lens = self._gpt_generate(conds, batch_text, text_lens, gen, temperature, top_p, repetition_penalty, length_penalty, typical_mass)
+            codes, lens, cap_lat = self._gpt_generate(conds, batch_text, text_lens, gen, temperature, top_p, repetition_penalty, length_penalty, typical_mass)
             gpt_gen_time += time.perf_counter() - m_start
             all_batch_codes.append(codes)
             all_batch_lens.append(lens)
+            all_batch_lats.append(cap_lat)
 
         self._set_gr_progress(0.5, "gpt inference latents...")
         all_idxs = []
         all_latents = []
         has_warned = False
-        for batch_codes, batch_lens, batch_tokens, bucket in zip(
-            all_batch_codes, all_batch_lens, all_text_tokens, all_sentences
+        for batch_codes, batch_lens, batch_lat, batch_tokens, bucket in zip(
+            all_batch_codes, all_batch_lens, all_batch_lats, all_text_tokens, all_sentences
         ):
             for i in range(batch_codes.shape[0]):
                 code_row = batch_codes[i : i + 1]
@@ -730,7 +767,10 @@ class IndexTTS:
                 text_tokens = batch_tokens[i]
                 all_idxs.append(bucket[i]["idx"])
                 m_start = time.perf_counter()
-                latent = self._gpt_latent(conds, text_tokens, codes, code_lens)
+                if batch_lat is not None and np.array_equal(codes, code_row[:, : codes.shape[1]]):
+                    latent = batch_lat[i : i + 1]
+                else:
+                    latent = self._gpt_latent(conds, text_tokens, codes, code_lens)
                 gpt_forward_time += time.perf_counter() - m_start
                 all_latents.append((latent[:, : codes.shape[1]], int(code_lens[0])))
 

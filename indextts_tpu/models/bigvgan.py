@@ -173,7 +173,11 @@ def _activation(p_act: Params, x: jnp.ndarray, h: BigVGANConfig, use_pallas: boo
             alpha_logscale=h.snake_logscale,
             interpret=jax.default_backend() == "cpu",
         )
-    if x.shape[-1] <= _FOLDED_MAX_CHANNELS:
+    # folded narrow stages are gated on NOT use_pallas so BENCH_PALLAS
+    # measures the pure composed+Pallas configuration (the stage loop already
+    # forces s=1 under use_pallas; mixing folded XLA stages in would credit
+    # the Pallas config with the folded path's win)
+    if not use_pallas and x.shape[-1] <= _FOLDED_MAX_CHANNELS:
         s = _stage_fold(x.shape[-1], x.shape[1])
         return anti_aliased_activation_folded(
             x, p_act["alpha"], p_act.get("beta"), alpha_logscale=h.snake_logscale, s=s
@@ -182,6 +186,12 @@ def _activation(p_act: Params, x: jnp.ndarray, h: BigVGANConfig, use_pallas: boo
         from indextts_tpu.ops.antialias import anti_aliased_activation_polyphase
 
         return anti_aliased_activation_polyphase(
+            x, p_act["alpha"], p_act.get("beta"), alpha_logscale=h.snake_logscale
+        )
+    if _os.environ.get("INDEXTTS_WIDE_PHASE", "") == "1":
+        from indextts_tpu.ops.antialias import anti_aliased_activation_phase
+
+        return anti_aliased_activation_phase(
             x, p_act["alpha"], p_act.get("beta"), alpha_logscale=h.snake_logscale
         )
     return anti_aliased_activation(

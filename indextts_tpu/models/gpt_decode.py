@@ -114,12 +114,18 @@ def prepare_gpt_inputs(
     return emb, mask
 
 
-def _mel_logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
-    """lm_head = final_norm -> mel_head (reference: model.py:48)."""
+def _mel_logits(params: Params, hidden: jnp.ndarray, return_normed: bool = False):
+    """lm_head = final_norm -> mel_head (reference: model.py:48). The
+    final_norm'd hidden IS the stage-2 latent the vocoder consumes
+    (unified_voice_forward:397), so callers capturing latents during decode
+    ask for it back."""
     from indextts_tpu.ops.quant import matmul_maybe_quantized
 
     h = layer_norm(hidden, params["final_norm"]["weight"], params["final_norm"]["bias"])
-    return matmul_maybe_quantized(h, params["mel_head"])
+    logits = matmul_maybe_quantized(h, params["mel_head"])
+    if return_normed:
+        return logits, h
+    return logits
 
 
 def _pair_heads(t: jnp.ndarray) -> jnp.ndarray:
@@ -138,20 +144,27 @@ def _pair_heads_new(t: jnp.ndarray) -> jnp.ndarray:
     return t.reshape(b, h // 2, 2 * dh)
 
 
-def _prefill(params: Params, cfg: GPTConfig, emb: jnp.ndarray, mask: jnp.ndarray, cache_len: int):
+def _prefill(params: Params, cfg: GPTConfig, emb: jnp.ndarray, mask: jnp.ndarray, cache_len: int,
+             return_hidden: bool = False):
     """Run the full stack over the prompt, returning last-position logits and
     the HEAD-PAIRED caches (k2, v2), each [L, B, H/2, cache_len, 2*Dh].
     Keeping K and V separate lets the score contraction stream only K bytes
     and the value contraction only V bytes (a K|V-packed cache halves
     padding but doubles the bytes EACH contraction touches — measured a
-    wash); head-pairing removes the Dh=64 lane padding."""
+    wash); head-pairing removes the Dh=64 lane padding. With
+    `return_hidden`, also returns the final_norm'd last-position hidden
+    (the latent that predicts the first mel code)."""
     hidden, (k, v) = gpt2_apply(params["gpt"], emb, cfg.heads, attention_mask=mask, return_kv=True)
     k2 = _pair_heads(k)
     v2 = _pair_heads(v)
     pad_amt = cache_len - k2.shape[3]
     pads = ((0, 0), (0, 0), (0, 0), (0, pad_amt), (0, 0))
+    cache = (jnp.pad(k2, pads), jnp.pad(v2, pads))
+    if return_hidden:
+        logits, h = _mel_logits(params, hidden[:, -1], return_normed=True)
+        return logits, cache, h
     logits = _mel_logits(params, hidden[:, -1])
-    return logits, (jnp.pad(k2, pads), jnp.pad(v2, pads))
+    return logits, cache
 
 
 def _select_paired(o2, dh: int):
@@ -214,13 +227,14 @@ def _decode_block(layer_p, x, k2, v2, attn_bias, heads):
     return x + h, (_pair_heads_new(k_new), _pair_heads_new(v_new))
 
 
-def _decode_step(params: Params, cfg: GPTConfig, token, mel_pos, cache, pos, base_mask):
+def _decode_step(params: Params, cfg: GPTConfig, token, mel_pos, cache, pos, base_mask,
+                 return_hidden: bool = False):
     """One decode step. token: [B] int32; mel_pos: scalar mel-position index;
     cache: head-paired (k2, v2) each [L,B,H/2,S,2*Dh]; pos: scalar write
     index in the cache; base_mask: [B, S] bool validity of already-written
     cache positions (True = attend; position `pos` itself must be False —
     the new token's K/V are handled as the extra attention logit inside the
-    block). Returns (logits [B, V], cache)."""
+    block). Returns (logits [B, V], cache[, normed hidden [B, D]])."""
     x = params["mel_embedding"][token] + params["mel_pos_embedding"][mel_pos]
     k2_all, v2_all = cache
     attn_bias = jnp.where(base_mask[:, None, :], 0.0, NEG_INF)  # [B, 1, S]
@@ -235,6 +249,9 @@ def _decode_step(params: Params, cfg: GPTConfig, token, mel_pos, cache, pos, bas
     k2_all = jax.lax.dynamic_update_slice(k2_all, k2_news[:, :, :, None, :], (0, 0, 0, pos, 0))
     v2_all = jax.lax.dynamic_update_slice(v2_all, v2_news[:, :, :, None, :], (0, 0, 0, pos, 0))
     x = layer_norm(x, params["gpt"]["ln_f"]["weight"], params["gpt"]["ln_f"]["bias"])
+    if return_hidden:
+        logits, h = _mel_logits(params, x, return_normed=True)
+        return logits, (k2_all, v2_all), h
     logits = _mel_logits(params, x)
     return logits, (k2_all, v2_all)
 
@@ -252,7 +269,9 @@ def generate_speech(
     repetition_penalty=10.0,
     typical_mass=0.9,
     input_tokens: Optional[jnp.ndarray] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    capture_latents: bool = False,
+    pos_off: int = 2,
+):
     """Greedy / sampled generation (num_beams == 1).
 
     Returns (codes [B, max_new_tokens] right-padded with stop_mel_token,
@@ -262,6 +281,13 @@ def generate_speech(
     forced mel-code prefixes appended after start_mel (model.py:673-688);
     they occupy mel positions 1..S0 in the prefill and the returned codes
     exclude them (the reference truncates at trunc_index, model.py:704-708).
+
+    `capture_latents=True` additionally returns lat [B, max_new, D] — the
+    final_norm'd hidden that predicted each code (lat[j] is the stage-2
+    latent for code j). With the default pos_off=2 these carry the decode
+    loop's positional off-by-one and thus deviate from the teacher-forced
+    two-pass latents; pass pos_off=1 for the consistent-positions serving
+    mode where they match exactly (see decode_steps).
     """
     b, l = text_tokens.shape
     v = cfg.number_mel_codes
@@ -280,7 +306,10 @@ def generate_speech(
     max_new = gen.max_new_tokens
     s_max = p + max_new
 
-    logits0, cache = _prefill(params, cfg, emb, prefill_mask, s_max)
+    if capture_latents:
+        logits0, cache, h0 = _prefill(params, cfg, emb, prefill_mask, s_max, return_hidden=True)
+    else:
+        logits0, cache = _prefill(params, cfg, emb, prefill_mask, s_max)
 
     # seen-token mask for repetition penalty: HF penalizes over the whole
     # input_ids row — the fake inputs are all 1s with a trailing start_mel
@@ -314,45 +343,79 @@ def generate_speech(
     codes0 = codes0.at[:, 0].set(tok1)
     seen1 = seen0.at[jnp.arange(b), tok1].set(True)
 
-    state = (jnp.asarray(0), codes0, cache, done0, seen1, tok1)
-    state = decode_steps(params, cfg, state, max_new - 1, p, s0, prefill_valid, sample_from, rng, max_new)
-    _, codes, _, done, _, _ = state
+    if capture_latents:
+        lat0 = jnp.zeros((b, max_new, cfg.model_dim), emb.dtype)
+        lat0 = jax.lax.dynamic_update_slice(lat0, h0[:, None, :].astype(lat0.dtype), (0, 0, 0))
+        state = (jnp.asarray(0), codes0, cache, done0, seen1, tok1, lat0)
+    else:
+        state = (jnp.asarray(0), codes0, cache, done0, seen1, tok1)
+    state = decode_steps(params, cfg, state, max_new - 1, p, s0, prefill_valid, sample_from, rng,
+                         max_new, pos_off=pos_off)
+    codes, done = state[1], state[3]
 
     # lengths: index of first stop + 1 (HF keeps the eos in the sequence)
     is_stop = codes == cfg.stop_mel_token
     any_stop = jnp.any(is_stop, axis=1)
     first_stop = jnp.argmax(is_stop, axis=1)
     lengths = jnp.where(any_stop, first_stop + 1, max_new)
+    if capture_latents:
+        return codes, lengths, state[6]
     return codes, lengths
 
 
-def decode_steps(params, cfg, state, n_steps, p, s0, prefill_valid, sample_from, rng, max_new):
+def decode_steps(params, cfg, state, n_steps, p, s0, prefill_valid, sample_from, rng, max_new,
+                 pos_off: int = 2):
     """Run up to `n_steps` decode iterations from `state`, stopping early when
     every row has emitted stop_mel_token or the code buffer is full. The
-    resumable unit behind both full generation and streaming synthesis."""
+    resumable unit behind both full generation and streaming synthesis.
+
+    `state` is (i, codes, cache, done, seen, cur) or, with latent capture,
+    (i, codes, cache, done, seen, cur, lat) where lat [B, max_new, D]
+    accumulates the final_norm'd hidden that predicted each code (lat[j] =
+    the stage-2 latent for code j; lat[0] comes from the prefill).
+
+    `pos_off=2` reproduces the reference inference model's mel positional
+    off-by-one (generated token t embeds position t+2 counting from the
+    start token; model.py:151-155). `pos_off=1` uses the consistent
+    positions of the teacher-forced forward (model.py:555-572) — generation
+    then deviates from reference generate() but the captured latents match
+    the two-pass latent semantics exactly."""
     s_max = prefill_valid.shape[1]
     cache_positions = jnp.arange(s_max)[None, :]
     start_i = state[0]
+    capture = len(state) == 7
 
     def cond_fn(st):
-        i, codes, cache, done, seen, cur = st
+        i, done = st[0], st[3]
         return jnp.logical_and(
             jnp.logical_and(i < max_new - 1, i < start_i + n_steps), ~jnp.all(done)
         )
 
     def body_fn(st):
-        i, codes, cache, done, seen, cur = st
-        # decode token g_{i+1} at cache slot p+i; mel position (i+1)+1 (+s0
-        # when a forced prefix was prefilled) — the reference's positional
-        # skip (model.py:151-155)
+        if capture:
+            i, codes, cache, done, seen, cur, lat = st
+        else:
+            i, codes, cache, done, seen, cur = st
+        # decode token g_{i+1} at cache slot p+i; mel position (i+1)+pos_off-1
+        # (+s0 when a forced prefix was prefilled)
         write_pos = p + i
         valid = prefill_valid | ((cache_positions >= p) & (cache_positions < write_pos))
-        logits, cache = _decode_step(params, cfg, cur, i + 2 + s0, cache, write_pos, valid)
+        if capture:
+            logits, cache, hnorm = _decode_step(
+                params, cfg, cur, i + pos_off + s0, cache, write_pos, valid, return_hidden=True
+            )
+            lat = jax.lax.dynamic_update_slice(
+                lat, hnorm[:, None, :].astype(lat.dtype), (0, i + 1, 0)
+            )
+        else:
+            logits, cache = _decode_step(params, cfg, cur, i + pos_off + s0, cache, write_pos, valid)
         nxt = sample_from(logits, seen, rng, i + 1).astype(jnp.int32)
         nxt = jnp.where(done, cfg.stop_mel_token, nxt)
         codes = codes.at[:, i + 1].set(nxt)
         done = done | (nxt == cfg.stop_mel_token)
         seen = seen.at[jnp.arange(codes.shape[0]), nxt].set(True)
+        if capture:
+            return (i + 1, codes, cache, done, seen, nxt, lat)
         return (i + 1, codes, cache, done, seen, nxt)
 
     return jax.lax.while_loop(cond_fn, body_fn, state)
@@ -371,18 +434,24 @@ def prefill_decode_state(
     repetition_penalty=10.0,
     typical_mass=0.9,
     cache_len: Optional[int] = None,
+    capture_latents: bool = False,
 ):
     """Prefill + first token; returns (state, aux) where aux carries the
     static context needed to resume with `decode_steps`. Used by the streaming engine
     path and by segmented decoding (cache_len < p + max_new allocates a
-    smaller cache to be grown later with `grow_cache`)."""
+    smaller cache to be grown later with `grow_cache`). With
+    `capture_latents` the state carries the [B, max_new, D] latent buffer
+    (see decode_steps)."""
     b, l = text_tokens.shape
     v = cfg.number_mel_codes
     emb, prefill_mask = prepare_gpt_inputs(params, cfg, conds, text_tokens, text_lengths)
     p = emb.shape[1]
     max_new = gen.max_new_tokens
     s_max = cache_len if cache_len is not None else p + max_new
-    logits0, cache = _prefill(params, cfg, emb, prefill_mask, s_max)
+    if capture_latents:
+        logits0, cache, h0 = _prefill(params, cfg, emb, prefill_mask, s_max, return_hidden=True)
+    else:
+        logits0, cache = _prefill(params, cfg, emb, prefill_mask, s_max)
     seen0 = jnp.zeros((b, v), bool).at[:, 1].set(True).at[:, cfg.start_mel_token].set(True)
     prefill_valid = jnp.pad(prefill_mask, ((0, 0), (0, s_max - p)))
 
@@ -401,7 +470,12 @@ def prefill_decode_state(
     done0 = tok1 == cfg.stop_mel_token
     codes0 = jnp.full((b, max_new), cfg.stop_mel_token, jnp.int32).at[:, 0].set(tok1)
     seen1 = seen0.at[jnp.arange(b), tok1].set(True)
-    state = (jnp.asarray(0), codes0, cache, done0, seen1, tok1)
+    if capture_latents:
+        lat0 = jnp.zeros((b, max_new, cfg.model_dim), emb.dtype)
+        lat0 = jax.lax.dynamic_update_slice(lat0, h0[:, None, :].astype(lat0.dtype), (0, 0, 0))
+        state = (jnp.asarray(0), codes0, cache, done0, seen1, tok1, lat0)
+    else:
+        state = (jnp.asarray(0), codes0, cache, done0, seen1, tok1)
     aux = {"p": p, "prefill_valid": prefill_valid, "sample_from": sample_from, "rng": rng, "max_new": max_new}
     return state, aux
 
@@ -410,11 +484,11 @@ def grow_cache(state, prefill_valid, extra: int):
     """Extend a decode state's KV cache and validity mask by `extra` slots
     (the segmented-decode transition: each segment runs against the smallest
     cache that fits, so attention never streams unused slots)."""
-    i, codes, (k2, v2), done, seen, cur = state
+    i, codes, (k2, v2), done, seen, cur, *rest = state
     pads = ((0, 0), (0, 0), (0, 0), (0, extra), (0, 0))
     cache = (jnp.pad(k2, pads), jnp.pad(v2, pads))
     prefill_valid = jnp.pad(prefill_valid, ((0, 0), (0, extra)))
-    return (i, codes, cache, done, seen, cur), prefill_valid
+    return (i, codes, cache, done, seen, cur, *rest), prefill_valid
 
 
 def generate_speech_segmented(
@@ -431,7 +505,9 @@ def generate_speech_segmented(
     typical_mass=0.9,
     segment: int = 160,
     jit_cache: Optional[Dict[Any, Any]] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    capture_latents: bool = False,
+    pos_off: int = 2,
+):
     """generate_speech with segment-growing KV cache (host-side driver).
 
     Identical sampling state machine and outputs as generate_speech, but the
@@ -439,6 +515,7 @@ def generate_speech_segmented(
     so per-step attention reads scale with generated length instead of
     max_new_tokens. Worth it when max_new_tokens >> typical generation
     length; each (segment index) compiles once per shape bucket.
+    `capture_latents`/`pos_off` as in generate_speech.
     """
     b, l = text_tokens.shape
     max_new = gen.max_new_tokens
@@ -449,7 +526,7 @@ def generate_speech_segmented(
 
     def seg_fns(seg_idx: int):
         cache_len = p + min(segment * (seg_idx + 1), max_new)
-        key = ("seg", b, l, gen, segment, seg_idx)
+        key = ("seg", b, l, gen, segment, seg_idx, capture_latents, pos_off)
         if key not in cache:
             if seg_idx == 0:
                 @jax.jit
@@ -458,10 +535,11 @@ def generate_speech_segmented(
                         params, cfg, gen, conds, text_tokens, text_lengths, rng,
                         temperature=temperature, top_p=top_p, repetition_penalty=repetition_penalty,
                         typical_mass=typical_mass, cache_len=cache_len,
+                        capture_latents=capture_latents,
                     )
                     state = decode_steps(
                         params, cfg, state, segment - 1, aux["p"], 0, aux["prefill_valid"],
-                        aux["sample_from"], rng, max_new,
+                        aux["sample_from"], rng, max_new, pos_off=pos_off,
                     )
                     return state, aux["prefill_valid"]
 
@@ -484,7 +562,8 @@ def generate_speech_segmented(
 
                     state2, prefill_valid2 = grow_cache(state, prefill_valid, cache_len - prefill_valid.shape[1])
                     state2 = decode_steps(
-                        params, cfg, state2, n_steps, p, 0, prefill_valid2, sample_from, rng, max_new
+                        params, cfg, state2, n_steps, p, 0, prefill_valid2, sample_from, rng,
+                        max_new, pos_off=pos_off,
                     )
                     return state2, prefill_valid2
 
@@ -494,16 +573,18 @@ def generate_speech_segmented(
     args = (jnp.float32(temperature), jnp.float32(top_p), jnp.float32(repetition_penalty), jnp.float32(typical_mass))
     state, prefill_valid = seg_fns(0)(params, conds, text_tokens, text_lengths, rng, *args)
     for k_seg in range(1, n_segments):
-        i, codes, _, done, _, _ = state
+        done = state[3]
         if bool(jax.device_get(jnp.all(done))):
             break
         state, prefill_valid = seg_fns(k_seg)(params, state, prefill_valid, rng, *args)
 
-    _, codes, _, done, _, _ = state
+    codes = state[1]
     is_stop = codes == cfg.stop_mel_token
     any_stop = jnp.any(is_stop, axis=1)
     first_stop = jnp.argmax(is_stop, axis=1)
     lengths = jnp.where(any_stop, first_stop + 1, max_new)
+    if capture_latents:
+        return codes, lengths, state[6]
     return codes, lengths
 
 

@@ -357,6 +357,44 @@ def anti_aliased_activation_polyphase(
     return z
 
 
+def anti_aliased_activation_phase(
+    x: jnp.ndarray,
+    alpha: jnp.ndarray,
+    beta: jnp.ndarray = None,
+    alpha_logscale: bool = False,
+) -> jnp.ndarray:
+    """anti_aliased_activation computed ENTIRELY in phase space — the 2x-rate
+    signal is never materialized.
+
+    Snake is elementwise, so it commutes with the phase interleave: the two
+    polyphase branches of the upsampler are built as depthwise shift-add
+    stencils (no grouped/lhs-dilated conv lowerings), snake is applied to
+    each branch separately, and the downsampler consumes the branches
+    directly (z[t] = sum_w h0[w] s0[t+w-3] + h1[w] s1[t+w-3]). This removes
+    the interleave/deinterleave pair that sank the round-3 polyphase attempt
+    in-graph (docs/PERF.md negative #9: the [B, 2T, C] stack materialized at
+    the vocoder's B-in-sublanes layout). Taps and replicate edges are the
+    composed path's (filter.py:29-58 contract); exact up to float order.
+
+    For WIDE stages (C >= 128 lanes); at narrow C the folded path wins.
+    """
+    b, t, c = x.shape
+    g, h = _folded_resample_taps()
+    xp = pad1d(x, (3, 3), mode="replicate")
+    s0 = _shift_add_dw(xp, g[:, 0], t)  # phase-0 branch of the 2x signal
+    s1 = _shift_add_dw(xp, g[:, 1], t)
+    s0 = snake_folded(s0, alpha, beta, alpha_logscale, 1)
+    s1 = snake_folded(s1, alpha, beta, alpha_logscale, 1)
+    # downsample1d's replicate edges on the 2x signal: left pad frames hold
+    # y2[0] (= phase-0 of frame 0) for BOTH branches, right pad frames hold
+    # y2[2T-1] (= phase-1 of the last frame)
+    left = jnp.broadcast_to(s0[:, :1], (b, 3, c))
+    right = jnp.broadcast_to(s1[:, -1:], (b, 3, c))
+    p0 = jnp.concatenate([left, s0, right], axis=1)
+    p1 = jnp.concatenate([left, s1, right], axis=1)
+    return _shift_add_dw(p0, h[:, 0], t) + _shift_add_dw(p1, h[:, 1], t)
+
+
 def anti_aliased_activation(
     x: jnp.ndarray,
     alpha: jnp.ndarray,

@@ -1,0 +1,156 @@
+"""Decode-time latent capture (SURVEY §7 hard-part 3).
+
+The reference computes vocoder latents by a SECOND teacher-forced forward
+over the generated codes (infer.py:196-200 -> model.py:521-578). That pass
+uses consistent mel positions 0..L+1, while its own decode loop gives
+generated token t mel position t+2 (the GPT2InferenceModel off-by-one,
+model.py:151-155) — the reference is internally inconsistent, and the
+second pass is the price of that inconsistency.
+
+Capture contract pinned here:
+  * pos_off=1 (consistent-positions serving mode): the final_norm'd hiddens
+    captured during decode MATCH the teacher-forced two-pass latents for the
+    same codes (the positions now agree; only bf16 step-vs-batch accumulation
+    differs).
+  * pos_off=2 (reference parity mode): captured latents deviate from the
+    two-pass latents (different positional rows) — asserted so nobody
+    silently ships them as equivalent.
+  * default path unchanged: generate_speech without capture still matches
+    the capture run's codes token-for-token at the same pos_off.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from indextts_tpu.models.gpt import unified_voice_forward
+from indextts_tpu.models.gpt_decode import GenerationConfig, generate_speech, generate_speech_segmented
+from tests.test_gpt import setup, tiny_cfg  # noqa: F401  (fixture reuse)
+
+
+def _teacher_forced(cfg, params, conds_b, text, lens, codes, n):
+    """The engine's stage-2 latent pass (engine._latent_fn semantics)."""
+    wav_lens = jnp.asarray([n * cfg.mel_length_compression] * codes.shape[0])
+    return unified_voice_forward(
+        params, cfg, None, text, lens, codes, wav_lens, None,
+        return_latent=True, conds=conds_b, mask_pad_keys=True,
+    )
+
+
+def _run_capture(cfg, params, conds, pos_off, seg=False):
+    text = jnp.asarray([[3, 5, 7, 9, 11, 2], [4, 6, 8, 10, 12, 2]], jnp.int32)
+    lens = jnp.asarray([6, 6])
+    conds_b = jnp.broadcast_to(conds, (2,) + conds.shape[1:])
+    gen = GenerationConfig(do_sample=False, max_new_tokens=16)
+    if seg:
+        codes, lengths, lat = generate_speech_segmented(
+            params, cfg, gen, conds_b, text, lens, jax.random.PRNGKey(5),
+            segment=6, capture_latents=True, pos_off=pos_off,
+        )
+    else:
+        codes, lengths, lat = generate_speech(
+            params, cfg, gen, conds_b, text, lens, jax.random.PRNGKey(5),
+            capture_latents=True, pos_off=pos_off,
+        )
+    return text, lens, conds_b, np.asarray(codes), np.asarray(lengths), np.asarray(lat)
+
+
+@pytest.mark.parametrize("seg", [False, True])
+def test_captured_match_teacher_forced_consistent_positions(setup, seg):
+    cfg, params, conds = setup
+    text, lens, conds_b, codes, lengths, lat = _run_capture(cfg, params, conds, pos_off=1, seg=seg)
+    for b in range(2):
+        # non-stop codes, as the engine trims before the latent pass
+        stop = np.nonzero(codes[b] == cfg.stop_mel_token)[0]
+        n = int(stop[0]) if stop.size else codes.shape[1]
+        if n == 0:
+            continue
+        tf = np.asarray(
+            _teacher_forced(cfg, params, conds_b[b : b + 1], text[b : b + 1],
+                            lens[b : b + 1], jnp.asarray(codes[b : b + 1, :n]), n)
+        )
+        np.testing.assert_allclose(lat[b, :n], tf[0, :n], atol=2e-2, rtol=0)
+
+
+def test_captured_deviate_under_reference_positions(setup):
+    cfg, params, conds = setup
+    text, lens, conds_b, codes, lengths, lat = _run_capture(cfg, params, conds, pos_off=2)
+    stop = np.nonzero(codes[0] == cfg.stop_mel_token)[0]
+    n = int(stop[0]) if stop.size else codes.shape[1]
+    if n < 2:
+        pytest.skip("decode stopped immediately")
+    tf = np.asarray(
+        _teacher_forced(cfg, params, conds_b[:1], text[:1], lens[:1],
+                        jnp.asarray(codes[:1, :n]), n)
+    )
+    # positions differ from index 1 on -> latents genuinely differ
+    assert np.max(np.abs(lat[0, 1:n] - tf[0, 1:n])) > 5e-2
+
+
+@pytest.mark.parametrize("pos_off", [1, 2])
+def test_capture_does_not_change_codes(setup, pos_off):
+    cfg, params, conds = setup
+    text = jnp.asarray([[3, 5, 7, 9, 11, 2]], jnp.int32)
+    lens = jnp.asarray([6])
+    conds_b = jnp.broadcast_to(conds, (1,) + conds.shape[1:])
+    gen = GenerationConfig(do_sample=False, max_new_tokens=12)
+    a, la = generate_speech(params, cfg, gen, conds_b, text, lens, jax.random.PRNGKey(7),
+                            pos_off=pos_off)
+    b, lb, _ = generate_speech(params, cfg, gen, conds_b, text, lens, jax.random.PRNGKey(7),
+                               capture_latents=True, pos_off=pos_off)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_segmented_capture_matches_monolithic(setup):
+    cfg, params, conds = setup
+    text, lens, conds_b, codes_m, lengths_m, lat_m = _run_capture(cfg, params, conds, pos_off=1)
+    _, _, _, codes_s, lengths_s, lat_s = _run_capture(cfg, params, conds, pos_off=1, seg=True)
+    np.testing.assert_array_equal(codes_m, codes_s)
+    n = int(min(lengths_m.max(), lat_m.shape[1]))
+    np.testing.assert_allclose(lat_m[:, :n], lat_s[:, :n], atol=2e-2, rtol=0)
+
+
+class TestEngineFastLatents:
+    """Engine wiring: fast_latents skips the stage-2 pass when silence
+    removal is a no-op, and falls back to it otherwise (and for beams)."""
+
+    @pytest.fixture(scope="class")
+    def engine(self, tmp_path_factory):
+        from indextts_tpu.config import save_config
+        from indextts_tpu.engine import IndexTTS
+        from tests.test_engine import tiny_config
+
+        d = tmp_path_factory.mktemp("ckpt_fastlat")
+        cfg_path = str(d / "config.yaml")
+        save_config(tiny_config(), cfg_path)
+        return IndexTTS(cfg_path=cfg_path, model_dir=str(d), is_fp16=False,
+                        allow_random_init=True, fast_latents=True)
+
+    def test_skips_second_pass_on_clean_codes(self, engine, monkeypatch, tmp_path):
+        calls = []
+        orig = engine._gpt_latent
+        monkeypatch.setattr(engine, "_gpt_latent", lambda *a, **k: calls.append(1) or orig(*a, **k))
+        import os as _os
+
+        from tests.test_engine import prompt_mel as _  # noqa: F401
+
+        mel = engine.extract_features(_os.path.join(_os.path.dirname(__file__), "sample_prompt.wav"))
+        sr, wav = engine.infer(mel, "HI THERE.", None, do_sample=False, num_beams=1,
+                               max_mel_tokens=8, repetition_penalty=1.0)
+        assert sr == 24000 and wav.shape[1] > 0
+        assert calls == []  # captured latents used, no teacher-forced pass
+
+    def test_beam_path_still_uses_second_pass(self, engine, monkeypatch):
+        calls = []
+        orig = engine._gpt_latent
+        monkeypatch.setattr(engine, "_gpt_latent", lambda *a, **k: calls.append(1) or orig(*a, **k))
+        import os as _os
+
+        mel = engine.extract_features(_os.path.join(_os.path.dirname(__file__), "sample_prompt.wav"))
+        sr, wav = engine.infer(mel, "HI.", None, do_sample=False, num_beams=2,
+                               max_mel_tokens=8, repetition_penalty=1.0)
+        assert sr == 24000
+        assert len(calls) >= 1  # beams cannot capture -> teacher-forced pass

@@ -441,3 +441,29 @@ def test_fused_top_k_top_p_exact():
         np.asarray(apply_top_p(apply_top_k(ties, 5), 0.5)),
         np.asarray(apply_top_k_top_p(ties, 5, 0.5)),
     )
+
+
+class TestPhaseSpaceAntiAlias:
+    """anti_aliased_activation_phase: whole-activation polyphase form with NO
+    2x interleave (snake commutes with the interleave). Exact vs composed."""
+
+    @pytest.mark.parametrize("logscale", [True, False])
+    @pytest.mark.parametrize("with_beta", [True, False])
+    def test_matches_composed(self, logscale, with_beta):
+        from indextts_tpu.ops.antialias import anti_aliased_activation_phase
+
+        x = jnp.asarray(rng.standard_normal((2, 48, 7)).astype(np.float32))
+        a = jnp.asarray(rng.standard_normal(7).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal(7).astype(np.float32)) if with_beta else None
+        gold = np.asarray(anti_aliased_activation(x, a, b, alpha_logscale=logscale))
+        mine = np.asarray(anti_aliased_activation_phase(x, a, b, alpha_logscale=logscale))
+        np.testing.assert_allclose(mine, gold, atol=1e-5)
+
+    def test_matches_composed_wide_short(self):
+        from indextts_tpu.ops.antialias import anti_aliased_activation_phase
+
+        x = jnp.asarray(rng.standard_normal((1, 16, 192)).astype(np.float32))
+        a = jnp.asarray(rng.standard_normal(192).astype(np.float32))
+        gold = np.asarray(anti_aliased_activation(x, a, None, alpha_logscale=True))
+        mine = np.asarray(anti_aliased_activation_phase(x, a, None, alpha_logscale=True))
+        np.testing.assert_allclose(mine, gold, atol=1e-5)

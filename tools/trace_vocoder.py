@@ -22,6 +22,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # share the bench's persistent compile cache — the full-vocoder compile
+    # is minutes on the remote compiler and bench.py compiles the same graph
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ.get("JAX_CACHE_DIR", "/tmp/jax_bench_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from indextts_tpu.config import load_config
     import indextts_tpu.models.bigvgan as bv
 
@@ -49,15 +56,19 @@ def main():
     latent = jnp.asarray(npr.standard_normal((BATCH, GEN_TOKENS, h.gpt_dim)), dtype)
     mel_ref = jnp.asarray(npr.standard_normal((BATCH, 300, h.num_mels)), dtype)
 
-    fn = jax.jit(lambda p, l, m: bv.bigvgan_apply(p, h, l, m).astype(jnp.float32).sum())
-    float(fn(params, latent, mel_ref))  # compile
+    # EXACTLY the bench's voc_fn HLO so the persistent compile cache hits
+    # (adding an in-graph .sum() changes the executable -> minutes recompile);
+    # completion is observed through a separate tiny jitted sum
+    fn = jax.jit(lambda p, l, m: bv.bigvgan_apply(p, h, l, m))
+    red = jax.jit(lambda w: jnp.sum(w.astype(jnp.float32)))
+    float(red(fn(params, latent, mel_ref)))  # compile
     t0 = time.perf_counter()
-    float(fn(params, latent, mel_ref))
-    print(f"exec: {1000*(time.perf_counter()-t0):.0f} ms")
+    float(red(fn(params, latent, mel_ref)))
+    print(f"exec: {1000*(time.perf_counter()-t0):.0f} ms (incl. reduce+fetch)")
 
     os.system(f"rm -rf {TRACE_DIR}")
     with jax.profiler.trace(TRACE_DIR):
-        float(fn(params, latent + jnp.asarray(0.001, dtype), mel_ref))
+        float(red(fn(params, latent + jnp.asarray(0.001, dtype), mel_ref)))
 
     paths = glob.glob(f"{TRACE_DIR}/**/*.xplane.pb", recursive=True)
     print("xplane files:", paths)
