@@ -396,6 +396,14 @@ def create_app(engine=None, base_dir: Optional[str] = None) -> App:
         text_input = form.get("text", "")
         if not text_input.strip():
             return jsonify({"error": "text is empty"}, 400)
+        if form.get("replacements"):
+            # same regex ruleset semantics as /api/synthesize
+            try:
+                for rule in json.loads(form["replacements"]):
+                    if rule.get("original"):
+                        text_input = re.sub(rule["original"], rule.get("replacement", ""), text_input)
+            except (json.JSONDecodeError, TypeError, re.error) as e:
+                print(f"Warning: Could not apply replacements: {e}")
         prompt_mel = None
         if form.get("saved_voice_identifier"):
             safe_voice_id = sanitize_filename(form["saved_voice_identifier"])

@@ -224,13 +224,79 @@ function setProgress(pct, msg) {
   $("progress-msg").textContent = msg || "";
 }
 
+// ---------------------------------------------------------------------------
+// streaming playback: POST /api/synthesize-stream returns a chunked WAV whose
+// PCM arrives as the decoder produces codes; play it progressively through
+// Web Audio (16-bit mono 24 kHz is known a priori, so chunks are decoded by
+// hand and scheduled back-to-back), then assemble the finished WAV for the
+// result player/download.
+async function synthesizeStreaming(form) {
+  const res = await fetch("/api/synthesize-stream", { method: "POST", body: form });
+  if (!res.ok) {
+    let msg = "stream failed";
+    try { msg = (await res.json()).error || msg; } catch (e) {}
+    throw new Error(msg);
+  }
+  const sr = 24000;
+  const ctx = new (window.AudioContext || window.webkitAudioContext)({ sampleRate: sr });
+  const reader = res.body.getReader();
+  const allChunks = [];
+  let header = 44; // RIFF header bytes to skip
+  let carry = new Uint8Array(0);
+  let nextTime = ctx.currentTime + 0.05;
+  let samplesStreamed = 0;
+  for (;;) {
+    const { value, done } = await reader.read();
+    if (done) break;
+    allChunks.push(value);
+    let buf = value;
+    if (header > 0) {
+      const drop = Math.min(header, buf.length);
+      header -= drop;
+      buf = buf.subarray(drop);
+    }
+    if (carry.length) {
+      const merged = new Uint8Array(carry.length + buf.length);
+      merged.set(carry); merged.set(buf, carry.length);
+      buf = merged; carry = new Uint8Array(0);
+    }
+    const usable = buf.length - (buf.length % 2);
+    if (buf.length % 2) carry = buf.subarray(usable);
+    if (!usable) continue;
+    const pcm = new Int16Array(buf.buffer.slice(buf.byteOffset, buf.byteOffset + usable));
+    const audioBuf = ctx.createBuffer(1, pcm.length, sr);
+    const ch = audioBuf.getChannelData(0);
+    for (let i = 0; i < pcm.length; i++) ch[i] = pcm[i] / 32768;
+    const src = ctx.createBufferSource();
+    src.buffer = audioBuf;
+    src.connect(ctx.destination);
+    if (nextTime < ctx.currentTime) nextTime = ctx.currentTime + 0.02;
+    src.start(nextTime);
+    nextTime += audioBuf.duration;
+    samplesStreamed += pcm.length;
+    setProgress(Math.min(99, 100 * samplesStreamed / (sr * 30)),
+                `流式播放中 streaming… ${(samplesStreamed / sr).toFixed(1)}s`);
+  }
+  // assemble a well-formed WAV (fix the max-size RIFF lengths) for replay
+  const total = allChunks.reduce((n, c) => n + c.length, 0);
+  const out = new Uint8Array(total);
+  let off = 0;
+  for (const c of allChunks) { out.set(c, off); off += c.length; }
+  const dataLen = Math.max(0, total - 44);
+  const dv = new DataView(out.buffer);
+  dv.setUint32(4, 36 + dataLen, true);
+  dv.setUint32(40, dataLen, true);
+  return new Blob([out], { type: "audio/wav" });
+}
+
 $("synthesize-btn").onclick = async () => {
   const text = $("text-input").value.trim();
   if (!text) return alert("文本为空 / text is empty");
 
+  const mode = document.querySelector('input[name="infer-mode"]:checked').value;
   const form = new FormData();
   form.append("text", text);
-  form.append("infer_mode", document.querySelector('input[name="infer-mode"]:checked').value);
+  form.append("infer_mode", mode);
   form.append("do_sample", $("p-do-sample").checked);
   form.append("temperature", $("p-temperature").value);
   form.append("top_k", $("p-top-k").value);
@@ -256,6 +322,23 @@ $("synthesize-btn").onclick = async () => {
   $("synthesize-btn").disabled = true;
   $("result").classList.add("hidden");
   setProgress(0, "提交任务 submitting…");
+
+  if (mode === "流式") {
+    try {
+      const blob = await synthesizeStreaming(form);
+      const url = URL.createObjectURL(blob);
+      $("result").classList.remove("hidden");
+      $("result-audio").src = url;
+      $("result-download").href = url;
+      $("result-download").download = "stream.wav";
+      setProgress(100, "完成 completed (streamed)");
+    } catch (e) {
+      setProgress(0, `错误: ${e.message}`);
+    } finally {
+      $("synthesize-btn").disabled = false;
+    }
+    return;
+  }
 
   try {
     const res = await fetch("/api/synthesize", { method: "POST", body: form });

@@ -349,6 +349,33 @@ class TestAudioStreaming:
         assert total_pcm == 3 * 800 * 2  # 3 chunks of int16 PCM
         assert engine.calls[-1][0] == "infer_stream"
 
+    def test_stream_applies_replacements(self, server):
+        """The SPA streaming mode sends the active ruleset; the stream
+        endpoint must apply it with the same regex semantics as
+        /api/synthesize (webui.py:348-353)."""
+        client, engine, app, base = server
+
+        def fake_stream(prompt_mel, text, **kw):
+            engine.calls.append(("infer_stream", text, kw))
+            yield np.zeros(8, np.float32)
+
+        engine.infer_stream = fake_stream
+        import json as _json
+
+        status, headers, result = client.request(
+            "POST",
+            "/api/synthesize-stream",
+            *_multipart_body(
+                {"text": "hello WORLD", "replacements": _json.dumps([
+                    {"original": "WORLD", "replacement": "THERE"}
+                ])},
+                {"referenceAudioFile": ("p.wav", _wav_bytes())},
+            ),
+        )
+        assert status == 200
+        list(result)  # drain
+        assert engine.calls[-1][1] == "hello THERE"
+
     def test_stream_requires_voice(self, server):
         client, engine, app, base = server
         status, data = client.multipart("/api/synthesize-stream", {"text": "hi"})
