@@ -255,7 +255,9 @@ def main():
     cond_fn = jax.jit(lambda p, m, l: get_conditioning(p, gpt_cfg, m, l))
     from functools import partial
 
-    decode_fn = jax.jit(partial(generate_speech, cfg=gpt_cfg, gen=gen))
+    # BENCH_QUANT_KV=1: int8 KV cache on the headline decode (VERDICT r2 #4)
+    quant_kv = os.environ.get("BENCH_QUANT_KV", "0") == "1"
+    decode_fn = jax.jit(partial(generate_speech, cfg=gpt_cfg, gen=gen, quant_kv=quant_kv))
     latent_fn = jax.jit(
         lambda p, c, t, tl, mc, wl: unified_voice_forward(
             p, gpt_cfg, None, t, tl, mc, wl, None, return_latent=True, conds=c
@@ -318,9 +320,9 @@ def main():
     except OSError:
         cache_warm = False
     margin = (
-        {"verify": 100, "ttfa": 90, "beam": 120, "beam_default": 150, "b16": 120, "b32": 100, "stream": 60}
+        {"verify": 100, "ttfa": 90, "beam": 120, "beam_default": 150, "quant_kv": 130, "b16": 120, "b32": 100, "stream": 60}
         if cache_warm
-        else {"verify": 200, "ttfa": 240, "beam": 330, "beam_default": 420, "b16": 360, "b32": 360, "stream": 450}
+        else {"verify": 200, "ttfa": 240, "beam": 330, "beam_default": 420, "quant_kv": 400, "b16": 360, "b32": 360, "stream": 450}
     )
 
     # TPU-vs-CPU numerical gate (VERDICT round-2 missing #2): every parity
@@ -411,6 +413,35 @@ def main():
             )
         except Exception:
             beam3_rtf_inv = None
+
+    # int8 KV cache decode-only comparison (VERDICT r2 #4): cache reads are
+    # ~0.9 of the 2.53 ms/step at B8; per-column int8 halves that traffic.
+    quant_kv_rtf_inv = None
+    elapsed = time.perf_counter() - (bench_start or 0)
+    if bench_start is not None and elapsed < budget_s - margin.get("quant_kv", margin["beam"]):
+        try:
+            _mark("quant_kv decode start")
+            decode_q = jax.jit(partial(generate_speech, cfg=gpt_cfg, gen=gen, quant_kv=True))
+
+            def decode_only_q(key):
+                conds = cond_fn(gpt_params, cond_mel, jnp.asarray([COND_FRAMES]))
+                cb = jnp.broadcast_to(conds, (BATCH,) + conds.shape[1:])
+                return decode_q(
+                    params=gpt_params, conds=cb, text_tokens=text, text_lengths=text_lens,
+                    rng=key, temperature=jnp.float32(1.0), top_p=jnp.float32(0.8),
+                    repetition_penalty=jnp.float32(10.0),
+                )
+
+            decode_only_q(jax.random.PRNGKey(50))[0].block_until_ready()  # compile
+            t0 = time.perf_counter()
+            codes_q, lens_q = decode_only_q(jax.random.PRNGKey(51))
+            codes_q.block_until_ready()
+            wall_q = time.perf_counter() - t0
+            quant_kv_rtf_inv = round(
+                int(np.asarray(lens_q).sum()) * SAMPLES_PER_CODE / SAMPLE_RATE / wall_q, 2
+            )
+        except Exception:
+            quant_kv_rtf_inv = None
 
     # beam-3 at the ENGINE DEFAULT config (max_mel_tokens=600 -> the
     # segmented lineage driver; reference defaults infer.py:122-124). Round 2
@@ -537,6 +568,28 @@ def main():
         except Exception:
             ttfa_stream_ms = None
 
+    # streaming TTFA under fast_latents (consistent-positions capture): the
+    # fused first chunk drops its in-graph teacher-forced forward entirely
+    ttfa_stream_fast_ms = None
+    elapsed = time.perf_counter() - (bench_start or 0)
+    if bench_start is not None and ttfa_stream_ms is not None and elapsed < budget_s - margin["stream"]:
+        try:
+            _mark("stream fast_latents start")
+            eng.fast_latents = True
+            g = eng.infer_stream(prompt_mel=mel_np, text=stream_text, **stream_kwargs)
+            next(g)
+            g.close()  # compile
+            samples = []
+            for i in range(3):
+                g = eng.infer_stream(prompt_mel=mel_np, text=stream_text, **stream_kwargs)
+                t0 = time.perf_counter()
+                next(g)
+                samples.append(time.perf_counter() - t0)
+                g.close()
+            ttfa_stream_fast_ms = round(1000.0 * float(np.median(samples)), 1)
+        except Exception:
+            ttfa_stream_fast_ms = None
+
 
     result = {
         "metric": "audio_sec_per_sec_per_chip",
@@ -551,8 +604,10 @@ def main():
             "audio_s_per_iter": round(audio_sec, 2),
             "ttfa_ms": ttfa_ms,
             "ttfa_stream_ms": ttfa_stream_ms,
+            "ttfa_stream_fast_ms": ttfa_stream_fast_ms,
             "beam3_audio_s_per_s": beam3_rtf_inv,
             "beam3_decode_audio_s_per_s": beam3_decode_rtf_inv,
+            "quant_kv_decode_audio_s_per_s": quant_kv_rtf_inv,
             "beam3_default_audio_s_per_s": beam3_default_rtf_inv,
             "b16_audio_s_per_s": b16,
             "b32_audio_s_per_s": b32,

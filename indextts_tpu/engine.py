@@ -815,8 +815,11 @@ class IndexTTS:
 
     def _stream_fns(self, b: int, l: int, gen: GenerationConfig, n_steps: int):
         """Jitted continue-decode step for streaming (the first chunk runs
-        through the fused _first_chunk_fn instead)."""
-        key = ("stream", b, l, gen, n_steps)
+        through the fused _first_chunk_fn instead). Under fast_latents the
+        state carries the captured-latent buffer and decodes with consistent
+        positions (see __init__)."""
+        fast = self.fast_latents
+        key = ("stream", b, l, gen, n_steps, fast)
         if key not in self._decode_cache:
             cfg = self.cfg.gpt
 
@@ -838,7 +841,8 @@ class IndexTTS:
 
                 p = prefill_valid.shape[1] - gen.max_new_tokens
                 return decode_steps(
-                    params, cfg, state, n_steps, p, 0, prefill_valid, sample_from, rng, gen.max_new_tokens
+                    params, cfg, state, n_steps, p, 0, prefill_valid, sample_from, rng,
+                    gen.max_new_tokens, pos_off=1 if fast else 2,
                 )
 
             self._decode_cache[key] = (step_fn,)
@@ -858,7 +862,8 @@ class IndexTTS:
         float (one host transfer recovers both — the caller trims to
         valid_n codes). Latent frames past valid_n are zeroed in-graph so
         the waveform matches the unfused path's zero-padded vocoder call."""
-        key = ("stream1", l, gen, n_steps, fb)
+        fast = self.fast_latents
+        key = ("stream1", l, gen, n_steps, fb, fast)
         if key not in self._decode_cache:
             cfg = self.cfg.gpt
             h = self.cfg.bigvgan
@@ -876,21 +881,30 @@ class IndexTTS:
                 state, aux = prefill_decode_state(
                     params, cfg, gen, conds, text, lens, rng,
                     temperature=temperature, top_p=top_p, repetition_penalty=repetition_penalty,
-                    typical_mass=typical_mass,
+                    typical_mass=typical_mass, capture_latents=fast,
                 )
                 pv = aux["prefill_valid"]
                 state = decode_steps(
                     params, cfg, state, n_steps, aux["p"], 0, pv,
                     aux["sample_from"], rng, gen.max_new_tokens,
+                    pos_off=1 if fast else 2,
                 )
                 codes_w = state[1][:, :w]
                 is_stop = codes_w[0] == stop
                 valid_n = jnp.where(jnp.any(is_stop), jnp.argmax(is_stop), w).astype(jnp.int32)
-                codes_p = jnp.full((1, lc), stop, jnp.int32).at[:, :w].set(codes_w)
-                latent = unified_voice_forward(
-                    params, cfg, None, text, lens, codes_p, (valid_n * comp)[None], None,
-                    return_latent=True, conds=conds, mask_pad_keys=True,
-                )
+                if fast:
+                    # consistent-positions mode: the decode already emitted
+                    # the latents — the teacher-forced forward is gone
+                    latent = jnp.zeros((1, lc, cfg.model_dim), conds.dtype)
+                    latent = jax.lax.dynamic_update_slice(
+                        latent, state[6][:, :min(w, lc)].astype(conds.dtype), (0, 0, 0)
+                    )
+                else:
+                    codes_p = jnp.full((1, lc), stop, jnp.int32).at[:, :w].set(codes_w)
+                    latent = unified_voice_forward(
+                        params, cfg, None, text, lens, codes_p, (valid_n * comp)[None], None,
+                        return_latent=True, conds=conds, mask_pad_keys=True,
+                    )
                 latent = jnp.where((jnp.arange(lc) < valid_n)[None, :, None], latent, 0)
                 wav = bigvgan_apply(
                     bv_params, h, latent.astype(conds.dtype), mel_ref,
@@ -969,12 +983,12 @@ class IndexTTS:
                 yield packed_np[: valid_n * samples_per_code].astype(np.float32)
             emitted = valid_n
             while True:
-                i, codes_buf, _, done, _, _ = state
+                i, codes_buf, done = state[0], state[1], state[3]
                 n_codes = int(i) + 1
                 if bool(np.asarray(done).all()) or n_codes >= gen.max_new_tokens:
                     break
                 state = step_fn(self.gpt_params, state, prefill_valid, sub, *args)
-                i, codes_buf, _, done, _, _ = state
+                i, codes_buf, done = state[0], state[1], state[3]
                 n_codes = int(i) + 1
                 all_done = bool(np.asarray(done).all())
                 # only vocode completed (non-stop) codes
@@ -983,9 +997,13 @@ class IndexTTS:
                 valid_n = int(stop_pos[0]) if stop_pos.size else n_codes
                 if valid_n > emitted or (all_done and valid_n > 0 and emitted == 0):
                     start = max(emitted - overlap_codes, 0)
-                    latent = self._gpt_latent(
-                        conds, tokens0, codes_np[:, :valid_n], np.asarray([valid_n])
-                    )
+                    if self.fast_latents:
+                        # captured during decode; no teacher-forced pass
+                        latent = state[6][:, :valid_n]
+                    else:
+                        latent = self._gpt_latent(
+                            conds, tokens0, codes_np[:, :valid_n], np.asarray([valid_n])
+                        )
                     window = latent[:, start:valid_n]
                     wav = self._vocode(window, valid_n - start, prompt_mel)
                     trim = (emitted - start) * samples_per_code  # drop overlap context

@@ -145,7 +145,7 @@ def _pair_heads_new(t: jnp.ndarray) -> jnp.ndarray:
 
 
 def _prefill(params: Params, cfg: GPTConfig, emb: jnp.ndarray, mask: jnp.ndarray, cache_len: int,
-             return_hidden: bool = False):
+             return_hidden: bool = False, quant_kv: bool = False):
     """Run the full stack over the prompt, returning last-position logits and
     the HEAD-PAIRED caches (k2, v2), each [L, B, H/2, cache_len, 2*Dh].
     Keeping K and V separate lets the score contraction stream only K bytes
@@ -159,7 +159,15 @@ def _prefill(params: Params, cfg: GPTConfig, emb: jnp.ndarray, mask: jnp.ndarray
     v2 = _pair_heads(v)
     pad_amt = cache_len - k2.shape[3]
     pads = ((0, 0), (0, 0), (0, 0), (0, pad_amt), (0, 0))
-    cache = (jnp.pad(k2, pads), jnp.pad(v2, pads))
+    if quant_kv:
+        # int8 cache with per-column scales (see _decode_block_q); the pad
+        # columns carry scale 1e-8/127 on zeros — masked by attention anyway
+        k8, ks = _quant_cols(k2)
+        v8, vs = _quant_cols(v2)
+        spads = pads[:-1]
+        cache = (jnp.pad(k8, pads), jnp.pad(ks, spads), jnp.pad(v8, pads), jnp.pad(vs, spads))
+    else:
+        cache = (jnp.pad(k2, pads), jnp.pad(v2, pads))
     if return_hidden:
         logits, h = _mel_logits(params, hidden[:, -1], return_normed=True)
         return logits, cache, h
@@ -227,6 +235,55 @@ def _decode_block(layer_p, x, k2, v2, attn_bias, heads):
     return x + h, (_pair_heads_new(k_new), _pair_heads_new(v_new))
 
 
+def _quant_cols(t: jnp.ndarray):
+    """Symmetric int8 over the trailing lane axis: t ≈ q * s[..., None].
+    Used for KV-cache quantization — one scale per (layer, batch, head-pair,
+    position) column, so dequantization factors out of both attention
+    einsums exactly (scores: multiply by s after the contraction; values:
+    fold s into the attention weights before it)."""
+    tf = t.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(tf), axis=-1)
+    s = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(tf / s[..., None]), -127, 127).astype(jnp.int8)
+    return q, s.astype(jnp.float32)
+
+
+def _decode_block_q(layer_p, x, k8, ks, v8, vs, attn_bias, heads):
+    """_decode_block against an INT8 cache: k8/v8 [B, H/2, S, 2*Dh] int8 with
+    per-column scales ks/vs [B, H/2, S]. HBM streams half the cache bytes;
+    the int8 operand upcasts in-register inside the einsum fusion (same
+    pattern as ops/quant weight streaming). Exact per-column dequant."""
+    from indextts_tpu.ops.quant import matmul_maybe_quantized
+
+    b, d = x.shape
+    dh = d // heads
+    g2 = heads // 2
+    s_len = k8.shape[2]
+    h = layer_norm(x, layer_p["ln_1"]["weight"], layer_p["ln_1"]["bias"])
+    qkv = matmul_maybe_quantized(h, layer_p["attn_qkv"])
+    q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(b, heads, dh)
+    k_new = k_new.reshape(b, heads, dh)
+    v_new = v_new.reshape(b, heads, dh)
+    scale = 1.0 / math.sqrt(dh)
+    s2 = jnp.einsum("bgtd,bgsd->bgts", _qpad2(q, heads), k8.astype(x.dtype)).astype(jnp.float32)
+    s2 = s2 * ks[:, :, None, :]  # dequant: scale is per (b, g, s) column
+    scores_c = s2.reshape(b, heads, s_len) * scale + attn_bias
+    score_self = (jnp.sum(q * k_new, axis=-1, keepdims=True)).astype(jnp.float32) * scale
+    scores = jnp.concatenate([scores_c, score_self], axis=-1)
+    attn = jax.nn.softmax(scores, axis=-1)
+    a2 = (attn[..., :-1].astype(jnp.float32).reshape(b, g2, 2, s_len)
+          * vs[:, :, None, :]).astype(x.dtype)
+    o2 = jnp.einsum("bgts,bgsd->bgtd", a2, v8.astype(x.dtype))
+    a = _select_paired(o2, dh) + attn[..., -1:].astype(x.dtype) * v_new
+    a = matmul_maybe_quantized(a.reshape(b, d), layer_p["attn_proj"])
+    x = x + a
+    h = layer_norm(x, layer_p["ln_2"]["weight"], layer_p["ln_2"]["bias"])
+    h = gelu_new(matmul_maybe_quantized(h, layer_p["mlp_fc"]))
+    h = matmul_maybe_quantized(h, layer_p["mlp_proj"])
+    return x + h, (_pair_heads_new(k_new), _pair_heads_new(v_new))
+
+
 def _decode_step(params: Params, cfg: GPTConfig, token, mel_pos, cache, pos, base_mask,
                  return_hidden: bool = False):
     """One decode step. token: [B] int32; mel_pos: scalar mel-position index;
@@ -234,26 +291,51 @@ def _decode_step(params: Params, cfg: GPTConfig, token, mel_pos, cache, pos, bas
     index in the cache; base_mask: [B, S] bool validity of already-written
     cache positions (True = attend; position `pos` itself must be False —
     the new token's K/V are handled as the extra attention logit inside the
-    block). Returns (logits [B, V], cache[, normed hidden [B, D]])."""
+    block). The cache may be bf16 (k2, v2) or int8 (k8, ks, v8, vs) — see
+    _decode_block_q. Returns (logits [B, V], cache[, normed hidden [B, D]])."""
     x = params["mel_embedding"][token] + params["mel_pos_embedding"][mel_pos]
-    k2_all, v2_all = cache
     attn_bias = jnp.where(base_mask[:, None, :], 0.0, NEG_INF)  # [B, 1, S]
+    quant = len(cache) == 4
 
-    def body(x, layer):
-        layer_p, k2c, v2c = layer
-        out, kv_new = _decode_block(layer_p, x, k2c, v2c, attn_bias, cfg.heads)
-        return out, kv_new
+    if quant:
+        k8_all, ks_all, v8_all, vs_all = cache
 
-    x, (k2_news, v2_news) = jax.lax.scan(body, x, (params["gpt"]["blocks"], k2_all, v2_all))
-    # one column write per tensor for all layers: [L, B, H/2, 2*Dh]
-    k2_all = jax.lax.dynamic_update_slice(k2_all, k2_news[:, :, :, None, :], (0, 0, 0, pos, 0))
-    v2_all = jax.lax.dynamic_update_slice(v2_all, v2_news[:, :, :, None, :], (0, 0, 0, pos, 0))
+        def body(x, layer):
+            layer_p, k8, ks, v8, vs = layer
+            out, kv_new = _decode_block_q(layer_p, x, k8, ks, v8, vs, attn_bias, cfg.heads)
+            return out, kv_new
+
+        x, (k2_news, v2_news) = jax.lax.scan(
+            body, x, (params["gpt"]["blocks"], k8_all, ks_all, v8_all, vs_all)
+        )
+        k8n, ksn = _quant_cols(k2_news)
+        v8n, vsn = _quant_cols(v2_news)
+        cache_out = (
+            jax.lax.dynamic_update_slice(k8_all, k8n[:, :, :, None, :], (0, 0, 0, pos, 0)),
+            jax.lax.dynamic_update_slice(ks_all, ksn[:, :, :, None], (0, 0, 0, pos)),
+            jax.lax.dynamic_update_slice(v8_all, v8n[:, :, :, None, :], (0, 0, 0, pos, 0)),
+            jax.lax.dynamic_update_slice(vs_all, vsn[:, :, :, None], (0, 0, 0, pos)),
+        )
+    else:
+        k2_all, v2_all = cache
+
+        def body(x, layer):
+            layer_p, k2c, v2c = layer
+            out, kv_new = _decode_block(layer_p, x, k2c, v2c, attn_bias, cfg.heads)
+            return out, kv_new
+
+        x, (k2_news, v2_news) = jax.lax.scan(body, x, (params["gpt"]["blocks"], k2_all, v2_all))
+        # one column write per tensor for all layers: [L, B, H/2, 2*Dh]
+        cache_out = (
+            jax.lax.dynamic_update_slice(k2_all, k2_news[:, :, :, None, :], (0, 0, 0, pos, 0)),
+            jax.lax.dynamic_update_slice(v2_all, v2_news[:, :, :, None, :], (0, 0, 0, pos, 0)),
+        )
     x = layer_norm(x, params["gpt"]["ln_f"]["weight"], params["gpt"]["ln_f"]["bias"])
     if return_hidden:
         logits, h = _mel_logits(params, x, return_normed=True)
-        return logits, (k2_all, v2_all), h
+        return logits, cache_out, h
     logits = _mel_logits(params, x)
-    return logits, (k2_all, v2_all)
+    return logits, cache_out
 
 
 def generate_speech(
@@ -271,6 +353,7 @@ def generate_speech(
     input_tokens: Optional[jnp.ndarray] = None,
     capture_latents: bool = False,
     pos_off: int = 2,
+    quant_kv: bool = False,
 ):
     """Greedy / sampled generation (num_beams == 1).
 
@@ -307,9 +390,10 @@ def generate_speech(
     s_max = p + max_new
 
     if capture_latents:
-        logits0, cache, h0 = _prefill(params, cfg, emb, prefill_mask, s_max, return_hidden=True)
+        logits0, cache, h0 = _prefill(params, cfg, emb, prefill_mask, s_max,
+                                      return_hidden=True, quant_kv=quant_kv)
     else:
-        logits0, cache = _prefill(params, cfg, emb, prefill_mask, s_max)
+        logits0, cache = _prefill(params, cfg, emb, prefill_mask, s_max, quant_kv=quant_kv)
 
     # seen-token mask for repetition penalty: HF penalizes over the whole
     # input_ids row — the fake inputs are all 1s with a trailing start_mel
@@ -435,6 +519,7 @@ def prefill_decode_state(
     typical_mass=0.9,
     cache_len: Optional[int] = None,
     capture_latents: bool = False,
+    quant_kv: bool = False,
 ):
     """Prefill + first token; returns (state, aux) where aux carries the
     static context needed to resume with `decode_steps`. Used by the streaming engine
@@ -449,9 +534,10 @@ def prefill_decode_state(
     max_new = gen.max_new_tokens
     s_max = cache_len if cache_len is not None else p + max_new
     if capture_latents:
-        logits0, cache, h0 = _prefill(params, cfg, emb, prefill_mask, s_max, return_hidden=True)
+        logits0, cache, h0 = _prefill(params, cfg, emb, prefill_mask, s_max,
+                                      return_hidden=True, quant_kv=quant_kv)
     else:
-        logits0, cache = _prefill(params, cfg, emb, prefill_mask, s_max)
+        logits0, cache = _prefill(params, cfg, emb, prefill_mask, s_max, quant_kv=quant_kv)
     seen0 = jnp.zeros((b, v), bool).at[:, 1].set(True).at[:, cfg.start_mel_token].set(True)
     prefill_valid = jnp.pad(prefill_mask, ((0, 0), (0, s_max - p)))
 
@@ -483,10 +569,12 @@ def prefill_decode_state(
 def grow_cache(state, prefill_valid, extra: int):
     """Extend a decode state's KV cache and validity mask by `extra` slots
     (the segmented-decode transition: each segment runs against the smallest
-    cache that fits, so attention never streams unused slots)."""
-    i, codes, (k2, v2), done, seen, cur, *rest = state
+    cache that fits, so attention never streams unused slots). Handles both
+    the bf16 (k2, v2) and int8 (k8, ks, v8, vs) cache forms."""
+    i, codes, cache, done, seen, cur, *rest = state
     pads = ((0, 0), (0, 0), (0, 0), (0, extra), (0, 0))
-    cache = (jnp.pad(k2, pads), jnp.pad(v2, pads))
+    spads = pads[:-1]
+    cache = tuple(jnp.pad(c, pads if c.ndim == 5 else spads) for c in cache)
     prefill_valid = jnp.pad(prefill_valid, ((0, 0), (0, extra)))
     return (i, codes, cache, done, seen, cur, *rest), prefill_valid
 
@@ -507,6 +595,7 @@ def generate_speech_segmented(
     jit_cache: Optional[Dict[Any, Any]] = None,
     capture_latents: bool = False,
     pos_off: int = 2,
+    quant_kv: bool = False,
 ):
     """generate_speech with segment-growing KV cache (host-side driver).
 
@@ -526,7 +615,7 @@ def generate_speech_segmented(
 
     def seg_fns(seg_idx: int):
         cache_len = p + min(segment * (seg_idx + 1), max_new)
-        key = ("seg", b, l, gen, segment, seg_idx, capture_latents, pos_off)
+        key = ("seg", b, l, gen, segment, seg_idx, capture_latents, pos_off, quant_kv)
         if key not in cache:
             if seg_idx == 0:
                 @jax.jit
@@ -535,7 +624,7 @@ def generate_speech_segmented(
                         params, cfg, gen, conds, text_tokens, text_lengths, rng,
                         temperature=temperature, top_p=top_p, repetition_penalty=repetition_penalty,
                         typical_mass=typical_mass, cache_len=cache_len,
-                        capture_latents=capture_latents,
+                        capture_latents=capture_latents, quant_kv=quant_kv,
                     )
                     state = decode_steps(
                         params, cfg, state, segment - 1, aux["p"], 0, aux["prefill_valid"],

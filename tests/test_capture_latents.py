@@ -154,3 +154,17 @@ class TestEngineFastLatents:
                                max_mel_tokens=8, repetition_penalty=1.0)
         assert sr == 24000
         assert len(calls) >= 1  # beams cannot capture -> teacher-forced pass
+
+    def test_streaming_uses_captured_latents(self, engine, monkeypatch):
+        calls = []
+        orig = engine._gpt_latent
+        monkeypatch.setattr(engine, "_gpt_latent", lambda *a, **k: calls.append(1) or orig(*a, **k))
+        import os as _os
+
+        mel = engine.extract_features(_os.path.join(_os.path.dirname(__file__), "sample_prompt.wav"))
+        chunks = list(engine.infer_stream(
+            prompt_mel=mel, text="HELLO STREAMING WORLD.", do_sample=True, top_k=10,
+            max_mel_tokens=12, first_chunk_codes=4, chunk_codes=4,
+        ))
+        assert calls == []  # every chunk's latents came from the decode loop
+        assert all(c.dtype == np.float32 for c in chunks)

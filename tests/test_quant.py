@@ -89,3 +89,92 @@ class TestPallasInt8Matmul:
         a = np.asarray(matmul_maybe_quantized(x, wp, use_pallas=False))
         b = np.asarray(matmul_maybe_quantized(x, wp, use_pallas=True))
         np.testing.assert_allclose(a, b, atol=0.05, rtol=0.01)
+
+
+class TestQuantKVCache:
+    """Int8 KV cache (per-column scales, _decode_block_q): the cache streams
+    half the bytes; dequantization is exact per column, so logits deviate
+    only by the int8 rounding of K/V (~0.4% relative). Reference config this
+    accelerates: the default decode, infer.py:116-124."""
+
+    def _setup(self):
+        from tests.test_gpt import tiny_cfg
+
+        cfg = tiny_cfg()
+        from indextts_tpu.models.gpt import get_conditioning, init_unified_voice
+
+        params = init_unified_voice(jax.random.PRNGKey(0), cfg)
+        mel = jnp.asarray(np.random.default_rng(3).standard_normal((1, 40, 100)), jnp.float32)
+        conds = get_conditioning(params, cfg, mel, jnp.asarray([40]))
+        text = jnp.asarray([[3, 5, 7, 9, 11, 2, 4, 6]], jnp.int32)
+        lens = jnp.asarray([8])
+        return cfg, params, jnp.broadcast_to(conds, (1,) + conds.shape[1:]), text, lens
+
+    def test_cache_is_int8(self):
+        from indextts_tpu.models.gpt_decode import _prefill, prepare_gpt_inputs
+
+        cfg, params, conds, text, lens = self._setup()
+        emb, mask = prepare_gpt_inputs(params, cfg, conds, text, lens)
+        _, cache = _prefill(params, cfg, emb, mask, emb.shape[1] + 4, quant_kv=True)
+        k8, ks, v8, vs = cache
+        assert k8.dtype == jnp.int8 and v8.dtype == jnp.int8
+        assert ks.shape == k8.shape[:-1]
+
+    def test_forced_logits_close_to_bf16_cache(self):
+        """Per-step logits under the int8 cache track the bf16-cache logits
+        through prefill + forced decode steps (same methodology as the bench
+        verify gate — forced tokens, no tie cascades)."""
+        from indextts_tpu.models.gpt_decode import _decode_step, _prefill, prepare_gpt_inputs
+
+        cfg, params, conds, text, lens = self._setup()
+        emb, mask = prepare_gpt_inputs(params, cfg, conds, text, lens)
+        p = emb.shape[1]
+        T = 6
+        forced = np.random.default_rng(5).integers(2, 60, (1, T)).astype(np.int32)
+
+        def run(quant):
+            logits0, cache = _prefill(params, cfg, emb, mask, p + T, quant_kv=quant)
+            pv = jnp.pad(mask, ((0, 0), (0, T)))
+            cpos = jnp.arange(p + T)[None, :]
+            outs = [np.asarray(logits0)]
+            for i in range(T - 1):
+                valid = pv | ((cpos >= p) & (cpos < p + i))
+                lg, cache = _decode_step(params, cfg, jnp.asarray(forced[:, i]), i + 2, cache, p + i, valid)
+                outs.append(np.asarray(lg))
+            return np.stack(outs)
+
+        base = run(False)
+        quant = run(True)
+        assert np.max(np.abs(base - quant)) < 0.35
+        # decisive argmax agreement (margin > 2x tolerance)
+        srt = np.sort(base, axis=-1)
+        decisive = (srt[..., -1] - srt[..., -2]) > 0.7
+        assert np.all((base.argmax(-1) == quant.argmax(-1))[decisive])
+
+    def test_generate_speech_quant_kv_runs_and_tracks(self):
+        from indextts_tpu.models.gpt_decode import GenerationConfig, generate_speech
+
+        cfg, params, conds, text, lens = self._setup()
+        gen = GenerationConfig(do_sample=False, max_new_tokens=10)
+        a, la = generate_speech(params, cfg, gen, conds, text, lens, jax.random.PRNGKey(2))
+        b, lb = generate_speech(params, cfg, gen, conds, text, lens, jax.random.PRNGKey(2),
+                                quant_kv=True)
+        # greedy sequences may legitimately diverge at near-ties; both must
+        # be valid and agree on the first token (decisive from the prefill)
+        assert a.shape == b.shape
+        assert int(a[0, 0]) == int(b[0, 0])
+
+    def test_segmented_quant_kv_matches_monolithic(self):
+        from indextts_tpu.models.gpt_decode import (
+            GenerationConfig,
+            generate_speech,
+            generate_speech_segmented,
+        )
+
+        cfg, params, conds, text, lens = self._setup()
+        gen = GenerationConfig(do_sample=False, max_new_tokens=12)
+        a, la = generate_speech(params, cfg, gen, conds, text, lens, jax.random.PRNGKey(2),
+                                quant_kv=True)
+        b, lb = generate_speech_segmented(params, cfg, gen, conds, text, lens,
+                                          jax.random.PRNGKey(2), segment=5, quant_kv=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -70,11 +70,12 @@ def main():
         text = jnp.asarray(npr.integers(2, 8000, (batch, TEXT_LEN)), jnp.int32)
         text_lens = jnp.full((batch,), TEXT_LEN, jnp.int32)
         gen = GenerationConfig(do_sample=True, num_beams=1, top_k=30, max_new_tokens=gen_tokens)
+        quant_kv = os.environ.get("QUANT_KV", "0") == "1"
         fn = jax.jit(
             lambda p, c, t, tl, r: generate_speech(
                 p, gpt_cfg, gen, c, t, tl, r,
                 temperature=jnp.float32(1.0), top_p=jnp.float32(0.8),
-                repetition_penalty=jnp.float32(10.0),
+                repetition_penalty=jnp.float32(10.0), quant_kv=quant_kv,
             )[1].sum()
         )
         t0 = time.perf_counter()
