@@ -70,8 +70,8 @@ def test_mesh_dp_batched_decode_matches_single(ckpt):
 
     conds_s = single._conds_for(mel)
     conds_m = meshed._conds_for(mel)
-    codes_s, lens_s = single._gpt_generate(conds_s, tokens, lengths, gen, 1.0, 0.8, 1.0)
-    codes_m, lens_m = meshed._gpt_generate(conds_m, tokens, lengths, gen, 1.0, 0.8, 1.0)
+    codes_s, lens_s, _ = single._gpt_generate(conds_s, tokens, lengths, gen, 1.0, 0.8, 1.0)
+    codes_m, lens_m, _ = meshed._gpt_generate(conds_m, tokens, lengths, gen, 1.0, 0.8, 1.0)
     np.testing.assert_array_equal(lens_s, lens_m)
     np.testing.assert_array_equal(codes_s, codes_m)
 
