@@ -103,6 +103,7 @@ class IndexTTS:
         tp: Optional[int] = None,
         fast_init: bool = False,
         fast_latents: bool = False,
+        quant_kv: bool = False,
     ):
         """Device policy: jax picks the platform (TPU when present; the
         cuda/mps/xpu/cpu cascade of infer.py:26-44 has no TPU meaning).
@@ -127,6 +128,10 @@ class IndexTTS:
         # path measures slightly faster inside the full vocoder graph)
         self.use_pallas_kernel = bool(use_cuda_kernel) if use_cuda_kernel is not None else False
         self.fast_latents = bool(fast_latents)
+        # int8 KV cache (per-column scales): ~4-12% faster decode steps at
+        # B=8-32 (docs/PERF.md); opt-in — K/V rounding changes sampling
+        # numerics, so quality sign-off is the operator's
+        self.quant_kv = bool(quant_kv)
 
         self.cfg: IndexTTSConfig = load_config(cfg_path) if os.path.exists(cfg_path) else IndexTTSConfig()
         self.model_dir = model_dir
@@ -369,7 +374,7 @@ class IndexTTS:
         return conds
 
     def _decode_fn(self, b: int, l: int, gen: GenerationConfig, capture: bool = False):
-        key = ("dec", b, l, gen, capture)
+        key = ("dec", b, l, gen, capture, self.quant_kv)
         if key not in self._decode_cache:
             cfg = self.cfg.gpt
             from functools import partial
@@ -380,6 +385,7 @@ class IndexTTS:
                 jitted = jax.jit(partial(
                     generate_speech, cfg=cfg, gen=gen,
                     capture_latents=capture, pos_off=1 if capture else 2,
+                    quant_kv=self.quant_kv,
                 ))
             self._decode_cache[key] = jitted
         return self._decode_cache[key]
@@ -452,7 +458,8 @@ class IndexTTS:
             if gen.num_beams > 1:
                 extra = {"length_penalty": float(length_penalty)}
             else:
-                extra = {"capture_latents": capture, "pos_off": 1 if capture else 2}
+                extra = {"capture_latents": capture, "pos_off": 1 if capture else 2,
+                         "quant_kv": self.quant_kv}
             out = seg_fn(
                 self.gpt_params, self.cfg.gpt, gen,
                 conds_b.astype(self.dtype), jnp.asarray(padded), jnp.asarray(text_lengths), sub,

@@ -312,8 +312,13 @@ def bigvgan_apply(
             x = x + conv1d(spk, cd["weight"], cd["bias"])
         c_stage = x.shape[-1]
         s = 1 if use_pallas else _stage_fold(c_stage, x.shape[1])
+        # measurement knob: run s=1 stages up to the given width through the
+        # folded machinery anyway — resamplers become diagonal-dense MXU
+        # convs instead of the badly-lowered grouped form
+        fold_wide = int(_os.environ.get("INDEXTTS_FOLD_WIDE", "0"))
+        use_folded_stage = s > 1 or (not use_pallas and 0 < c_stage <= fold_wide)
         xs = None
-        if s > 1:
+        if use_folded_stage:
             # run the whole stage on the s-folded grid [B, T/s, s*C]: the
             # fold/unfold reshapes happen once per stage, every interior op is
             # a stride-1 dense conv or elementwise at >=128-lane width

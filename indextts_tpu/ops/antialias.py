@@ -16,6 +16,7 @@ Filter design constants match filter.py:29-58 / resample.py:10-48 exactly
 from __future__ import annotations
 
 import math
+import os as _os
 from functools import lru_cache
 
 import jax
@@ -380,9 +381,26 @@ def anti_aliased_activation_phase(
     """
     b, t, c = x.shape
     g, h = _folded_resample_taps()
+    # branch stencils: slices (mode 1, exact-fused but ~24 slice ops per
+    # activation — the remote compiler took >25 min on the full graph) or a
+    # single stride-1 non-dilated depthwise conv per branch (mode 2, four
+    # ops per activation)
+    dw = _os.environ.get("INDEXTTS_WIDE_PHASE", "1") == "2"
+
+    def branch(xp, taps, t_out):
+        if not dw:
+            return _shift_add_dw(xp, taps, t_out)
+        k = len(taps)
+        w = jnp.asarray(np.asarray(taps, np.float32)[:, None, None], xp.dtype)
+        w = jnp.broadcast_to(w, (k, 1, c))  # [K, 1, C] depthwise
+        return jax.lax.conv_general_dilated(
+            xp, w, window_strides=(1,), padding=[(0, 0)],
+            dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=c,
+        )[:, :t_out]
+
     xp = pad1d(x, (3, 3), mode="replicate")
-    s0 = _shift_add_dw(xp, g[:, 0], t)  # phase-0 branch of the 2x signal
-    s1 = _shift_add_dw(xp, g[:, 1], t)
+    s0 = branch(xp, g[:, 0], t)  # phase-0 branch of the 2x signal
+    s1 = branch(xp, g[:, 1], t)
     s0 = snake_folded(s0, alpha, beta, alpha_logscale, 1)
     s1 = snake_folded(s1, alpha, beta, alpha_logscale, 1)
     # downsample1d's replicate edges on the 2x signal: left pad frames hold
@@ -392,7 +410,7 @@ def anti_aliased_activation_phase(
     right = jnp.broadcast_to(s1[:, -1:], (b, 3, c))
     p0 = jnp.concatenate([left, s0, right], axis=1)
     p1 = jnp.concatenate([left, s1, right], axis=1)
-    return _shift_add_dw(p0, h[:, 0], t) + _shift_add_dw(p1, h[:, 1], t)
+    return branch(p0, h[:, 0], t) + branch(p1, h[:, 1], t)
 
 
 def anti_aliased_activation(
