@@ -34,6 +34,16 @@ def main(argv=None):
         help="Ignored: JAX selects the platform (tpu > cpu). Kept for reference-CLI compatibility.",
     )
     parser.add_argument("--fast", action="store_true", default=False, help="Use bucketed batch inference (infer_fast)")
+    parser.add_argument(
+        "--fast-latents", action="store_true", default=False,
+        help="Capture vocoder latents during decode (skips the teacher-forced "
+        "pass when silence removal changes nothing; consistent-positions mode)",
+    )
+    parser.add_argument(
+        "--quant-kv", action="store_true", default=False,
+        help="Int8-quantized KV cache for the AR decode (lower HBM traffic; "
+        "near-parity outputs)",
+    )
     args = parser.parse_args(argv)
     if len(args.text.strip()) == 0:
         print("ERROR: Text is empty.")
@@ -63,7 +73,10 @@ def main(argv=None):
 
     from indextts_tpu.engine import IndexTTS
 
-    tts = IndexTTS(cfg_path=args.config, model_dir=args.model_dir, is_fp16=args.fp16, device=args.device)
+    tts = IndexTTS(
+        cfg_path=args.config, model_dir=args.model_dir, is_fp16=args.fp16,
+        device=args.device, fast_latents=args.fast_latents, quant_kv=args.quant_kv,
+    )
     infer = tts.infer_fast if args.fast else tts.infer
     infer(audio_prompt=args.voice, text=args.text.strip(), output_path=output_path)
 

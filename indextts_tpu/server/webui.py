@@ -537,13 +537,26 @@ def main(argv=None):
     parser.add_argument("-c", "--config", default="checkpoints/config.yaml")
     parser.add_argument("--model_dir", default="checkpoints")
     parser.add_argument("--random-init", action="store_true", help="serve with random weights (demo/testing)")
+    parser.add_argument(
+        "--fast-latents", action="store_true",
+        help="capture vocoder latents during decode (skips the teacher-forced "
+        "pass when silence removal changes nothing)",
+    )
+    parser.add_argument(
+        "--quant-kv", action="store_true",
+        help="int8 KV cache for the AR decode (lower HBM traffic, near-parity)",
+    )
     args = parser.parse_args(argv)
 
     engine = None
     try:
         from indextts_tpu.engine import IndexTTS
 
-        engine = IndexTTS(cfg_path=args.config, model_dir=args.model_dir, allow_random_init=args.random_init)
+        engine = IndexTTS(
+            cfg_path=args.config, model_dir=args.model_dir,
+            allow_random_init=args.random_init,
+            fast_latents=args.fast_latents, quant_kv=args.quant_kv,
+        )
         print("Successfully initialized IndexTTS TPU engine.")
     except Exception as e:
         print(f"ERROR: Failed to initialize IndexTTS engine: {e}")

@@ -37,8 +37,19 @@ cat = TestNormalizerWextCategories):
   measure-word 两 (2个)    | 两-before-counter rule      | cat (measure words)
   mixed 万/亿 + decimals   | generic zh_number + 万亿    | cat (3.5万亿)
   general numbers          | final zh_number pass        | corpus (465篇/315万字)
+  scores/ratios 3:2        | leftover-colon 比 rule      | cat (比分)
+  time ranges 8:00-22:00   | dash->到 pre-rewrite        | cat (营业时间)
+  date ranges 5日-7日 etc  | date-range continuation     | cat (会议/旺季)
+  versions/IPs 16.4.1      | dotted-sequence rule        | cat (iOS/IP)
+  temp ranges -5~3℃       | temperature-range rule      | cat (温度在)
+  math ×÷+=±               | operator pass               | cat (5×3, 1+1=2)
+  thousands seps 100,000   | comma strip                 | cat (人参加)
+  unit glyphs ㎡/km²/㎏    | glyph replace               | cat (面积/占地)
+  signed percent -2.3%     | percent sign capture        | cat (股价)
+  letter IDs 京A12345      | letter-attached digit rule  | cat (车牌)
   en times/money/percent/  | _normalize_en               | corpus + cat (en)
-    ordinals/cents/ranges  |                             |
+    ordinals/cents/ranges/ |                             |
+    versions/math/seps     |                             |
 """
 
 from __future__ import annotations
@@ -142,11 +153,14 @@ class TextNormalizer:
     def _compile_rep(rep_map) -> re.Pattern:
         return re.compile("|".join(re.escape(k) for k in rep_map))
 
-    # pinyin-with-tone pattern (reference: front.py:62)
+    # pinyin-with-tone pattern (reference: front.py:62). Intentional delta:
+    # the trailing (?![0-9]) guard is added — a tone digit is never followed
+    # by more digits, while the reference's unguarded pattern captures the
+    # "A1" of "京A12345" as pinyin and mangles the digit string.
     PINYIN_TONE_PATTERN = (
         r"(?<![a-z])((?:[bpmfdtnlgkhjqxzcsryw]|[zcs]h)?"
         r"(?:[aeiouüv]|[ae]i|u[aio]|ao|ou|i[aue]|[uüv]e|[uvü]ang?|uai|"
-        r"[aeiuv]n|[aeio]ng|ia[no]|i[ao]ng)|ng|er)([1-5])"
+        r"[aeiuv]n|[aeio]ng|ia[no]|i[ao]ng)|ng|er)([1-5])(?![0-9])"
     )
     # Chinese full names joined by ·/-/— (reference: front.py:68)
     NAME_PATTERN = r"[一-鿿]+(?:[-·—][一-鿿]+){1,2}"
@@ -206,6 +220,23 @@ class TextNormalizer:
     def _normalize_zh(self, text: str) -> str:
         """Chinese ITN: numbers/dates/times/money/percent -> hanzi readings."""
         t = text
+        # thousands separators: 100,000 -> 100000 (else the comma splits the
+        # number and the final pass reads "一百,零")
+        t = re.sub(r"(?<=\d),(?=\d{3}(?!\d))", "", t)
+        # squared/compound unit glyphs -> verbalizable unit words
+        for glyph, word in (
+            ("km²", "平方千米"), ("cm²", "平方厘米"), ("m²", "平方米"),
+            ("㎡", "平方米"), ("㎞", "千米"), ("㎝", "厘米"), ("㎜", "毫米"),
+            ("㎏", "千克"), ("㎎", "毫克"),
+        ):
+            t = t.replace(glyph, word)
+        # math operators between digits (while both sides are still digits):
+        # 5×3 -> 5乘3, 1+1=2 -> 1加1等于2, ±3 -> 正负3
+        t = re.sub(r"(?<=\d)\s*×\s*(?=\d)", "乘", t)
+        t = re.sub(r"(?<=\d)\s*÷\s*(?=\d)", "除以", t)
+        t = re.sub(r"(?<=\d)\s*\+\s*(?=\d)", "加", t)
+        t = re.sub(r"(?<=\d)\s*=\s*(?=[-\d])", "等于", t)
+        t = re.sub(r"±(?=\d)", "正负", t)
         # dates: 2025年01月11日 / 2025/1/2 / 2025-01-11 (only full dates)
         t = re.sub(
             r"(\d{2,4})\s*[年/-]\s*(\d{1,2})\s*[月/-]\s*(\d{1,2})\s*[日号]?",
@@ -224,6 +255,18 @@ class TextNormalizer:
         t = re.sub(
             r"(\d{1,2})\s*月\s*(\d{1,2})\s*([日号])",
             lambda m: zh_num.zh_integer(m.group(1)) + "月" + zh_num.zh_integer(m.group(2)) + m.group(3),
+            t,
+        )
+        # date-range continuations: 3月5日-7日 -> …日到七日 (the negative rule
+        # would otherwise read the dash as a minus sign: 负七日)
+        t = re.sub(
+            r"(?<=[日号])\s*[-~～]\s*(\d{1,2})\s*([日号])",
+            lambda m: "到" + zh_num.zh_integer(m.group(1)) + m.group(2),
+            t,
+        )
+        t = re.sub(
+            r"(?<=月)\s*[-~～]\s*(\d{1,2})\s*月",
+            lambda m: "到" + zh_num.zh_integer(m.group(1)) + "月",
             t,
         )
         # weekdays: 周3 / 星期2 / 礼拜7 / 上周5. NOT converted when the digit
@@ -246,12 +289,50 @@ class TextNormalizer:
                 out += zh_num.zh_integer(ss) + "秒"
             return out
 
+        # time ranges: 8:00-22:00 -> 八点到二十二点 (rewrite the dash before
+        # the single-time rule consumes the endpoints)
+        t = re.sub(r"(?<=\d)\s*[-~～]\s*(?=\d{1,2}:\d{2})", "到", t)
         t = re.sub(r"(\d{1,2}):(\d{2})(?::(\d{2}))?", _time, t)
+        # leftover digit colons are ratios/scores, not times (3:2 -> 三比二;
+        # valid clock times were consumed above)
+        t = re.sub(
+            r"(\d+):(\d+)",
+            lambda m: zh_num.zh_integer(m.group(1)) + "比" + zh_num.zh_integer(m.group(2)),
+            t,
+        )
         # phone numbers: 135-4567-8900 -> digit-by-digit with 幺
         t = re.sub(
             r"\d{3,4}-\d{3,4}-\d{3,4}",
             lambda m: zh_num.zh_digits(m.group(0).replace("-", ""), tel=True),
             t,
+        )
+        # dotted sequences (versions / IPs): 16.4.1 -> 十六点四点一,
+        # 192.168.1.1 -> 一九二点一六八点一点一 (short clean groups read as
+        # integers, long or zero-padded ones digit-by-digit)
+        def _dotted(m):
+            parts = m.group(0).split(".")
+            if all(len(p) <= 2 and not p.startswith("0") for p in parts):
+                return "点".join(zh_num.zh_integer(p) for p in parts)
+            return "点".join(zh_num.zh_digits(p) for p in parts)
+
+        t = re.sub(r"\d+(?:\.\d+){2,}", _dotted, t)
+        # temperature ranges first (else the left endpoint loses its unit and
+        # the dash reads as a minus): -5~3℃ -> 零下五到三摄氏度
+        def _temp_range(unit_word):
+            def f(m):
+                lo = ("零下" if m.group(1) else "") + zh_num.zh_number(m.group(2))
+                hi = ("零下" if m.group(3) else "") + zh_num.zh_number(m.group(4))
+                return lo + "到" + hi + unit_word
+
+            return f
+
+        t = re.sub(
+            r"(-?)(\d+(?:\.\d+)?)\s*[-~～]\s*(-?)(\d+(?:\.\d+)?)\s*(?:°C|℃)",
+            _temp_range("摄氏度"), t,
+        )
+        t = re.sub(
+            r"(-?)(\d+(?:\.\d+)?)\s*[-~～]\s*(-?)(\d+(?:\.\d+)?)\s*(?:°F|℉)",
+            _temp_range("华氏度"), t,
         )
         # temperatures: -5°C -> 零下五摄氏度, 37.5℃ -> 三十七点五摄氏度
         t = re.sub(
@@ -264,10 +345,10 @@ class TextNormalizer:
             lambda m: ("零下" if m.group(1) else "") + zh_num.zh_number(m.group(2)) + "华氏度",
             t,
         )
-        # percentages: 2.5% -> 百分之二点五
+        # percentages: 2.5% -> 百分之二点五, -2.3% -> 负百分之二点三
         t = re.sub(
-            r"(\d+(?:\.\d+)?)\s*%",
-            lambda m: "百分之" + zh_num.zh_number(m.group(1)),
+            r"(-?)(\d+(?:\.\d+)?)\s*%",
+            lambda m: ("负" if m.group(1) else "") + "百分之" + zh_num.zh_number(m.group(2)),
             t,
         )
         # ordinals: 第3 -> 第三 (第 always selects 二, never 两)
@@ -295,8 +376,9 @@ class TextNormalizer:
             lambda m: zh_num.zh_number(m.group(1)) + "美元",
             t,
         )
-        # trailing plus: 3000+ -> 三千多
-        t = re.sub(r"(\d+(?:\.\d+)?)\+", lambda m: zh_num.zh_number(m.group(1)) + "多", t)
+        # trailing plus: 3000+ -> 三千多 (not when another number follows —
+        # that is addition, handled by the operator pass above)
+        t = re.sub(r"(\d+(?:\.\d+)?)\+(?!\d)", lambda m: zh_num.zh_number(m.group(1)) + "多", t)
         # units: 10km/h -> 每小时十千米
         unit_map = {"km": "千米", "m": "米", "cm": "厘米", "mm": "毫米", "kg": "千克", "g": "克"}
         t = re.sub(
@@ -333,6 +415,14 @@ class TextNormalizer:
         )
         # long digit identifiers (8+ digits) read digit-by-digit with 幺
         t = re.sub(r"\d{8,}", lambda m: zh_num.zh_digits(m.group(0), tel=True), t)
+        # letter-attached digit runs are IDs, not cardinals: 京A12345 ->
+        # 京A一二三四五 (4+ digits; short ones like A380/GPT4 keep their
+        # conventional cardinal reading)
+        t = re.sub(
+            r"(?<=[A-Za-z])(\d{4,7})(?![\d.])",
+            lambda m: zh_num.zh_digits(m.group(1)),
+            t,
+        )
         # standalone 2 before a hanzi scale word or measure word/counter
         # reads 两 (2万 -> 两万, 2个 -> 两个; 12个 stays 十二个). 年 excluded:
         # duration 2年 conventionally reads 二年 in the tn grammars.
@@ -349,6 +439,23 @@ class TextNormalizer:
     def _normalize_en(self, text: str) -> str:
         """English ITN: numbers/times/money/percent -> words."""
         t = text
+        # thousands separators: 100,000 -> 100000
+        t = re.sub(r"(?<=\d),(?=\d{3}(?!\d))", "", t)
+        # math operators between digits: 5×3 -> 5 times 3, 1+1=2 -> plus/equals
+        t = re.sub(r"(?<=\d)\s*×\s*(?=\d)", " times ", t)
+        t = re.sub(r"(?<=\d)\s*\+\s*(?=\d)", " plus ", t)
+        t = re.sub(r"(?<=\d)\s*=\s*(?=[-\d])", " equals ", t)
+        # dotted sequences (versions / IPs): 16.4.1 -> sixteen point four
+        # point one; zero-padded or long groups read digit-by-digit
+        def _dotted(m):
+            parts = m.group(0).split(".")
+            if all(len(p) <= 2 and not p.startswith("0") for p in parts):
+                return " point ".join(zh_num.en_integer(int(p)) for p in parts)
+            return " point ".join(zh_num.en_digits(p) for p in parts)
+
+        t = re.sub(r"\d+(?:\.\d+){2,}", _dotted, t)
+        # time ranges: 8:00-22:00 -> eight o'clock to twenty two o'clock
+        t = re.sub(r"(?<=\d)\s*[-~]\s*(?=\d{1,2}:\d{2})", " to ", t)
         # clock times: 8:00 AM -> eight AM / 8:30 -> eight thirty
         def _time(m):
             h, mm = int(m.group(1)), m.group(2)

@@ -214,6 +214,27 @@ class TestNormalizerWextCategories:
             # mixed 万/亿 with decimals
             ("市值3.5万亿元", ["三点五万亿元"]),
             ("涨了1.2亿", ["一点二亿"]),
+            # round-3 breadth: scores, time/date/temperature ranges, dotted
+            # versions & IPs, math operators, thousands separators, unit
+            # glyphs, signed percents, letter-attached IDs
+            ("比分3:2领先", ["三比二"]),
+            ("营业时间8:00-22:00", ["八点到二十二点"]),
+            ("iOS更新到16.4.1版本", ["十六点四点一"]),
+            ("IP地址是192.168.1.1", ["一九二点一六八点一点一"]),
+            ("温度在-5~3℃之间", ["零下五到三摄氏度"]),
+            ("会议于2024年3月5日-7日举行", ["三月五日到七日"]),
+            ("3月-5月是旺季", ["三月到五月"]),
+            ("5×3等于15", ["五乘三"]),
+            ("1+1=2", ["一加一等于二"]),
+            ("10÷2等于5", ["十除以二"]),
+            ("误差±3毫米", ["正负三毫米"]),
+            ("大约100,000人参加", ["十万人"]),
+            ("面积约120㎡", ["一百二十平方米"]),
+            ("占地3km²", ["三平方千米"]),
+            ("股价下跌了-2.3%", ["负百分之二点三"]),
+            ("车牌号是京A12345", ["京A一二三四五"]),
+            # trailing-plus must survive the addition-operator pass
+            ("点赞3000+的视频", ["三千多"]),
         ],
     )
     def test_zh_categories(self, normalizer, text, must_contain):
@@ -233,6 +254,11 @@ class TestNormalizerWextCategories:
             ("the 3rd time", ["third"]),
             ("the 12th floor", ["twelfth"]),
             ("the 40th anniversary", ["fortieth"]),
+            # round-3 breadth
+            ("version 16.4.1 is out", ["sixteen point four point one"]),
+            ("about 100,000 users", ["one hundred thousand"]),
+            ("open 8:00-22:00 daily", ["to twenty two o'clock"]),
+            ("5×3=15 is basic math", ["five times three equals fifteen"]),
         ],
     )
     def test_en_categories(self, normalizer, text, must_contain):
