@@ -430,7 +430,10 @@ class IndexTTS:
         during decode (num_beams==1 only)."""
         capture = self.fast_latents and gen.num_beams == 1
         b, l0 = text_tokens.shape
-        l = max(_round_up(l0, 8), 8)
+        # bucket-round, but never past the text positional table
+        # (max_text_tokens+2 rows; sentences are already split to capacity,
+        # so the clamp only trims the bucket padding, never real tokens)
+        l = min(max(_round_up(l0, 8), 8), max(self.cfg.gpt.max_text_tokens, l0))
         padded = np.full((b, l), self.cfg.gpt.stop_text_token, np.int32)
         padded[:, :l0] = text_tokens
         conds_b = jnp.broadcast_to(conds, (b,) + conds.shape[1:]) if conds.shape[0] != b else conds
@@ -492,11 +495,12 @@ class IndexTTS:
         b, lt0 = text_tokens.shape
         if text_lengths is None:
             text_lengths = np.full(b, lt0, np.int32)  # rows fully valid (per-row callers)
-        lt = max(_round_up(lt0, 8), 8)
+        # bucket-round, clamped to the positional tables (see _gpt_generate)
+        lt = min(max(_round_up(lt0, 8), 8), max(self.cfg.gpt.max_text_tokens, lt0))
         text = np.full((b, lt), self.cfg.gpt.stop_text_token, np.int32)
         text[:, :lt0] = text_tokens
         lc0 = codes.shape[1]
-        lc = max(_round_up(lc0, 16), 16)
+        lc = min(max(_round_up(lc0, 16), 16), max(self.cfg.gpt.max_mel_tokens, lc0))
         codes_p = np.full((b, lc), self.stop_mel_token, np.int32)
         codes_p[:, :lc0] = codes
         fn = self._latent_fn(b, lt, lc)

@@ -284,9 +284,10 @@ class TextNormalizer:
             h, mm, ss = m.group(1), m.group(2), m.group(3)
             out = zh_num.zh_integer(h) + "点"
             if mm and int(mm) > 0:
-                out += zh_num.zh_integer(mm) + "分"
+                # zero-padded minutes keep the 零: 1:02 -> 一点零二分
+                out += ("零" if mm.startswith("0") else "") + zh_num.zh_integer(mm) + "分"
             if ss and int(ss) > 0:
-                out += zh_num.zh_integer(ss) + "秒"
+                out += ("零" if ss.startswith("0") else "") + zh_num.zh_integer(ss) + "秒"
             return out
 
         # time ranges: 8:00-22:00 -> 八点到二十二点 (rewrite the dash before
@@ -316,6 +317,11 @@ class TextNormalizer:
             return "点".join(zh_num.zh_digits(p) for p in parts)
 
         t = re.sub(r"\d+(?:\.\d+){2,}", _dotted, t)
+        # both-endpoint unit ranges: 20°C-25°C -> 20摄氏度到25℃ (the dash
+        # would otherwise read as a minus on the right endpoint; the single
+        # rules below then verbalize each side)
+        t = re.sub(r"(?:°C|℃)\s*[-~～]\s*(?=-?\d)", "摄氏度到", t)
+        t = re.sub(r"(?:°F|℉)\s*[-~～]\s*(?=-?\d)", "华氏度到", t)
         # temperature ranges first (else the left endpoint loses its unit and
         # the dash reads as a minus): -5~3℃ -> 零下五到三摄氏度
         def _temp_range(unit_word):
@@ -343,6 +349,13 @@ class TextNormalizer:
         t = re.sub(
             r"(-?)(\d+(?:\.\d+)?)\s*(?:°F|℉)",
             lambda m: ("零下" if m.group(1) else "") + zh_num.zh_number(m.group(2)) + "华氏度",
+            t,
+        )
+        # percent ranges first (else the dash reads as a minus on the right
+        # endpoint): 50%-60% -> 百分之五十到百分之六十
+        t = re.sub(
+            r"(\d+(?:\.\d+)?)\s*%\s*[-~～]\s*(\d+(?:\.\d+)?)\s*%",
+            lambda m: "百分之" + zh_num.zh_number(m.group(1)) + "到百分之" + zh_num.zh_number(m.group(2)),
             t,
         )
         # percentages: 2.5% -> 百分之二点五, -2.3% -> 负百分之二点三

@@ -107,6 +107,20 @@ class TestEngine:
         assert sr == 24000
         assert wav.dtype == np.int16
 
+    def test_full_capacity_sentence_bucket_clamp(self, engine, prompt_mel):
+        """A sentence split to exactly max_text_tokens must decode: the
+        8-token shape-bucket rounding (60 -> 64 here) used to overrun the
+        text positional table (max_text_tokens+2 rows) and crash in
+        prepare_gpt_inputs. The clamp trims bucket padding only."""
+        cap = engine.cfg.gpt.max_text_tokens
+        text = " ".join(["HELLO"] * (3 * cap))  # splitter hard-chunks at cap
+        sr, wav = engine.infer(
+            prompt_mel, text + ".", None, do_sample=False, num_beams=1,
+            max_mel_tokens=6, repetition_penalty=1.0,
+            max_text_tokens_per_sentence=cap,
+        )
+        assert sr == 24000
+
     def test_infer_fast(self, engine, prompt_mel, tmp_path):
         out = str(tmp_path / "fast.wav")
         result = engine.infer_fast(

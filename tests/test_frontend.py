@@ -235,6 +235,9 @@ class TestNormalizerWextCategories:
             ("车牌号是京A12345", ["京A一二三四五"]),
             # trailing-plus must survive the addition-operator pass
             ("点赞3000+的视频", ["三千多"]),
+            ("增长了50%-60%", ["百分之五十到百分之六十"]),
+            ("温度20°C-25°C之间", ["二十摄氏度到二十五摄氏度"]),
+            ("用时1:02:33", ["一点零二分三十三秒"]),
         ],
     )
     def test_zh_categories(self, normalizer, text, must_contain):
