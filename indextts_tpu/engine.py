@@ -977,7 +977,9 @@ class IndexTTS:
         for sent in sentences:
             tokens0 = np.asarray(self.tokenizer.convert_tokens_to_ids(sent), np.int32)[None, :]
             l0 = tokens0.shape[1]
-            l = max(_round_up(l0, 8), 8)
+            # bucket-round, clamped to the text positional table (see
+            # _gpt_generate)
+            l = min(max(_round_up(l0, 8), 8), max(self.cfg.gpt.max_text_tokens, l0))
             padded = np.full((1, l), self.cfg.gpt.stop_text_token, np.int32)
             padded[:, :l0] = tokens0
             step_fn = self._stream_fns(1, l, gen, chunk_codes)[0]

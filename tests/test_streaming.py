@@ -43,6 +43,21 @@ class TestStreaming:
         # samples per code = 4 * prod(rates) = 32 for the tiny config
         assert total.size % 32 == 0
 
+    def test_full_capacity_sentence_bucket_clamp(self, engine, prompt_mel):
+        """A cap-length sentence must stream: the 8-token bucket rounding
+        used to overrun the text positional table (same contract as
+        tests/test_engine.py::test_full_capacity_sentence_bucket_clamp)."""
+        cap = engine.cfg.gpt.max_text_tokens
+        text = " ".join(["HELLO"] * (2 * cap)) + "."
+        chunks = list(
+            engine.infer_stream(
+                prompt_mel, text, do_sample=False, max_mel_tokens=6,
+                repetition_penalty=1.0, first_chunk_codes=4, chunk_codes=6,
+                max_text_tokens_per_sentence=cap,
+            )
+        )
+        assert sum(c.size for c in chunks) >= 0  # reaching here is the test
+
     def test_streamed_token_count_matches_batch(self, engine, prompt_mel):
         """The streamed decode must emit the same greedy codes as the
         non-streaming path (identical sampling state machine)."""
