@@ -559,6 +559,21 @@ class IndexTTS:
         overrides stay safe."""
         return max(4, min(int(n), self.cfg.gpt.max_text_tokens))
 
+    def _clamp_mel_tokens(self, n: int) -> int:
+        """Generation length must fit the model's mel capacity: the mel
+        positional table has max_mel_tokens + 2 rows (model.py:389-399).
+        Past it, on-device gathers clamp silently (wrong positions, no
+        crash) and the teacher-forced latent pass overruns the embedding
+        add. The reference only avoids this because its default request cap
+        equals its config cap (600, infer.py:124)."""
+        cap = self.cfg.gpt.max_mel_tokens
+        if int(n) > cap:
+            warnings.warn(
+                f"WARN: max_mel_tokens ({int(n)}) exceeds the model's mel "
+                f"capacity ({cap}); clamping.", RuntimeWarning
+            )
+        return max(1, min(int(n), cap))
+
     def infer(
         self,
         prompt_mel=None,
@@ -592,7 +607,7 @@ class IndexTTS:
         length_penalty = generation_kwargs.pop("length_penalty", 0.0)
         num_beams = generation_kwargs.pop("num_beams", 3)
         repetition_penalty = generation_kwargs.pop("repetition_penalty", 10.0)
-        max_mel_tokens = generation_kwargs.pop("max_mel_tokens", 600)
+        max_mel_tokens = self._clamp_mel_tokens(generation_kwargs.pop("max_mel_tokens", 600))
         typical_sampling = generation_kwargs.pop("typical_sampling", False)
         typical_mass = generation_kwargs.pop("typical_mass", 0.9)
         sampling_rate = 24000
@@ -711,7 +726,7 @@ class IndexTTS:
         length_penalty = generation_kwargs.pop("length_penalty", 0.0)
         num_beams = generation_kwargs.pop("num_beams", 3)
         repetition_penalty = generation_kwargs.pop("repetition_penalty", 10.0)
-        max_mel_tokens = generation_kwargs.pop("max_mel_tokens", 600)
+        max_mel_tokens = self._clamp_mel_tokens(generation_kwargs.pop("max_mel_tokens", 600))
         typical_sampling = generation_kwargs.pop("typical_sampling", False)
         typical_mass = generation_kwargs.pop("typical_mass", 0.9)
         sampling_rate = 24000
@@ -955,7 +970,7 @@ class IndexTTS:
         top_k = generation_kwargs.pop("top_k", 30)
         temperature = generation_kwargs.pop("temperature", 1.0)
         repetition_penalty = generation_kwargs.pop("repetition_penalty", 10.0)
-        max_mel_tokens = generation_kwargs.pop("max_mel_tokens", 600)
+        max_mel_tokens = self._clamp_mel_tokens(generation_kwargs.pop("max_mel_tokens", 600))
         typical_sampling = generation_kwargs.pop("typical_sampling", False)
         typical_mass = generation_kwargs.pop("typical_mass", 0.9)
         gen = GenerationConfig(

@@ -121,6 +121,17 @@ class TestEngine:
         )
         assert sr == 24000
 
+    def test_max_mel_tokens_clamped_to_capacity(self, engine, prompt_mel):
+        """A max_mel_tokens request above the model's mel positional table
+        (max_mel_tokens+2 rows) must be clamped, not crash the latent pass
+        or silently decode with clamped position gathers."""
+        with pytest.warns(RuntimeWarning, match="mel *capacity|clamping"):
+            sr, wav = engine.infer(
+                prompt_mel, "HELLO.", None, do_sample=False, num_beams=1,
+                max_mel_tokens=600, repetition_penalty=1.0,
+            )
+        assert sr == 24000
+
     def test_infer_fast(self, engine, prompt_mel, tmp_path):
         out = str(tmp_path / "fast.wav")
         result = engine.infer_fast(
