@@ -596,6 +596,8 @@ class IndexTTS:
 
         text_tokens_list = self.tokenizer.tokenize(text)
         sentences = self.tokenizer.split_sentences(text_tokens_list, max_text_tokens_per_sentence)
+        if not sentences:
+            raise ValueError("Text is empty (nothing to synthesize after tokenization).")
         if verbose:
             print("text token count:", len(text_tokens_list))
             print("sentences count:", len(sentences))
@@ -716,6 +718,8 @@ class IndexTTS:
 
         text_tokens_list = self.tokenizer.tokenize(text)
         sentences = self.tokenizer.split_sentences(text_tokens_list, max_tokens_per_sentence=max_text_tokens_per_sentence)
+        if not sentences:
+            raise ValueError("Text is empty (nothing to synthesize after tokenization).")
         if verbose:
             print(">> text token count:", len(text_tokens_list))
             print("   splited sentences count:", len(sentences))
@@ -981,6 +985,8 @@ class IndexTTS:
         sentences = self.tokenizer.split_sentences(
             self.tokenizer.tokenize(text), max_text_tokens_per_sentence
         )
+        if not sentences:
+            raise ValueError("Text is empty (nothing to synthesize after tokenization).")
         h = self.cfg.bigvgan
         samples_per_code = (4 if h.feat_upsample else 1) * int(np.prod(h.upsample_rates))
         frames = prompt_mel.shape[-1]

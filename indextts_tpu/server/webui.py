@@ -342,6 +342,8 @@ def create_app(engine=None, base_dir: Optional[str] = None) -> App:
                         print(f"Warning: bad param {key}={form[key]!r}; skipped")
 
             text_input = form.get("text", "")
+            if not text_input.strip():
+                return jsonify({"error": "text is empty"}, 400)
             max_tokens = form.get("max_text_tokens_per_sentence", 100)
             verbose_tts = str(form.get("verbose_tts", "true")).lower() in ("true", "on", "1")
             try:

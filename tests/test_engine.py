@@ -121,6 +121,17 @@ class TestEngine:
         )
         assert sr == 24000
 
+    def test_empty_text_raises_cleanly(self, engine, prompt_mel):
+        """Empty text raises ValueError with a clear message instead of the
+        bare np.concatenate error (the reference crashes on torch.cat,
+        infer.py:215)."""
+        with pytest.raises(ValueError, match="empty"):
+            engine.infer(prompt_mel, "", None, do_sample=False, num_beams=1,
+                         max_mel_tokens=6, repetition_penalty=1.0)
+        with pytest.raises(ValueError, match="empty"):
+            list(engine.infer_stream(prompt_mel, "", do_sample=False,
+                                     max_mel_tokens=6, repetition_penalty=1.0))
+
     def test_max_mel_tokens_clamped_to_capacity(self, engine, prompt_mel):
         """A max_mel_tokens request above the model's mel positional table
         (max_mel_tokens+2 rows) must be clamped, not crash the latent pass

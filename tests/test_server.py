@@ -199,6 +199,14 @@ class TestSynthesis:
         status, data = client.multipart("/api/synthesize", {"text": "hi"})
         assert status == 400
 
+    def test_empty_text_400(self, server):
+        client, _, _, _ = server
+        status, data = client.multipart(
+            "/api/synthesize", {"text": "   "},
+            files={"referenceAudioFile": ("p.wav", _wav_bytes())},
+        )
+        assert status == 400 and "empty" in data["error"]
+
     def test_history_and_delete(self, server):
         client, engine, app, base = server
         status, data = client.multipart(
