@@ -126,13 +126,25 @@ def run_verify(jax, jnp):
 
         _, lgs = jax.lax.scan(step, cache, jnp.arange(T - 1))
         step_logits = jnp.concatenate([logits0[None], lgs], axis=0)  # [T, B, V]
+        # same forced loop over the INT8 KV cache (quant_kv serving mode):
+        # verifies the quantize/dequantize lowering on the production backend
+        logits0_q, cache_q = _prefill(gpt_p, gpt_cfg, emb, mask, s_max, quant_kv=True)
+
+        def step_q(cache, i):
+            valid = prefill_valid | ((cache_positions >= p) & (cache_positions < p + i))
+            lg, cache = _decode_step(gpt_p, gpt_cfg, forced[:, i], i + 2, cache, p + i, valid)
+            return cache, lg
+
+        _, lgs_q = jax.lax.scan(step_q, cache_q, jnp.arange(T - 1))
+        qstep_logits = jnp.concatenate([logits0_q[None], lgs_q], axis=0)
         latent = unified_voice_forward(
             gpt_p, gpt_cfg, None, text, lens, codes, wl, None,
             return_latent=True, conds=conds_b,
         )
         wav = bigvgan_apply(bv_p, h, latent, jnp.broadcast_to(mel, (2,) + mel.shape[1:]))
         f32 = jnp.float32
-        return conds.astype(f32), step_logits.astype(f32), latent.astype(f32), wav.astype(f32)
+        return (conds.astype(f32), step_logits.astype(f32), latent.astype(f32),
+                wav.astype(f32), qstep_logits.astype(f32))
 
     def run_on(device):
         put = lambda tree: jax.tree_util.tree_map(lambda x: jax.device_put(x, device), tree)
@@ -146,15 +158,19 @@ def run_verify(jax, jnp):
         )
         return tuple(np.asarray(o) for o in out)
 
-    conds_t, lg_t, lat_t, wav_t = run_on(jax.devices()[0])
+    conds_t, lg_t, lat_t, wav_t, qlg_t = run_on(jax.devices()[0])
     _mark("verify: tpu side done")
-    conds_c, lg_c, lat_c, wav_c = run_on(cpu_dev)
+    conds_c, lg_c, lat_c, wav_c, qlg_c = run_on(cpu_dev)
     _mark("verify: cpu side done")
 
     conds_maxdiff = float(np.max(np.abs(conds_t - conds_c)))
     logits_maxdiff = float(np.max(np.abs(lg_t - lg_c)))
     lat_maxdiff = float(np.max(np.abs(lat_t - lat_c)))
     wav_maxdiff = float(np.max(np.abs(wav_t - wav_c)))
+    # int8-KV path: cross-backend diff, plus drift vs the bf16 cache ON the
+    # TPU (quantization error itself, which must stay bounded)
+    qlogits_maxdiff = float(np.max(np.abs(qlg_t - qlg_c)))
+    quant_drift = float(np.max(np.abs(qlg_t - lg_t)))
     # argmax agreement wherever the CPU margin is decisive
     TOL_LOGITS = 0.5
     srt = np.sort(lg_c, axis=-1)
@@ -167,16 +183,51 @@ def run_verify(jax, jnp):
         and logits_maxdiff < TOL_LOGITS
         and lat_maxdiff < 0.2
         and wav_maxdiff < 0.05
+        and qlogits_maxdiff < TOL_LOGITS
+        and quant_drift < 1.0
         and argmax_ok
     )
-    return {
+    out = {
         "verify_ok": ok,
         "verify_argmax_ok": argmax_ok,
         "verify_conds_maxdiff": round(conds_maxdiff, 5),
         "verify_logits_maxdiff": round(logits_maxdiff, 5),
         "verify_latent_maxdiff": round(lat_maxdiff, 5),
         "verify_wav_maxdiff": round(wav_maxdiff, 5),
+        "verify_quant_logits_maxdiff": round(qlogits_maxdiff, 5),
+        "verify_quant_drift": round(quant_drift, 5),
     }
+    if os.environ.get("BENCH_VERIFY_EXT", "0") == "1":
+        # standalone-only extension (costs its own compile): the engine's
+        # DEFAULT beam path end to end on both backends. Token equality is
+        # informational, not gating — a single near-tied bf16 beam candidate
+        # legitimately reroutes the whole beam (same caveat as greedy).
+        from indextts_tpu.models.gpt_decode import GenerationConfig, generate_speech_beam
+
+        gen_b = GenerationConfig(do_sample=False, num_beams=2, max_new_tokens=T)
+        beam_fn = jax.jit(lambda gp, c, tt, tl: generate_speech_beam(
+            gp, gpt_cfg, gen_b, c, tt, tl, jax.random.PRNGKey(0),
+            temperature=jnp.float32(1.0), top_p=jnp.float32(0.8),
+            repetition_penalty=jnp.float32(2.0)))
+
+        def run_beam(device):
+            put = lambda tree: jax.tree_util.tree_map(lambda x: jax.device_put(x, device), tree)
+            conds2 = jnp.broadcast_to(
+                get_conditioning(put(gpt_np), gpt_cfg, jax.device_put(mel_np, device),
+                                 jax.device_put(np.asarray([40]), device)), (2, 8, 64))
+            codes, lens = beam_fn(put(gpt_np), conds2.astype(bf16),
+                                  jax.device_put(text_np, device),
+                                  jax.device_put(np.asarray([12, 12], np.int32), device))
+            return np.asarray(codes), np.asarray(lens)
+
+        bc_t, bl_t = run_beam(jax.devices()[0])
+        _mark("verify-ext: tpu beam done")
+        bc_c, bl_c = run_beam(cpu_dev)
+        _mark("verify-ext: cpu beam done")
+        out["verify_beam_codes_match"] = bool(np.array_equal(bc_t, bc_c) and np.array_equal(bl_t, bl_c))
+        out["verify_beam_len_tpu"] = [int(x) for x in bl_t]
+        out["verify_beam_len_cpu"] = [int(x) for x in bl_c]
+    return out
 
 
 def main():
@@ -320,9 +371,9 @@ def main():
     except OSError:
         cache_warm = False
     margin = (
-        {"verify": 100, "ttfa": 90, "beam": 120, "beam_default": 150, "quant_kv": 130, "b16": 120, "b32": 100, "stream": 60}
+        {"verify": 100, "ttfa": 90, "beam": 120, "beam_default": 150, "quant_kv": 130, "serve": 130, "b16": 120, "b32": 100, "stream": 60}
         if cache_warm
-        else {"verify": 200, "ttfa": 240, "beam": 330, "beam_default": 420, "quant_kv": 400, "b16": 360, "b32": 360, "stream": 450}
+        else {"verify": 200, "ttfa": 240, "beam": 330, "beam_default": 420, "quant_kv": 400, "serve": 420, "b16": 360, "b32": 360, "stream": 450}
     )
 
     # TPU-vs-CPU numerical gate (VERDICT round-2 missing #2): every parity
@@ -447,6 +498,46 @@ def main():
             )
         except Exception:
             quant_kv_rtf_inv = None
+
+    # serving-mode e2e: int8 KV cache + decode-time latent capture (skips
+    # the teacher-forced latent pass entirely; consistent-positions mode,
+    # captured == teacher-forced for unmodified codes per
+    # tests/test_capture_latents.py). The engine flags quant_kv=True,
+    # fast_latents=True produce exactly this pipeline.
+    serving_mode_rtf_inv = None
+    elapsed = time.perf_counter() - (bench_start or 0)
+    if bench_start is not None and elapsed < budget_s - margin.get("serve", margin["quant_kv"]):
+        try:
+            _mark("serving mode (quant_kv + captured latents) start")
+            decode_sv = jax.jit(partial(
+                generate_speech, cfg=gpt_cfg, gen=gen, quant_kv=True,
+                capture_latents=True, pos_off=1,
+            ))
+
+            def pipeline_serve(key):
+                conds = cond_fn(gpt_params, cond_mel, jnp.asarray([COND_FRAMES]))
+                cb = jnp.broadcast_to(conds, (BATCH,) + conds.shape[1:])
+                codes, code_lens, lat = decode_sv(
+                    params=gpt_params, conds=cb, text_tokens=text, text_lengths=text_lens,
+                    rng=key, temperature=jnp.float32(1.0), top_p=jnp.float32(0.8),
+                    repetition_penalty=jnp.float32(10.0),
+                )
+                wav = voc_fn(bv_params, lat.astype(dtype),
+                             jnp.broadcast_to(cond_mel, (BATCH,) + cond_mel.shape[1:]))
+                return wav, code_lens
+
+            pipeline_serve(jax.random.PRNGKey(60))[0].block_until_ready()  # compile
+            vals = []
+            for it in range(3 if cache_warm else 1):
+                t0 = time.perf_counter()
+                wav_s, lens_s = pipeline_serve(jax.random.PRNGKey(61 + it))
+                wav_s.block_until_ready()
+                wall_s = time.perf_counter() - t0
+                audio_s = int(np.asarray(lens_s).sum()) * SAMPLES_PER_CODE / SAMPLE_RATE
+                vals.append(audio_s / wall_s)
+            serving_mode_rtf_inv = round(float(np.median(vals)), 2)
+        except Exception:
+            serving_mode_rtf_inv = None
 
     # beam-3 at the ENGINE DEFAULT config (max_mel_tokens=600 -> the
     # segmented lineage driver; reference defaults infer.py:122-124). Round 2
@@ -613,6 +704,7 @@ def main():
             "beam3_audio_s_per_s": beam3_rtf_inv,
             "beam3_decode_audio_s_per_s": beam3_decode_rtf_inv,
             "quant_kv_decode_audio_s_per_s": quant_kv_rtf_inv,
+            "serving_mode_audio_s_per_s": serving_mode_rtf_inv,
             "beam3_default_audio_s_per_s": beam3_default_rtf_inv,
             "b16_audio_s_per_s": b16,
             "b32_audio_s_per_s": b32,

@@ -221,8 +221,14 @@ class TextNormalizer:
         """Chinese ITN: numbers/dates/times/money/percent -> hanzi readings."""
         t = text
         # thousands separators: 100,000 -> 100000 (else the comma splits the
-        # number and the final pass reads "一百,零")
-        t = re.sub(r"(?<=\d),(?=\d{3}(?!\d))", "", t)
+        # number and the final pass reads "一百,零"). Whole-number match only
+        # — the left group must be 1-3 digits ("2023,456" is an enumeration,
+        # not grouping)
+        t = re.sub(
+            r"(?<![\d.])\d{1,3}(?:,\d{3})+(?![\d,])",
+            lambda m: m.group(0).replace(",", ""),
+            t,
+        )
         # squared/compound unit glyphs -> verbalizable unit words
         for glyph, word in (
             ("km²", "平方千米"), ("cm²", "平方厘米"), ("m²", "平方米"),
@@ -452,8 +458,12 @@ class TextNormalizer:
     def _normalize_en(self, text: str) -> str:
         """English ITN: numbers/times/money/percent -> words."""
         t = text
-        # thousands separators: 100,000 -> 100000
-        t = re.sub(r"(?<=\d),(?=\d{3}(?!\d))", "", t)
+        # thousands separators: 100,000 -> 100000 (whole-number match; see zh)
+        t = re.sub(
+            r"(?<![\d.])\d{1,3}(?:,\d{3})+(?![\d,])",
+            lambda m: m.group(0).replace(",", ""),
+            t,
+        )
         # math operators between digits: 5×3 -> 5 times 3, 1+1=2 -> plus/equals
         t = re.sub(r"(?<=\d)\s*×\s*(?=\d)", " times ", t)
         t = re.sub(r"(?<=\d)\s*\+\s*(?=\d)", " plus ", t)
