@@ -182,6 +182,16 @@ def _activation(p_act: Params, x: jnp.ndarray, h: BigVGANConfig, use_pallas: boo
         return anti_aliased_activation_folded(
             x, p_act["alpha"], p_act.get("beta"), alpha_logscale=h.snake_logscale, s=s
         )
+    if _os.environ.get("INDEXTTS_WIDE_TMAJOR", "") == "1" and x.shape[-1] >= 128:
+        # wide-stage attack #14: time-major blocked kernel — tap shifts are
+        # major-dim register offsets and the block layout matches the graph's
+        # {2,0,1} physical layout (see ops/pallas/antialias_tmajor.py)
+        from indextts_tpu.ops.pallas.antialias_tmajor import fused_anti_alias_snake_tmajor
+
+        return fused_anti_alias_snake_tmajor(
+            x, p_act["alpha"], p_act.get("beta"), alpha_logscale=h.snake_logscale,
+            interpret=jax.default_backend() == "cpu",
+        )
     if _os.environ.get("INDEXTTS_WIDE_POLY", "") == "1":
         from indextts_tpu.ops.antialias import anti_aliased_activation_polyphase
 

@@ -168,3 +168,44 @@ class TestEngineFastLatents:
         ))
         assert calls == []  # every chunk's latents came from the decode loop
         assert all(c.dtype == np.float32 for c in chunks)
+
+
+class TestServingModeCombined:
+    """The production serving configuration — quant_kv (int8 KV cache) AND
+    fast_latents (decode-time latent capture) together, through the ENGINE
+    (bench.py's serving_mode extra uses exactly these flags; the individual
+    features are covered by test_quant.py / the class above, but the flag
+    plumbing engine.__init__ -> _gpt_generate jit-key -> generate_speech
+    is only exercised in combination here)."""
+
+    @pytest.fixture(scope="class")
+    def engine(self, tmp_path_factory):
+        from indextts_tpu.config import save_config
+        from indextts_tpu.engine import IndexTTS
+        from tests.test_engine import tiny_config
+
+        d = tmp_path_factory.mktemp("ckpt_serving")
+        cfg_path = str(d / "config.yaml")
+        save_config(tiny_config(), cfg_path)
+        return IndexTTS(cfg_path=cfg_path, model_dir=str(d), is_fp16=False,
+                        allow_random_init=True, fast_latents=True, quant_kv=True)
+
+    def test_infer_greedy_skips_second_pass(self, engine, monkeypatch):
+        calls = []
+        orig = engine._gpt_latent
+        monkeypatch.setattr(engine, "_gpt_latent", lambda *a, **k: calls.append(1) or orig(*a, **k))
+        import os as _os
+
+        mel = engine.extract_features(_os.path.join(_os.path.dirname(__file__), "sample_prompt.wav"))
+        sr, wav = engine.infer(mel, "HI THERE.", None, do_sample=False, num_beams=1,
+                               max_mel_tokens=8, repetition_penalty=1.0)
+        assert sr == 24000 and wav.shape[1] > 0
+        assert np.isfinite(wav).all()
+        assert calls == []  # captured latents used despite the int8 cache
+
+    def test_jit_key_carries_quant_kv(self, engine):
+        """The decode jit cache key must distinguish quant_kv engines, or a
+        process serving both modes would silently reuse the wrong graph."""
+        keys = [k for k in engine._decode_cache if k and k[0] == "dec"]
+        assert keys, "greedy infer above must have populated the decode cache"
+        assert all(k[-1] is True for k in keys), keys

@@ -37,6 +37,7 @@ def main():
 
     from indextts_tpu.ops.antialias import anti_aliased_activation, anti_aliased_activation_phase
     from indextts_tpu.ops.pallas.antialias import fused_anti_alias_snake
+    from indextts_tpu.ops.pallas.antialias_tmajor import fused_anti_alias_snake_tmajor
 
     dtype = jnp.bfloat16
     npr = np.random.default_rng(0)
@@ -52,7 +53,12 @@ def main():
 
         return run
 
-    for t, c in [(6400, 768), (12800, 384), (25600, 192)]:
+    shapes = [(6400, 768), (12800, 384), (25600, 192)]
+    sh = os.environ.get("SHAPES", "")
+    if sh:
+        want = {tuple(int(v) for v in s.split("x")) for s in sh.split(",")}
+        shapes = [p for p in shapes if p in want]
+    for t, c in shapes:
         x = jnp.asarray(npr.standard_normal((B, t, c)) * 0.1, dtype)
         a = jnp.asarray(npr.standard_normal((c,)) * 0.1, jnp.float32)
         bt = jnp.asarray(npr.standard_normal((c,)) * 0.1, jnp.float32)
@@ -67,8 +73,21 @@ def main():
                 y, aa, bb, alpha_logscale=True, exact_edges=False
             ),
         }
+        variants["tmajor_exact"] = lambda y, aa, bb: fused_anti_alias_snake_tmajor(
+            y, aa, bb, alpha_logscale=True, exact_edges=True
+        )
+        variants["tmajor_fast"] = lambda y, aa, bb: fused_anti_alias_snake_tmajor(
+            y, aa, bb, alpha_logscale=True, exact_edges=False
+        )
+        variants["tmajor_mxu"] = lambda y, aa, bb: fused_anti_alias_snake_tmajor(
+            y, aa, bb, alpha_logscale=True, exact_edges=False, mxu=True
+        )
         if os.environ.get("PHASE_ONLY", "") == "1":
             variants = {k: v for k, v in variants.items() if k in ("composed", "phase")}
+        only = os.environ.get("VARIANTS", "")
+        if only:
+            keep = only.split(",")
+            variants = {k: v for k, v in variants.items() if k in keep}
         for name, fn in variants.items():
             try:
                 times = {}
