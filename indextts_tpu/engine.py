@@ -1046,6 +1046,134 @@ class IndexTTS:
                         yield chunk.astype(np.float32)
                     emitted = valid_n
 
+    def infer_batch(
+        self,
+        items,
+        output_paths=None,
+        max_text_tokens_per_sentence: int = 120,
+        sentences_bucket_max_size: int = 8,
+        verbose: bool = False,
+        **generation_kwargs,
+    ):
+        """Cross-request batched synthesis (continuous-batching serving mode).
+
+        `items`: list of (prompt, text) pairs — each request brings its OWN
+        reference prompt (mel array or audio path). Returns a list with one
+        `(sampling_rate, wav)` (or the written path when `output_paths[i]`
+        is given) per request, in input order.
+
+        No reference analog: the reference's web server serializes whole
+        requests through a single worker (webui.py:232), so concurrent users
+        queue behind each other and the accelerator runs at batch 1. Here
+        sentence rows from DIFFERENT requests share decode batches — rows
+        carry per-row conditioning latents (the decode stack takes conds
+        per-row, engine._gpt_generate), and rows are length-bucketed across
+        requests exactly like infer_fast buckets one request's sentences.
+        The decode loop's padding/batching invariance (tests/test_gpt.py,
+        the reference padding_test.py contract) is what makes cross-request
+        batching output-transparent; pinned end-to-end by
+        tests/test_infer_batch.py (greedy batched == per-request infer).
+        Measured batch scaling is the serving lever (docs/PERF.md: B=8 ->
+        B=32 is 1.5x more audio-s/s per chip).
+        """
+        max_text_tokens_per_sentence = self._clamp_split_len(max_text_tokens_per_sentence)
+        print(f">> start batched inference... ({len(items)} requests)")
+        start_time = time.perf_counter()
+        if output_paths is not None and len(output_paths) != len(items):
+            raise ValueError("output_paths must match items length")
+
+        do_sample = generation_kwargs.pop("do_sample", True)
+        top_p = generation_kwargs.pop("top_p", 0.8)
+        top_k = generation_kwargs.pop("top_k", 30)
+        temperature = generation_kwargs.pop("temperature", 1.0)
+        length_penalty = generation_kwargs.pop("length_penalty", 0.0)
+        num_beams = generation_kwargs.pop("num_beams", 3)
+        repetition_penalty = generation_kwargs.pop("repetition_penalty", 10.0)
+        max_mel_tokens = self._clamp_mel_tokens(generation_kwargs.pop("max_mel_tokens", 600))
+        typical_sampling = generation_kwargs.pop("typical_sampling", False)
+        typical_mass = generation_kwargs.pop("typical_mass", 0.9)
+        sampling_rate = 24000
+        gen = GenerationConfig(
+            do_sample=do_sample, num_beams=num_beams,
+            top_k=int(top_k) if top_k else 0,
+            typical_sampling=typical_sampling, max_new_tokens=int(max_mel_tokens),
+        )
+
+        # per-request frontend + conditioning (value-cached per prompt)
+        req_mels, req_conds, flat_sents, flat_req = [], [], [], []
+        for r, (prompt, text) in enumerate(items):
+            mel = self._resolve_prompt(prompt)
+            req_mels.append(mel)
+            req_conds.append(self._conds_for(mel))
+            sents = self.tokenizer.split_sentences(
+                self.tokenizer.tokenize(text), max_text_tokens_per_sentence
+            )
+            if not sents:
+                raise ValueError(f"Request {r}: text is empty (nothing to synthesize).")
+            for sent in sents:
+                flat_req.append(r)
+                flat_sents.append(sent)
+        if verbose:
+            print(f">> {len(flat_sents)} sentence rows across {len(items)} requests")
+
+        # cross-request length buckets (same machinery as infer_fast; idx is
+        # the flat row index, which recovers the owning request)
+        buckets = self.bucket_sentences(flat_sents, bucket_max_size=sentences_bucket_max_size)
+        row_latents: Dict[int, Tuple[jnp.ndarray, int]] = {}
+        for bucket in buckets:
+            item_tokens = [
+                np.asarray(self.tokenizer.convert_tokens_to_ids(it["sent"]), np.int32)[None, :]
+                for it in bucket
+            ]
+            batch_text = self.pad_tokens_cat(item_tokens)
+            text_lens = np.asarray([t.shape[1] for t in item_tokens])
+            conds_rows = jnp.concatenate(
+                [req_conds[flat_req[it["idx"]]] for it in bucket], axis=0
+            )
+            codes_b, lens_b, cap_lat = self._gpt_generate(
+                conds_rows, batch_text, text_lens, gen,
+                temperature, top_p, repetition_penalty, length_penalty, typical_mass,
+            )
+            for i, it in enumerate(bucket):
+                code_row = codes_b[i : i + 1, : max(int(lens_b[i]), 1)]
+                codes, code_lens = self.remove_long_silence(
+                    code_row, silent_token=52, max_consecutive=30
+                )
+                if cap_lat is not None and np.array_equal(codes, code_row[:, : codes.shape[1]]):
+                    latent = cap_lat[i : i + 1]
+                else:
+                    latent = self._gpt_latent(
+                        req_conds[flat_req[it["idx"]]], item_tokens[i], codes, code_lens
+                    )
+                row_latents[it["idx"]] = (latent[:, : codes.shape[1]], int(code_lens[0]))
+
+        # vocode + assemble per request (rows back in sentence order; latent
+        # chunks concatenated time-wise against the request's own prompt)
+        results = []
+        chunk_size = 2
+        per_req_rows: List[List[int]] = [[] for _ in items]
+        for gidx, r in enumerate(flat_req):
+            per_req_rows[r].append(gidx)
+        audio_s = 0.0
+        for r in range(len(items)):
+            wavs = []
+            rows = [row_latents[g] for g in per_req_rows[r]]
+            for k in range(0, len(rows), chunk_size):
+                part = rows[k : k + chunk_size]
+                latent = jnp.concatenate([l for l, _ in part], axis=1)
+                n_valid = sum(n for _, n in part)
+                wav = self._vocode(latent, n_valid, req_mels[r])
+                wavs.append(np.clip(32767 * wav, -32767.0, 32767.0))
+            wav = np.concatenate(wavs, axis=1)
+            audio_s += wav.shape[-1] / sampling_rate
+            results.append(
+                self._emit(wav, output_paths[r] if output_paths else None, sampling_rate)
+            )
+        total = time.perf_counter() - start_time
+        print(f">> Batched inference: {len(items)} requests, {len(flat_sents)} rows, "
+              f"{total:.2f}s total" + (f", RTF: {total / audio_s:.4f}" if audio_s else ""))
+        return results
+
     def _emit(self, wav: np.ndarray, output_path: Optional[str], sampling_rate: int):
         if output_path:
             if os.path.isfile(output_path):

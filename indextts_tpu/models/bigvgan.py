@@ -148,12 +148,22 @@ _FOLDED_MAX_CHANNELS = 96
 def _stage_fold(channels: int, t: int) -> int:
     """Time-fold factor for running a whole resblock stage on the folded grid:
     smallest power of two with s*C >= 128 lanes (the v5e lane tile), halved
-    until it divides T.  1 = run unfolded/composed."""
+    until it divides T.  1 = run unfolded/composed.
+
+    INDEXTTS_FOLD_LANES overrides the 128-lane target (e.g. 64: fold one
+    power LOWER — the block-Toeplitz densification's FLOPs scale with s, and
+    the MXU pads a 96-wide matmul to one 128 tile anyway, so a half-fold
+    could halve tile-work on the MXU-bound folded stages at a 4/3 memory
+    padding cost). MEASURED NEGATIVE (docs/PERF.md #16): half-fold 492-509
+    vs default 478-480 ms/iter in-graph — kept as a measurement knob."""
     if channels > _FOLDED_MAX_CHANNELS:
         return 1
+    lanes = int(_os.environ.get("INDEXTTS_FOLD_LANES", "128"))
     s = 1
-    while s * channels < 128:
+    while s * channels < lanes:
         s *= 2
+    if s == 1 and lanes < 128:
+        s = 2  # half-fold mode still keeps the stage on the folded grid
     while s > 1 and t % s:
         s //= 2
     return s

@@ -56,7 +56,15 @@ def create_download_filename(text: str, voice_name: Optional[str] = None) -> str
     return part
 
 
-def create_app(engine=None, base_dir: Optional[str] = None) -> App:
+def create_app(engine=None, base_dir: Optional[str] = None,
+               batch_requests: int = 1, batch_window_s: float = 0.08) -> App:
+    """batch_requests > 1 enables continuous batching: concurrent
+    /api/synthesize tasks with identical generation parameters are merged
+    into one engine.infer_batch call (up to batch_requests requests,
+    collected over a batch_window_s gather window), so concurrent users
+    share decode batches instead of queueing at batch 1. The reference
+    serializes whole requests (webui.py:232); output parity of the merged
+    path is pinned by tests/test_infer_batch.py."""
     base_dir = base_dir or os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..")
     base_dir = os.path.abspath(base_dir)
     static_dir = os.path.join(base_dir, "static")
@@ -74,6 +82,8 @@ def create_app(engine=None, base_dir: Optional[str] = None) -> App:
     temp_features_cache: Dict[str, Dict[str, Any]] = {}
     temp_features_lock = threading.Lock()
     worker_lock = threading.Lock()  # serializes engine use across tasks
+    batch_cond = threading.Condition()
+    batch_pending: list = []  # queued jobs awaiting the batching dispatcher
 
     # ------------------------------------------------------------------
     @app.route("/")
@@ -258,6 +268,94 @@ def create_app(engine=None, base_dir: Optional[str] = None) -> App:
             finally:
                 engine.set_gr_progress_callback(None)
 
+    def _completed_fields(text_input, output_filename):
+        base = create_download_filename(text_input)
+        _, ext = os.path.splitext(output_filename)
+        return {
+            "status": "completed", "progress": 100, "message": "synthesis complete!",
+            "audio_url": f"/static/outputs/{os.path.basename(output_filename)}",
+            "download_filename": f"{base}{ext}", "finished_at": time.time(),
+        }
+
+    def _job_sig(job):
+        # only jobs sharing every generation parameter may share a decode
+        # batch (sampling scalars are traced, but GenerationConfig fields
+        # are static — and per-row sampling params are not supported)
+        return (job["infer_mode"], str(job["max_tokens"]),
+                tuple(sorted(job["kwargs"].items())))
+
+    def _update_status(task_id, fields):
+        with tasks_lock:
+            entry = tasks_status.get(task_id)
+            if entry is not None:
+                entry.update(fields)
+
+    def _run_batch(jobs):
+        """Run a group of same-signature jobs as ONE engine.infer_batch call
+        (single job falls back to the solo worker for identical behavior)."""
+        if len(jobs) == 1:
+            j = jobs[0]
+            synthesis_worker(j["task_id"], j["text"], j["prompt_mel"], j["output"],
+                             j["infer_mode"], j["max_tokens"], j["verbose"], j["kwargs"])
+            return
+        ids = [j["task_id"] for j in jobs]
+        # de-collide output paths WITHIN the batch (reference-parity keeps
+        # the 10-char text-prefix filenames, so two same-prefix requests in
+        # one batch would silently serve one user the other's audio)
+        seen_paths: Dict[str, int] = {}
+        for j in jobs:
+            n = seen_paths.get(j["output"], 0)
+            seen_paths[j["output"]] = n + 1
+            if n:
+                root, ext = os.path.splitext(j["output"])
+                j["output"] = f"{root}-{n + 1}{ext}"
+
+        def progress_callback(fraction, description):
+            for tid in ids:
+                _update_status(tid, {"progress": int(fraction * 100), "message": description})
+
+        with worker_lock:
+            engine.set_gr_progress_callback(progress_callback)
+            try:
+                for j in jobs:
+                    _update_status(j["task_id"], {"status": "processing", "progress": 0,
+                                                  "message": f"batched with {len(jobs) - 1} other request(s)..."})
+                engine.infer_batch(
+                    [(j["prompt_mel"], j["text"]) for j in jobs],
+                    output_paths=[j["output"] for j in jobs],
+                    max_text_tokens_per_sentence=int(jobs[0]["max_tokens"]),
+                    **jobs[0]["kwargs"],
+                )
+                for j in jobs:
+                    _update_status(j["task_id"], _completed_fields(j["text"], j["output"]))
+            except Exception as e:
+                print(f"Error in batched synthesis for tasks {ids}: {e}")
+                traceback.print_exc()
+                for j in jobs:
+                    _update_status(j["task_id"], {"status": "failed",
+                                                  "message": f"synthesis failed: {e}",
+                                                  "finished_at": time.time()})
+            finally:
+                engine.set_gr_progress_callback(None)
+
+    def batch_dispatcher():
+        while True:
+            with batch_cond:
+                while not batch_pending:
+                    batch_cond.wait()
+            time.sleep(batch_window_s)  # gather window for concurrent arrivals
+            with batch_cond:
+                if not batch_pending:
+                    continue
+                sig0 = _job_sig(batch_pending[0])
+                take = [j for j in batch_pending if _job_sig(j) == sig0][:batch_requests]
+                for j in take:
+                    batch_pending.remove(j)
+            _run_batch(take)
+
+    if batch_requests > 1:
+        threading.Thread(target=batch_dispatcher, daemon=True).start()
+
     @app.route("/api/synthesize", methods=["POST"])
     def synthesize(req: Request):
         if engine is None:
@@ -369,12 +467,21 @@ def create_app(engine=None, base_dir: Optional[str] = None) -> App:
                     tasks_status[task_id]["is_from_new_upload"] = True
                     tasks_status[task_id]["source_reference_identifier_for_save"] = source_identifier_for_save
 
-            threading.Thread(
-                target=synthesis_worker,
-                args=(task_id, text_input, prompt_mel, output_filename, infer_mode, max_tokens, verbose_tts,
-                      kwargs_for_engine),
-                daemon=True,
-            ).start()
+            if batch_requests > 1:
+                job = {"task_id": task_id, "text": text_input, "prompt_mel": prompt_mel,
+                       "output": output_filename, "infer_mode": infer_mode,
+                       "max_tokens": max_tokens, "verbose": verbose_tts,
+                       "kwargs": kwargs_for_engine}
+                with batch_cond:
+                    batch_pending.append(job)
+                    batch_cond.notify()
+            else:
+                threading.Thread(
+                    target=synthesis_worker,
+                    args=(task_id, text_input, prompt_mel, output_filename, infer_mode, max_tokens, verbose_tts,
+                          kwargs_for_engine),
+                    daemon=True,
+                ).start()
             return jsonify({"message": "synthesis task started", "task_id": task_id})
         except Exception as e:
             traceback.print_exc()
@@ -548,6 +655,12 @@ def main(argv=None):
         "--quant-kv", action="store_true",
         help="int8 KV cache for the AR decode (lower HBM traffic, near-parity)",
     )
+    parser.add_argument(
+        "--batch-requests", type=int, default=1,
+        help="continuous batching: merge up to N concurrent same-parameter "
+        "synthesis requests into one batched decode (1 = serialize, the "
+        "reference behavior; 4-8 recommended for busy serving)",
+    )
     args = parser.parse_args(argv)
 
     engine = None
@@ -564,7 +677,7 @@ def main(argv=None):
         print(f"ERROR: Failed to initialize IndexTTS engine: {e}")
         traceback.print_exc()
 
-    app = create_app(engine)
+    app = create_app(engine, batch_requests=args.batch_requests)
     if engine is None:
         print("\nFATAL: TTS Engine could not be initialized; serving API errors only.")
     app.run(args.host, args.port)

@@ -1,0 +1,96 @@
+"""Cross-request batched synthesis (engine.infer_batch).
+
+The serving-mode contract: batching rows from different requests into one
+decode must not change any request's output. Greedy decode is
+padding/batch-invariant (tests/test_gpt.py, the reference padding_test.py
+contract), the latent pass is per-row, and the vocoder runs per request —
+so `infer_batch` in greedy mode must reproduce `infer` bit-for-bit-ish
+(float tolerance) per request. The reference has no such mode (its web
+server serializes requests, webui.py:232)."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    from indextts_tpu.config import save_config
+    from indextts_tpu.engine import IndexTTS
+    from tests.test_engine import tiny_config
+
+    d = tmp_path_factory.mktemp("ckpt_batch")
+    cfg_path = str(d / "config.yaml")
+    save_config(tiny_config(), cfg_path)
+    return IndexTTS(cfg_path=cfg_path, model_dir=str(d), is_fp16=False,
+                    allow_random_init=True)
+
+
+def _prompt(engine, seed, frames=40):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((1, 100, frames)).astype(np.float32) * 0.1
+
+
+GREEDY = dict(do_sample=False, num_beams=1, max_mel_tokens=8, repetition_penalty=1.0)
+
+
+class TestInferBatch:
+    def test_matches_per_request_infer(self, engine):
+        """Two requests, different prompts and texts: batched == solo."""
+        mel_a, mel_b = _prompt(engine, 0), _prompt(engine, 1)
+        text_a, text_b = "HI THERE.", "HELLO WORLD AGAIN."
+        solo = [
+            engine.infer(mel_a, text_a, None, **GREEDY),
+            engine.infer(mel_b, text_b, None, **GREEDY),
+        ]
+        batched = engine.infer_batch([(mel_a, text_a), (mel_b, text_b)], **GREEDY)
+        assert len(batched) == 2
+        for (sr_s, wav_s), (sr_b, wav_b) in zip(solo, batched):
+            assert sr_s == sr_b == 24000
+            assert wav_s.shape == wav_b.shape
+            np.testing.assert_allclose(
+                wav_s.astype(np.float32), wav_b.astype(np.float32), atol=2.0
+            )  # int16 scale; bf16/f32 rounding across batch shapes
+
+    def test_multi_sentence_requests_order(self, engine):
+        """Requests with several sentences each keep per-request assembly in
+        sentence order (rows are shuffled across buckets internally)."""
+        mel_a, mel_b = _prompt(engine, 2), _prompt(engine, 3, frames=52)
+        text_a = "ONE. TWO THREE FOUR. FIVE."
+        text_b = "ALPHA BETA. GAMMA."
+        solo_a = engine.infer(mel_a, text_a, None, **GREEDY)
+        solo_b = engine.infer(mel_b, text_b, None, **GREEDY)
+        out = engine.infer_batch([(mel_a, text_a), (mel_b, text_b)], **GREEDY)
+        assert out[0][1].shape == solo_a[1].shape
+        assert out[1][1].shape == solo_b[1].shape
+        np.testing.assert_allclose(
+            out[0][1].astype(np.float32), solo_a[1].astype(np.float32), atol=2.0
+        )
+        np.testing.assert_allclose(
+            out[1][1].astype(np.float32), solo_b[1].astype(np.float32), atol=2.0
+        )
+
+    def test_output_paths(self, engine, tmp_path):
+        mel = _prompt(engine, 4)
+        paths = [str(tmp_path / "a.wav"), str(tmp_path / "b.wav")]
+        out = engine.infer_batch(
+            [(mel, "HI."), (mel, "YO.")], output_paths=paths, **GREEDY
+        )
+        assert out == paths
+        assert all(os.path.getsize(p) > 44 for p in paths)
+
+    def test_empty_text_raises_with_request_index(self, engine):
+        mel = _prompt(engine, 5)
+        with pytest.raises(ValueError, match="Request 1"):
+            engine.infer_batch([(mel, "HI."), (mel, "")], **GREEDY)
+
+    def test_sampling_mode_runs(self, engine):
+        """do_sample batch smoke test (no parity claim — the batch draws a
+        joint key, so per-row samples differ from solo runs by design)."""
+        mel = _prompt(engine, 6)
+        out = engine.infer_batch(
+            [(mel, "HI."), (mel, "HELLO.")],
+            do_sample=True, top_k=5, num_beams=1, max_mel_tokens=8,
+        )
+        assert len(out) == 2 and all(sr == 24000 for sr, _ in out)

@@ -411,3 +411,89 @@ def _multipart_body(fields, files=None):
         )
     body = b"".join(parts) + f"--{boundary}--\r\n".encode()
     return body, f"multipart/form-data; boundary={boundary}"
+
+
+class BatchFakeEngine(FakeEngine):
+    def infer_batch(self, items, output_paths=None, **kw):
+        self.calls.append(("infer_batch", [t for _, t in items], kw))
+        if self.callback:
+            self.callback(0.5, "batched halfway")
+        for p in output_paths:
+            write_wav(p, np.zeros((1, 2400), np.int16), 24000)
+        return output_paths
+
+
+class TestContinuousBatching:
+    """batch_requests > 1: concurrent same-parameter tasks merge into ONE
+    engine.infer_batch call; mixed-parameter tasks stay separate."""
+
+    def _submit(self, client, text, extra=None):
+        fields = {"text": text, "infer_mode": "普通推理"}
+        fields.update(extra or {})
+        status, data = client.multipart(
+            "/api/synthesize", fields,
+            files={"referenceAudioFile": ("p.wav", _wav_bytes())},
+        )
+        assert status == 200, data
+        return data["task_id"]
+
+    def _wait(self, app, ids, timeout=10.0):
+        start = time.time()
+        while time.time() - start < timeout:
+            st = {i: app._tasks_status.get(i, {}).get("status") for i in ids}
+            if all(s in ("completed", "failed") for s in st.values()):
+                return st
+            time.sleep(0.02)
+        return {i: app._tasks_status.get(i, {}).get("status") for i in ids}
+
+    def test_two_requests_merge(self, tmp_path):
+        engine = BatchFakeEngine()
+        app = create_app(engine, base_dir=str(tmp_path), batch_requests=4,
+                         batch_window_s=0.15)
+        client = Client(app)
+        ids = [self._submit(client, "first one."), self._submit(client, "second one.")]
+        st = self._wait(app, ids)
+        assert all(s == "completed" for s in st.values()), st
+        batch_calls = [c for c in engine.calls if c[0] == "infer_batch"]
+        assert len(batch_calls) == 1
+        assert sorted(batch_calls[0][1]) == ["first one.", "second one."]
+        for i in ids:
+            assert app._tasks_status[i]["audio_url"].startswith("/static/outputs/")
+
+    def test_mixed_params_do_not_merge(self, tmp_path):
+        engine = BatchFakeEngine()
+        app = create_app(engine, base_dir=str(tmp_path), batch_requests=4,
+                         batch_window_s=0.15)
+        client = Client(app)
+        ids = [
+            self._submit(client, "cool one.", {"temperature": "0.7"}),
+            self._submit(client, "hot one.", {"temperature": "1.3"}),
+        ]
+        st = self._wait(app, ids)
+        assert all(s == "completed" for s in st.values()), st
+        # different sampling params -> two calls, neither batched
+        assert not [c for c in engine.calls if c[0] == "infer_batch"]
+        assert len([c for c in engine.calls if c[0] == "infer"]) == 2
+
+    def test_single_request_uses_solo_path(self, tmp_path):
+        engine = BatchFakeEngine()
+        app = create_app(engine, base_dir=str(tmp_path), batch_requests=4,
+                         batch_window_s=0.05)
+        client = Client(app)
+        tid = self._submit(client, "alone.")
+        st = self._wait(app, [tid])
+        assert st[tid] == "completed"
+        assert engine.calls[-1][0] == "infer"  # solo fallback, exact legacy path
+
+    def test_same_prefix_texts_get_distinct_files(self, tmp_path):
+        """Two batched requests whose texts share the 10-char filename prefix
+        must not overwrite each other within one batch."""
+        engine = BatchFakeEngine()
+        app = create_app(engine, base_dir=str(tmp_path), batch_requests=4,
+                         batch_window_s=0.15)
+        client = Client(app)
+        ids = [self._submit(client, "SAME PREFIX ONE."), self._submit(client, "SAME PREFIX TWO.")]
+        st = self._wait(app, ids)
+        assert all(s == "completed" for s in st.values()), st
+        urls = {app._tasks_status[i]["audio_url"] for i in ids}
+        assert len(urls) == 2, urls
