@@ -447,6 +447,22 @@ class IndexTTS:
                 self.mesh, (jnp.asarray(conds_b), jnp.asarray(padded), jnp.asarray(text_lengths))
             )
         self._rng, sub = jax.random.split(self._rng)
+        # sampling params may be per-row [b] vectors (continuous batching:
+        # requests with different knobs share the decode batch; the sampling
+        # transforms broadcast [B, 1] columns — ops/sampling._colp). Beam
+        # graphs see [b*nb] rows, so row vectors are repeated per beam;
+        # length_penalty stays [b] (it enters the [b, ...] score math only).
+        def p32(v, beam_rows=False):
+            a = np.asarray(v, np.float32)
+            if a.ndim == 1 and beam_rows and gen.num_beams > 1:
+                a = np.repeat(a, gen.num_beams)
+            return jnp.asarray(a)
+
+        temperature = p32(temperature, beam_rows=True)
+        top_p = p32(top_p, beam_rows=True)
+        repetition_penalty = p32(repetition_penalty, beam_rows=True)
+        typical_mass = p32(typical_mass, beam_rows=True)
+        length_penalty = p32(length_penalty)
         seg = 160
         if gen.max_new_tokens >= 2 * seg:
             # segment-growing KV cache: per-step attention/gather traffic
@@ -459,32 +475,32 @@ class IndexTTS:
 
             seg_fn = generate_speech_beam_segmented if gen.num_beams > 1 else generate_speech_segmented
             if gen.num_beams > 1:
-                extra = {"length_penalty": float(length_penalty)}
+                extra = {"length_penalty": length_penalty}
             else:
                 extra = {"capture_latents": capture, "pos_off": 1 if capture else 2,
                          "quant_kv": self.quant_kv}
             out = seg_fn(
                 self.gpt_params, self.cfg.gpt, gen,
                 conds_b.astype(self.dtype), jnp.asarray(padded), jnp.asarray(text_lengths), sub,
-                temperature=jnp.float32(temperature), top_p=jnp.float32(top_p),
-                repetition_penalty=jnp.float32(repetition_penalty),
-                typical_mass=jnp.float32(typical_mass),
+                temperature=temperature, top_p=top_p,
+                repetition_penalty=repetition_penalty,
+                typical_mass=typical_mass,
                 segment=seg, jit_cache=self._decode_cache, **extra,
             )
             lat = out[2] if capture else None
             return np.asarray(out[0]), np.asarray(out[1]), lat
         fn = self._decode_fn(b, l, gen, capture=capture)
-        extra = {"length_penalty": jnp.float32(length_penalty)} if gen.num_beams > 1 else {}
+        extra = {"length_penalty": length_penalty} if gen.num_beams > 1 else {}
         out = fn(
             params=self.gpt_params,
             conds=conds_b.astype(self.dtype),
             text_tokens=jnp.asarray(padded),
             text_lengths=jnp.asarray(text_lengths),
             rng=sub,
-            temperature=jnp.float32(temperature),
-            top_p=jnp.float32(top_p),
-            repetition_penalty=jnp.float32(repetition_penalty),
-            typical_mass=jnp.float32(typical_mass),
+            temperature=temperature,
+            top_p=top_p,
+            repetition_penalty=repetition_penalty,
+            typical_mass=typical_mass,
             **extra,
         )
         lat = out[2] if capture else None
@@ -1046,6 +1062,14 @@ class IndexTTS:
                         yield chunk.astype(np.float32)
                     emitted = valid_n
 
+    # generation params that may vary per request inside one decode batch:
+    # they enter only elementwise score/logit math, as traced scalars-or-[B]
+    # vectors (ops/sampling._colp, gpt_decode._lp_col). Everything else is
+    # static (shapes/trace) and must match across a batch.
+    BATCH_DYNAMIC_PARAMS = (
+        "temperature", "top_p", "repetition_penalty", "length_penalty", "typical_mass"
+    )
+
     def infer_batch(
         self,
         items,
@@ -1053,6 +1077,7 @@ class IndexTTS:
         max_text_tokens_per_sentence: int = 120,
         sentences_bucket_max_size: int = 8,
         verbose: bool = False,
+        per_request_kwargs=None,
         **generation_kwargs,
     ):
         """Cross-request batched synthesis (continuous-batching serving mode).
@@ -1075,6 +1100,14 @@ class IndexTTS:
         tests/test_infer_batch.py (greedy batched == per-request infer).
         Measured batch scaling is the serving lever (docs/PERF.md: B=8 ->
         B=32 is 1.5x more audio-s/s per chip).
+
+        `per_request_kwargs`: optional list (one dict per request) of
+        sampling overrides — BATCH_DYNAMIC_PARAMS only (temperature/top_p/
+        repetition_penalty/length_penalty/typical_mass). These enter the
+        decode as per-row traced vectors, so requests with different
+        sampling knobs still share one batch and one compiled graph;
+        static params (do_sample/num_beams/top_k/typical_sampling/
+        max_mel_tokens) must be uniform.
         """
         max_text_tokens_per_sentence = self._clamp_split_len(max_text_tokens_per_sentence)
         print(f">> start batched inference... ({len(items)} requests)")
@@ -1098,6 +1131,24 @@ class IndexTTS:
             top_k=int(top_k) if top_k else 0,
             typical_sampling=typical_sampling, max_new_tokens=int(max_mel_tokens),
         )
+        base_dyn = {"temperature": temperature, "top_p": top_p,
+                    "repetition_penalty": repetition_penalty,
+                    "length_penalty": length_penalty, "typical_mass": typical_mass}
+        if per_request_kwargs is not None:
+            if len(per_request_kwargs) != len(items):
+                raise ValueError("per_request_kwargs must match items length")
+            bad = set().union(*(set(d or {}) for d in per_request_kwargs)) - set(self.BATCH_DYNAMIC_PARAMS)
+            if bad:
+                raise ValueError(
+                    f"per-request overrides are allowed only for "
+                    f"{self.BATCH_DYNAMIC_PARAMS} (static/shape params must "
+                    f"match across a batch); got {sorted(bad)}"
+                )
+
+        def req_dyn(name, r):
+            if per_request_kwargs is None:
+                return base_dyn[name]
+            return float((per_request_kwargs[r] or {}).get(name, base_dyn[name]))
 
         # per-request frontend + conditioning (value-cached per prompt)
         req_mels, req_conds, flat_sents, flat_req = [], [], [], []
@@ -1130,9 +1181,20 @@ class IndexTTS:
             conds_rows = jnp.concatenate(
                 [req_conds[flat_req[it["idx"]]] for it in bucket], axis=0
             )
+            if per_request_kwargs is None:
+                dyn = base_dyn
+            else:
+                # per-row [rows] vectors: rows of one bucket may come from
+                # requests with different sampling knobs (ops/sampling._colp)
+                reqs = [flat_req[it["idx"]] for it in bucket]
+                dyn = {
+                    name: np.asarray([req_dyn(name, r) for r in reqs], np.float32)
+                    for name in self.BATCH_DYNAMIC_PARAMS
+                }
             codes_b, lens_b, cap_lat = self._gpt_generate(
                 conds_rows, batch_text, text_lens, gen,
-                temperature, top_p, repetition_penalty, length_penalty, typical_mass,
+                dyn["temperature"], dyn["top_p"], dyn["repetition_penalty"],
+                dyn["length_penalty"], dyn["typical_mass"],
             )
             for i, it in enumerate(bucket):
                 code_row = codes_b[i : i + 1, : max(int(lens_b[i]), 1)]

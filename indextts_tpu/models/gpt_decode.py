@@ -50,6 +50,15 @@ Params = Dict[str, Any]
 NEG_INF = jnp.finfo(jnp.float32).min
 
 
+def _lp_col(length_penalty):
+    """length_penalty as f32 scalar () or column [b, 1], so per-row penalties
+    (continuous batching: requests with different length_penalty sharing one
+    beam batch) broadcast against the [b, 2nb] candidate scores. The [b]-row
+    form works as-is in the [b]-shaped cond/live score math."""
+    a = jnp.asarray(length_penalty, jnp.float32)
+    return a[:, None] if a.ndim == 1 else a
+
+
 @dataclass(frozen=True)
 class GenerationConfig:
     """Static (shape/trace-affecting) generation settings. Dynamic scalars
@@ -848,7 +857,7 @@ def _generate_speech_beam_dense(
 
         is_eos = tok == cfg.stop_mel_token
         cur_len = jnp.asarray(i + 1, jnp.float32)
-        lp = jnp.where(cur_len > 0, cur_len**length_penalty, 1.0)
+        lp = jnp.where(cur_len > 0, cur_len**_lp_col(length_penalty), 1.0)
         finished_scores = jnp.where(is_eos, vals / lp, NEG_INF)  # [b, 2nb]
         # best finished candidate this step
         fbest = jnp.max(finished_scores, axis=1)
@@ -1103,7 +1112,7 @@ def generate_speech_beam(
         tok = (idx % v).astype(jnp.int32)
         is_eos = tok == cfg.stop_mel_token
         cur_len = jnp.asarray(si + 1, jnp.float32)
-        lp = jnp.where(cur_len > 0, cur_len**length_penalty, 1.0)
+        lp = jnp.where(cur_len > 0, cur_len**_lp_col(length_penalty), 1.0)
         finished_scores = jnp.where(is_eos, vals / lp, NEG_INF)
         fbest = jnp.max(finished_scores, axis=1)
         fargmax = jnp.argmax(finished_scores, axis=1)
@@ -1250,13 +1259,15 @@ def generate_speech_beam_segmented(
 
     import numpy as np
 
-    args = (jnp.float32(temperature), jnp.float32(top_p), jnp.float32(repetition_penalty),
-            jnp.float32(length_penalty), jnp.float32(typical_mass))
+    f32 = lambda v: jnp.asarray(v, jnp.float32)
+    args = (f32(temperature), f32(top_p), f32(repetition_penalty),
+            f32(length_penalty), f32(typical_mass))
     state, aux_arrays = seg_fn(0)(params, conds, text_tokens, text_lengths, rng, *args)
     for k_seg in range(1, n_segments):
         i, codes, beam_scores, kvg, lin, seen, cur, (best_score, _, _) = state
-        # host-side early exit mirroring the device cond
-        lp = float(max_new) ** float(length_penalty)
+        # host-side early exit mirroring the device cond (length_penalty may
+        # be per-row [b] under continuous batching)
+        lp = float(max_new) ** np.asarray(length_penalty, np.float32)
         bp = np.max(np.asarray(beam_scores).reshape(b, nb), axis=1) / lp
         if gen.early_stopping and not bool((bp > np.asarray(best_score)).any()):
             break
@@ -1414,7 +1425,7 @@ def _beam_step(cfg, gen, si, logits, codes, beam_scores, seen, done_best, warp, 
     tok = (idx % v).astype(jnp.int32)
     is_eos = tok == cfg.stop_mel_token
     cur_len = jnp.asarray(si + 1, jnp.float32)
-    lp = jnp.where(cur_len > 0, cur_len**length_penalty, 1.0)
+    lp = jnp.where(cur_len > 0, cur_len**_lp_col(length_penalty), 1.0)
     finished_scores = jnp.where(is_eos, vals / lp, NEG_INF)
     fbest = jnp.max(finished_scores, axis=1)
     fargmax = jnp.argmax(finished_scores, axis=1)

@@ -15,14 +15,26 @@ import jax.numpy as jnp
 NEG_INF = jnp.float32(-1e30)
 
 
+def _colp(p) -> jnp.ndarray:
+    """Normalize a sampling parameter to f32, scalar () or per-row [B, 1].
+
+    Every transform below is written against [B, V] (or [B, k]) logits, so a
+    1-D per-row parameter vector broadcasts once lifted to a column — this is
+    what lets the continuous-batching serving path merge requests with
+    DIFFERENT sampling knobs into one decode batch (engine.infer_batch
+    per_request_kwargs)."""
+    a = jnp.asarray(p, jnp.float32)
+    return a[:, None] if a.ndim == 1 else a
+
+
 def apply_temperature(logits: jnp.ndarray, temperature) -> jnp.ndarray:
-    return logits / jnp.maximum(jnp.float32(temperature), 1e-6)
+    return logits / jnp.maximum(_colp(temperature), 1e-6)
 
 
 def apply_repetition_penalty(logits: jnp.ndarray, seen_mask: jnp.ndarray, penalty) -> jnp.ndarray:
     """HF RepetitionPenaltyLogitsProcessor: for seen tokens, positive logits
     are divided by `penalty`, non-positive multiplied. `seen_mask`: [B, V] bool."""
-    penalty = jnp.float32(penalty)
+    penalty = _colp(penalty)
     penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
     return jnp.where(seen_mask, penalized, logits)
 
@@ -42,7 +54,7 @@ def apply_top_p(logits: jnp.ndarray, top_p, min_tokens_to_keep: int = 1) -> jnp.
     top_p >= 1 reduces to the identity."""
     sorted_logits = jnp.sort(logits, axis=-1)  # ascending
     cum = jnp.cumsum(jax.nn.softmax(sorted_logits.astype(jnp.float32), axis=-1), axis=-1)
-    keep_sorted = cum > (1.0 - jnp.float32(top_p))
+    keep_sorted = cum > (1.0 - _colp(top_p))
     keep_sorted = keep_sorted.at[..., -min_tokens_to_keep:].set(True)
     # threshold = smallest kept logit
     thresh = jnp.min(jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True)
@@ -75,7 +87,7 @@ def apply_top_k_top_p(logits: jnp.ndarray, top_k: int, top_p, min_tokens_to_keep
     # c[b, j] = survivor mass at-or-below level vals[b, j]
     at_or_below = lf[..., None, :] <= vals[..., :, None]  # [B, k, V]
     c = jnp.sum(jnp.where(at_or_below, ex[..., None, :], 0.0), axis=-1) / z
-    keep = c > (1.0 - jnp.float32(top_p))
+    keep = c > (1.0 - _colp(top_p))
     # min_tokens_to_keep: the composed path force-keeps the top entries of
     # the ascending sort, i.e. the largest values
     keep = keep.at[..., :min_tokens_to_keep].set(True)
@@ -96,7 +108,7 @@ def apply_typical(logits: jnp.ndarray, mass: float = 0.9, min_tokens_to_keep: in
     sorted_logits = jnp.take_along_axis(lf, order, axis=-1)
     sorted_shifted = jnp.take_along_axis(shifted, order, axis=-1)
     cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
-    last_ind = jnp.sum(cum < mass, axis=-1, keepdims=True)  # [B, 1]
+    last_ind = jnp.sum(cum < _colp(mass), axis=-1, keepdims=True)  # [B, 1]
     cutoff = jnp.take_along_axis(sorted_shifted, last_ind, axis=-1)  # [B, 1]
     remove = shifted > cutoff
     if min_tokens_to_keep > 1:

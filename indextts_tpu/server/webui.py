@@ -277,12 +277,16 @@ def create_app(engine=None, base_dir: Optional[str] = None,
             "download_filename": f"{base}{ext}", "finished_at": time.time(),
         }
 
+    # sampling knobs that may differ across jobs in ONE batch — they ride
+    # the decode as per-row traced vectors (engine.BATCH_DYNAMIC_PARAMS)
+    _DYN = ("temperature", "top_p", "repetition_penalty", "length_penalty", "typical_mass")
+
     def _job_sig(job):
-        # only jobs sharing every generation parameter may share a decode
-        # batch (sampling scalars are traced, but GenerationConfig fields
-        # are static — and per-row sampling params are not supported)
+        # jobs must share every STATIC generation parameter (shape/trace:
+        # do_sample, num_beams, top_k, typical_sampling, max_mel_tokens…) to
+        # share a decode batch; dynamic sampling knobs merge per-row
         return (job["infer_mode"], str(job["max_tokens"]),
-                tuple(sorted(job["kwargs"].items())))
+                tuple(sorted((k, v) for k, v in job["kwargs"].items() if k not in _DYN)))
 
     def _update_status(task_id, fields):
         with tasks_lock:
@@ -320,11 +324,15 @@ def create_app(engine=None, base_dir: Optional[str] = None,
                 for j in jobs:
                     _update_status(j["task_id"], {"status": "processing", "progress": 0,
                                                   "message": f"batched with {len(jobs) - 1} other request(s)..."})
+                static_kwargs = {k: v for k, v in jobs[0]["kwargs"].items() if k not in _DYN}
                 engine.infer_batch(
                     [(j["prompt_mel"], j["text"]) for j in jobs],
                     output_paths=[j["output"] for j in jobs],
                     max_text_tokens_per_sentence=int(jobs[0]["max_tokens"]),
-                    **jobs[0]["kwargs"],
+                    per_request_kwargs=[
+                        {k: v for k, v in j["kwargs"].items() if k in _DYN} for j in jobs
+                    ],
+                    **static_kwargs,
                 )
                 for j in jobs:
                     _update_status(j["task_id"], _completed_fields(j["text"], j["output"]))

@@ -94,3 +94,52 @@ class TestInferBatch:
             do_sample=True, top_k=5, num_beams=1, max_mel_tokens=8,
         )
         assert len(out) == 2 and all(sr == 24000 for sr, _ in out)
+
+
+class TestPerRequestParams:
+    """per_request_kwargs: requests with DIFFERENT sampling knobs share one
+    decode batch via per-row traced vectors; each request's output must
+    equal its solo run with those knobs."""
+
+    def test_greedy_rep_penalty_per_request(self, engine):
+        mel_a, mel_b = _prompt(engine, 10), _prompt(engine, 11)
+        text = "HELLO WORLD."
+        base = dict(do_sample=False, num_beams=1, max_mel_tokens=8)
+        solo = [
+            engine.infer(mel_a, text, None, repetition_penalty=1.0, **base),
+            engine.infer(mel_b, text, None, repetition_penalty=8.0, **base),
+        ]
+        out = engine.infer_batch(
+            [(mel_a, text), (mel_b, text)],
+            per_request_kwargs=[{"repetition_penalty": 1.0}, {"repetition_penalty": 8.0}],
+            repetition_penalty=5.0,  # base value, overridden per request
+            **base,
+        )
+        for (sr_s, w_s), (sr_b, w_b) in zip(solo, out):
+            assert w_s.shape == w_b.shape
+            np.testing.assert_allclose(w_s.astype(np.float32), w_b.astype(np.float32), atol=2.0)
+
+    def test_beam_length_penalty_per_request(self, engine):
+        mel = _prompt(engine, 12)
+        base = dict(do_sample=False, num_beams=2, max_mel_tokens=8, repetition_penalty=1.0)
+        solo = [
+            engine.infer(mel, "HI THERE.", None, length_penalty=0.0, **base),
+            engine.infer(mel, "HI THERE.", None, length_penalty=2.0, **base),
+        ]
+        out = engine.infer_batch(
+            [(mel, "HI THERE."), (mel, "HI THERE.")],
+            per_request_kwargs=[{"length_penalty": 0.0}, {"length_penalty": 2.0}],
+            **base,
+        )
+        for (sr_s, w_s), (sr_b, w_b) in zip(solo, out):
+            assert w_s.shape == w_b.shape
+            np.testing.assert_allclose(w_s.astype(np.float32), w_b.astype(np.float32), atol=2.0)
+
+    def test_static_override_rejected(self, engine):
+        mel = _prompt(engine, 13)
+        with pytest.raises(ValueError, match="static"):
+            engine.infer_batch(
+                [(mel, "HI."), (mel, "YO.")],
+                per_request_kwargs=[{"num_beams": 1}, {}],
+                **GREEDY,
+            )

@@ -467,3 +467,64 @@ class TestPhaseSpaceAntiAlias:
         gold = np.asarray(anti_aliased_activation(x, a, None, alpha_logscale=True))
         mine = np.asarray(anti_aliased_activation_phase(x, a, None, alpha_logscale=True))
         np.testing.assert_allclose(mine, gold, atol=1e-5)
+
+
+class TestPerRowSamplingParams:
+    """Per-row sampling parameter vectors (continuous batching): a [B]
+    parameter vector must act on each row exactly as that row's scalar —
+    pinned per transform and through the full process_logits stack."""
+
+    def _logits(self, b=4, v=64, seed=0):
+        return jnp.asarray(np.random.default_rng(seed).standard_normal((b, v)).astype(np.float32))
+
+    def test_each_transform_matches_rowwise_scalar(self):
+        from indextts_tpu.ops.sampling import (
+            apply_repetition_penalty, apply_temperature, apply_top_k_top_p,
+            apply_top_p, apply_typical,
+        )
+
+        lf = self._logits()
+        b = lf.shape[0]
+        seen = jnp.asarray(np.random.default_rng(1).random((b, lf.shape[1])) < 0.3)
+        vecs = {
+            "temperature": np.asarray([0.5, 1.0, 1.5, 2.0], np.float32),
+            "penalty": np.asarray([1.0, 2.0, 5.0, 10.0], np.float32),
+            "top_p": np.asarray([0.5, 0.8, 0.95, 1.0], np.float32),
+            "mass": np.asarray([0.5, 0.8, 0.9, 0.99], np.float32),
+        }
+        cases = [
+            (lambda p: apply_temperature(lf, p), "temperature"),
+            (lambda p: apply_repetition_penalty(lf, seen, p), "penalty"),
+            (lambda p: apply_top_p(lf, p), "top_p"),
+            (lambda p: apply_top_k_top_p(lf, 8, p), "top_p"),
+            (lambda p: apply_typical(lf, p), "mass"),
+        ]
+        for fn, name in cases:
+            vec = vecs[name]
+            batched = np.asarray(fn(jnp.asarray(vec)))
+            for i in range(b):
+                solo = np.asarray(fn(float(vec[i])))
+                np.testing.assert_allclose(batched[i], solo[i], atol=1e-6,
+                                           err_msg=f"{name} row {i}")
+
+    def test_process_logits_stack_per_row(self):
+        from indextts_tpu.ops.sampling import process_logits
+
+        lf = self._logits(seed=2)
+        b = lf.shape[0]
+        seen = jnp.asarray(np.random.default_rng(3).random((b, lf.shape[1])) < 0.2)
+        temp = np.asarray([0.7, 1.0, 1.2, 0.9], np.float32)
+        topp = np.asarray([0.6, 0.8, 0.9, 1.0], np.float32)
+        pen = np.asarray([1.0, 4.0, 8.0, 10.0], np.float32)
+        batched = np.asarray(process_logits(
+            lf, seen_mask=seen, repetition_penalty=jnp.asarray(pen),
+            temperature=jnp.asarray(temp), top_k=10, top_p=jnp.asarray(topp),
+            do_sample=True,
+        ))
+        for i in range(b):
+            solo = np.asarray(process_logits(
+                lf, seen_mask=seen, repetition_penalty=float(pen[i]),
+                temperature=float(temp[i]), top_k=10, top_p=float(topp[i]),
+                do_sample=True,
+            ))
+            np.testing.assert_allclose(batched[i], solo[i], atol=1e-6)

@@ -460,7 +460,9 @@ class TestContinuousBatching:
         for i in ids:
             assert app._tasks_status[i]["audio_url"].startswith("/static/outputs/")
 
-    def test_mixed_params_do_not_merge(self, tmp_path):
+    def test_dynamic_params_merge_per_request(self, tmp_path):
+        """Different SAMPLING knobs still merge — they ride the decode as
+        per-row traced vectors (engine.BATCH_DYNAMIC_PARAMS)."""
         engine = BatchFakeEngine()
         app = create_app(engine, base_dir=str(tmp_path), batch_requests=4,
                          batch_window_s=0.15)
@@ -471,7 +473,23 @@ class TestContinuousBatching:
         ]
         st = self._wait(app, ids)
         assert all(s == "completed" for s in st.values()), st
-        # different sampling params -> two calls, neither batched
+        batch_calls = [c for c in engine.calls if c[0] == "infer_batch"]
+        assert len(batch_calls) == 1
+        prk = batch_calls[0][2]["per_request_kwargs"]
+        assert sorted(d["temperature"] for d in prk) == [0.7, 1.3]
+
+    def test_static_params_do_not_merge(self, tmp_path):
+        """top_k is static (shape/trace: GenerationConfig) -> no merge."""
+        engine = BatchFakeEngine()
+        app = create_app(engine, base_dir=str(tmp_path), batch_requests=4,
+                         batch_window_s=0.15)
+        client = Client(app)
+        ids = [
+            self._submit(client, "narrow one.", {"top_k": "5"}),
+            self._submit(client, "wide one.", {"top_k": "50"}),
+        ]
+        st = self._wait(app, ids)
+        assert all(s == "completed" for s in st.values()), st
         assert not [c for c in engine.calls if c[0] == "infer_batch"]
         assert len([c for c in engine.calls if c[0] == "infer"]) == 2
 
