@@ -437,7 +437,24 @@ class IndexTTS:
         padded = np.full((b, l), self.cfg.gpt.stop_text_token, np.int32)
         padded[:, :l0] = text_tokens
         conds_b = jnp.broadcast_to(conds, (b,) + conds.shape[1:]) if conds.shape[0] != b else conds
-        if self.mesh is not None and b % self.mesh.shape["data"] == 0 and b > 1:
+        # DP divisibility padding: buckets of arbitrary size (continuous
+        # batching) would otherwise fall back to replicated execution on a
+        # mesh. Duplicate the last row up to the data-axis multiple and slice
+        # the outputs back — strictly cheaper than replication whenever
+        # pad < b*(dp-1), and batch invariance makes it output-transparent.
+        b_pad = 0
+        if self.mesh is not None and b > 1:
+            b_pad = -b % self.mesh.shape["data"]
+            if b_pad:
+                padded = np.concatenate([padded, np.repeat(padded[-1:], b_pad, axis=0)])
+                text_lengths = np.concatenate(
+                    [np.asarray(text_lengths), np.repeat(np.asarray(text_lengths)[-1:], b_pad)]
+                )
+                conds_b = jnp.concatenate(
+                    [conds_b, jnp.broadcast_to(conds_b[-1:], (b_pad,) + conds_b.shape[1:])]
+                )
+        b_eff = b + b_pad
+        if self.mesh is not None and b_eff % self.mesh.shape["data"] == 0 and b_eff > 1:
             # DP serving: batch rows ride the data axis; weights stay
             # TP-sharded/replicated (tests/test_engine_mesh.py pins output
             # equality with the unsharded path)
@@ -454,6 +471,8 @@ class IndexTTS:
         # length_penalty stays [b] (it enters the [b, ...] score math only).
         def p32(v, beam_rows=False):
             a = np.asarray(v, np.float32)
+            if a.ndim == 1 and b_pad:
+                a = np.concatenate([a, np.repeat(a[-1:], b_pad)])
             if a.ndim == 1 and beam_rows and gen.num_beams > 1:
                 a = np.repeat(a, gen.num_beams)
             return jnp.asarray(a)
@@ -487,9 +506,9 @@ class IndexTTS:
                 typical_mass=typical_mass,
                 segment=seg, jit_cache=self._decode_cache, **extra,
             )
-            lat = out[2] if capture else None
-            return np.asarray(out[0]), np.asarray(out[1]), lat
-        fn = self._decode_fn(b, l, gen, capture=capture)
+            lat = out[2][:b] if capture else None
+            return np.asarray(out[0][:b]), np.asarray(out[1][:b]), lat
+        fn = self._decode_fn(b_eff, l, gen, capture=capture)
         extra = {"length_penalty": length_penalty} if gen.num_beams > 1 else {}
         out = fn(
             params=self.gpt_params,
@@ -503,8 +522,8 @@ class IndexTTS:
             typical_mass=typical_mass,
             **extra,
         )
-        lat = out[2] if capture else None
-        return np.asarray(out[0]), np.asarray(out[1]), lat
+        lat = out[2][:b] if capture else None
+        return np.asarray(out[0][:b]), np.asarray(out[1][:b]), lat
 
     def _gpt_latent(self, conds, text_tokens: np.ndarray, codes: np.ndarray, code_lens: np.ndarray,
                     text_lengths: Optional[np.ndarray] = None):

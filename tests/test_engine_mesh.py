@@ -95,3 +95,28 @@ def test_mesh_dp_batched_vocoder(ckpt):
     lat_s, mel_s = shard_batch(meshed.mesh, (jnp.asarray(latent), jnp.asarray(mel_ref)))
     out = np.asarray(bigvgan_apply(meshed.bigvgan_params, h, lat_s, mel_s))
     np.testing.assert_allclose(out, base, atol=1e-5)
+
+
+def test_mesh_dp_non_divisible_batch_matches_single(ckpt):
+    """Continuous-batching buckets have arbitrary sizes; a batch of 5 on a
+    data=4 mesh must pad to the axis multiple (not fall back to replicated)
+    and still reproduce the unsharded output exactly."""
+    from indextts_tpu.models.gpt_decode import GenerationConfig
+
+    rng = np.random.default_rng(7)
+    mel = rng.standard_normal((1, 100, 60)).astype(np.float32)
+    tokens = rng.integers(2, 40, (5, 9)).astype(np.int32)
+    lengths = np.asarray([9, 7, 9, 5, 8], np.int32)
+    gen = GenerationConfig(do_sample=False, num_beams=1, max_new_tokens=10)
+
+    single = IndexTTS(cfg_path=f"{ckpt}/config.yaml", model_dir=ckpt, is_fp16=False,
+                      allow_random_init=True, use_mesh=False)
+    meshed = IndexTTS(cfg_path=f"{ckpt}/config.yaml", model_dir=ckpt, is_fp16=False,
+                      allow_random_init=True, use_mesh=True, tp=2)
+    conds_s = single._conds_for(mel)
+    conds_m = meshed._conds_for(mel)
+    codes_s, lens_s, _ = single._gpt_generate(conds_s, tokens, lengths, gen, 1.0, 0.8, 1.0)
+    codes_m, lens_m, _ = meshed._gpt_generate(conds_m, tokens, lengths, gen, 1.0, 0.8, 1.0)
+    assert codes_m.shape[0] == 5 and lens_m.shape[0] == 5
+    np.testing.assert_array_equal(lens_s, lens_m)
+    np.testing.assert_array_equal(codes_s, codes_m)
