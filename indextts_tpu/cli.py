@@ -19,8 +19,8 @@ warnings.filterwarnings("ignore", category=FutureWarning)
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description="IndexTTS (TPU) Command Line")
-    parser.add_argument("text", type=str, help="Text to be synthesized")
-    parser.add_argument("-v", "--voice", type=str, required=True, help="Path to the audio prompt file (wav format)")
+    parser.add_argument("text", type=str, nargs="?", default="", help="Text to be synthesized")
+    parser.add_argument("-v", "--voice", type=str, default=None, help="Path to the audio prompt file (wav format)")
     parser.add_argument("-o", "--output_path", type=str, default="gen.wav", help="Path to the output wav file")
     parser.add_argument(
         "-c", "--config", type=str, default="checkpoints/config.yaml",
@@ -44,22 +44,34 @@ def main(argv=None):
         help="Int8-quantized KV cache for the AR decode (lower HBM traffic; "
         "near-parity outputs)",
     )
+    parser.add_argument(
+        "--batch-file", type=str, default=None,
+        help="TSV of synthesis jobs, one per line: 'text' (uses -v voice) or "
+        "'voice_path<TAB>text'. All jobs run as ONE continuous batch "
+        "(engine.infer_batch — cross-request decode batches); -o names the "
+        "output DIRECTORY (default gen_batch/).",
+    )
     args = parser.parse_args(argv)
-    if len(args.text.strip()) == 0:
-        print("ERROR: Text is empty.")
-        parser.print_help()
-        sys.exit(1)
-    if not os.path.exists(args.voice):
-        print(f"Audio prompt file {args.voice} does not exist.")
-        parser.print_help()
-        sys.exit(1)
+    if args.batch_file:
+        if not os.path.exists(args.batch_file):
+            print(f"Batch file {args.batch_file} does not exist.")
+            sys.exit(1)
+    else:
+        if len(args.text.strip()) == 0:
+            print("ERROR: Text is empty.")
+            parser.print_help()
+            sys.exit(1)
+        if args.voice is None or not os.path.exists(args.voice):
+            print(f"Audio prompt file {args.voice} does not exist.")
+            parser.print_help()
+            sys.exit(1)
     if not os.path.exists(args.config):
         print(f"Config file {args.config} does not exist.")
         parser.print_help()
         sys.exit(1)
 
     output_path = args.output_path
-    if os.path.exists(output_path):
+    if not args.batch_file and os.path.exists(output_path):
         if not args.force:
             print(f"ERROR: Output file {output_path} already exists. Use --force to overwrite.")
             parser.print_help()
@@ -77,6 +89,35 @@ def main(argv=None):
         cfg_path=args.config, model_dir=args.model_dir, is_fp16=args.fp16,
         device=args.device, fast_latents=args.fast_latents, quant_kv=args.quant_kv,
     )
+    if args.batch_file:
+        items = []
+        with open(args.batch_file, encoding="utf-8") as f:
+            for ln, line in enumerate(f, 1):
+                line = line.rstrip("\n")
+                if not line.strip():
+                    continue
+                voice, _, text = line.rpartition("\t")
+                voice = voice or args.voice
+                if not voice or not os.path.exists(voice):
+                    print(f"ERROR: {args.batch_file}:{ln}: no voice file "
+                          f"({voice!r}) — give 'voice<TAB>text' or -v.")
+                    sys.exit(1)
+                if not text.strip():
+                    print(f"ERROR: {args.batch_file}:{ln}: empty text.")
+                    sys.exit(1)
+                items.append((voice, text.strip()))
+        if not items:
+            print(f"ERROR: {args.batch_file} has no jobs.")
+            sys.exit(1)
+        outdir = output_path if output_path != "gen.wav" else "gen_batch"
+        os.makedirs(outdir, exist_ok=True)
+        paths = [os.path.join(outdir, f"{i:03d}.wav") for i in range(len(items))]
+        for p in paths:
+            if os.path.exists(p) and not args.force:
+                print(f"ERROR: Output file {p} already exists. Use --force to overwrite.")
+                sys.exit(1)
+        tts.infer_batch(items, output_paths=paths)
+        return
     infer = tts.infer_fast if args.fast else tts.infer
     infer(audio_prompt=args.voice, text=args.text.strip(), output_path=output_path)
 

@@ -1,0 +1,95 @@
+"""CLI surface tests (reference flag parity: /root/reference/indextts/cli.py:7-70,
+plus the TPU additions --fast-latents/--quant-kv/--batch-file). The engine is
+stubbed — engine behavior itself is covered by tests/test_engine*.py."""
+
+import os
+
+import numpy as np
+import pytest
+
+from indextts_tpu import cli
+
+
+class StubTTS:
+    instances = []
+
+    def __init__(self, **kw):
+        self.kw = kw
+        self.calls = []
+        StubTTS.instances.append(self)
+
+    def infer(self, audio_prompt=None, text="", output_path=None, **kw):
+        self.calls.append(("infer", audio_prompt, text, output_path))
+        open(output_path, "wb").write(b"RIFF")
+        return output_path
+
+    def infer_fast(self, audio_prompt=None, text="", output_path=None, **kw):
+        self.calls.append(("infer_fast", audio_prompt, text, output_path))
+        open(output_path, "wb").write(b"RIFF")
+        return output_path
+
+    def infer_batch(self, items, output_paths=None, **kw):
+        self.calls.append(("infer_batch", list(items), list(output_paths)))
+        for p in output_paths:
+            open(p, "wb").write(b"RIFF")
+        return output_paths
+
+
+@pytest.fixture()
+def stub(monkeypatch, tmp_path):
+    import indextts_tpu.engine as eng
+
+    StubTTS.instances = []
+    monkeypatch.setattr(eng, "IndexTTS", StubTTS)
+    cfg = tmp_path / "config.yaml"
+    cfg.write_text("{}")
+    voice = tmp_path / "v.wav"
+    voice.write_bytes(b"RIFF")
+    return tmp_path, str(cfg), str(voice)
+
+
+class TestCLI:
+    def test_single_mode(self, stub):
+        tmp, cfg, voice = stub
+        out = str(tmp / "o.wav")
+        cli.main(["hello.", "-v", voice, "-c", cfg, "--model_dir", str(tmp), "-o", out])
+        eng = StubTTS.instances[-1]
+        assert eng.calls == [("infer", voice, "hello.", out)]
+
+    def test_fast_and_flags(self, stub):
+        tmp, cfg, voice = stub
+        out = str(tmp / "o2.wav")
+        cli.main(["hi.", "-v", voice, "-c", cfg, "--model_dir", str(tmp), "-o", out,
+                  "--fast", "--fast-latents", "--quant-kv"])
+        eng = StubTTS.instances[-1]
+        assert eng.calls[0][0] == "infer_fast"
+        assert eng.kw["fast_latents"] is True and eng.kw["quant_kv"] is True
+
+    def test_batch_file(self, stub, tmp_path):
+        tmp, cfg, voice = stub
+        voice2 = tmp / "w.wav"
+        voice2.write_bytes(b"RIFF")
+        bf = tmp / "jobs.tsv"
+        bf.write_text(f"first line.\n{voice2}\tsecond line.\n\n", encoding="utf-8")
+        outdir = str(tmp / "outs")
+        cli.main(["--batch-file", str(bf), "-v", voice, "-c", cfg,
+                  "--model_dir", str(tmp), "-o", outdir])
+        eng = StubTTS.instances[-1]
+        kind, items, paths = eng.calls[0]
+        assert kind == "infer_batch"
+        assert items == [(voice, "first line."), (str(voice2), "second line.")]
+        assert [os.path.basename(p) for p in paths] == ["000.wav", "001.wav"]
+        assert all(os.path.exists(p) for p in paths)
+
+    def test_batch_file_missing_voice_errors(self, stub):
+        tmp, cfg, voice = stub
+        bf = tmp / "jobs.tsv"
+        bf.write_text("no voice here.\n", encoding="utf-8")
+        with pytest.raises(SystemExit):
+            cli.main(["--batch-file", str(bf), "-c", cfg, "--model_dir", str(tmp),
+                      "-o", str(tmp / "outs")])
+
+    def test_empty_text_errors(self, stub):
+        tmp, cfg, voice = stub
+        with pytest.raises(SystemExit):
+            cli.main(["   ", "-v", voice, "-c", cfg, "--model_dir", str(tmp)])
