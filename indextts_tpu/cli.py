@@ -21,7 +21,11 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="IndexTTS (TPU) Command Line")
     parser.add_argument("text", type=str, nargs="?", default="", help="Text to be synthesized")
     parser.add_argument("-v", "--voice", type=str, default=None, help="Path to the audio prompt file (wav format)")
-    parser.add_argument("-o", "--output_path", type=str, default="gen.wav", help="Path to the output wav file")
+    parser.add_argument(
+        "-o", "--output_path", type=str, default=None,
+        help="Path to the output wav file (default gen.wav; with --batch-file: "
+        "the output directory, default gen_batch)",
+    )
     parser.add_argument(
         "-c", "--config", type=str, default="checkpoints/config.yaml",
         help="Path to the config file. Default is 'checkpoints/config.yaml'",
@@ -70,7 +74,7 @@ def main(argv=None):
         parser.print_help()
         sys.exit(1)
 
-    output_path = args.output_path
+    output_path = args.output_path or ("gen_batch" if args.batch_file else "gen.wav")
     if not args.batch_file and os.path.exists(output_path):
         if not args.force:
             print(f"ERROR: Output file {output_path} already exists. Use --force to overwrite.")
@@ -96,7 +100,10 @@ def main(argv=None):
                 line = line.rstrip("\n")
                 if not line.strip():
                     continue
-                voice, _, text = line.rpartition("\t")
+                # first tab separates voice from text; later tabs stay in text
+                voice, sep, text = line.partition("\t")
+                if not sep:
+                    voice, text = "", line
                 voice = voice or args.voice
                 if not voice or not os.path.exists(voice):
                     print(f"ERROR: {args.batch_file}:{ln}: no voice file "
@@ -109,7 +116,7 @@ def main(argv=None):
         if not items:
             print(f"ERROR: {args.batch_file} has no jobs.")
             sys.exit(1)
-        outdir = output_path if output_path != "gen.wav" else "gen_batch"
+        outdir = output_path
         os.makedirs(outdir, exist_ok=True)
         paths = [os.path.join(outdir, f"{i:03d}.wav") for i in range(len(items))]
         for p in paths:

@@ -609,6 +609,34 @@ class IndexTTS:
             )
         return max(1, min(int(n), cap))
 
+    def _parse_generation_kwargs(self, generation_kwargs):
+        """Shared parse of the reference's generation kwargs (defaults per
+        ref infer.py:116-124): pops the knobs, clamps max_mel_tokens, builds
+        the static GenerationConfig, and returns the dynamic sampling params.
+        ONE definition so infer / infer_fast / infer_batch cannot drift.
+        Returns (gen, dyn_params, max_mel_tokens)."""
+        do_sample = generation_kwargs.pop("do_sample", True)
+        top_p = generation_kwargs.pop("top_p", 0.8)
+        top_k = generation_kwargs.pop("top_k", 30)
+        temperature = generation_kwargs.pop("temperature", 1.0)
+        length_penalty = generation_kwargs.pop("length_penalty", 0.0)
+        num_beams = generation_kwargs.pop("num_beams", 3)
+        repetition_penalty = generation_kwargs.pop("repetition_penalty", 10.0)
+        max_mel_tokens = self._clamp_mel_tokens(generation_kwargs.pop("max_mel_tokens", 600))
+        typical_sampling = generation_kwargs.pop("typical_sampling", False)
+        typical_mass = generation_kwargs.pop("typical_mass", 0.9)
+        gen = GenerationConfig(
+            do_sample=do_sample,
+            num_beams=num_beams,
+            top_k=int(top_k) if top_k else 0,
+            typical_sampling=typical_sampling,
+            max_new_tokens=int(max_mel_tokens),
+        )
+        dyn = {"temperature": temperature, "top_p": top_p,
+               "repetition_penalty": repetition_penalty,
+               "length_penalty": length_penalty, "typical_mass": typical_mass}
+        return gen, dyn, int(max_mel_tokens)
+
     def infer(
         self,
         prompt_mel=None,
@@ -637,24 +665,11 @@ class IndexTTS:
             print("text token count:", len(text_tokens_list))
             print("sentences count:", len(sentences))
             print(*sentences, sep="\n")
-        do_sample = generation_kwargs.pop("do_sample", True)
-        top_p = generation_kwargs.pop("top_p", 0.8)
-        top_k = generation_kwargs.pop("top_k", 30)
-        temperature = generation_kwargs.pop("temperature", 1.0)
-        length_penalty = generation_kwargs.pop("length_penalty", 0.0)
-        num_beams = generation_kwargs.pop("num_beams", 3)
-        repetition_penalty = generation_kwargs.pop("repetition_penalty", 10.0)
-        max_mel_tokens = self._clamp_mel_tokens(generation_kwargs.pop("max_mel_tokens", 600))
-        typical_sampling = generation_kwargs.pop("typical_sampling", False)
-        typical_mass = generation_kwargs.pop("typical_mass", 0.9)
+        gen, dyn, max_mel_tokens = self._parse_generation_kwargs(generation_kwargs)
+        temperature, top_p = dyn["temperature"], dyn["top_p"]
+        repetition_penalty = dyn["repetition_penalty"]
+        length_penalty, typical_mass = dyn["length_penalty"], dyn["typical_mass"]
         sampling_rate = 24000
-        gen = GenerationConfig(
-            do_sample=do_sample,
-            num_beams=num_beams,
-            top_k=int(top_k) if top_k else 0,
-            typical_sampling=typical_sampling,
-            max_new_tokens=int(max_mel_tokens),
-        )
 
         conds = self._conds_for(prompt_mel)
         wavs = []
@@ -758,24 +773,11 @@ class IndexTTS:
         if verbose:
             print(">> text token count:", len(text_tokens_list))
             print("   splited sentences count:", len(sentences))
-        do_sample = generation_kwargs.pop("do_sample", True)
-        top_p = generation_kwargs.pop("top_p", 0.8)
-        top_k = generation_kwargs.pop("top_k", 30)
-        temperature = generation_kwargs.pop("temperature", 1.0)
-        length_penalty = generation_kwargs.pop("length_penalty", 0.0)
-        num_beams = generation_kwargs.pop("num_beams", 3)
-        repetition_penalty = generation_kwargs.pop("repetition_penalty", 10.0)
-        max_mel_tokens = self._clamp_mel_tokens(generation_kwargs.pop("max_mel_tokens", 600))
-        typical_sampling = generation_kwargs.pop("typical_sampling", False)
-        typical_mass = generation_kwargs.pop("typical_mass", 0.9)
+        gen, dyn, max_mel_tokens = self._parse_generation_kwargs(generation_kwargs)
+        temperature, top_p = dyn["temperature"], dyn["top_p"]
+        repetition_penalty = dyn["repetition_penalty"]
+        length_penalty, typical_mass = dyn["length_penalty"], dyn["typical_mass"]
         sampling_rate = 24000
-        gen = GenerationConfig(
-            do_sample=do_sample,
-            num_beams=num_beams,
-            top_k=int(top_k) if top_k else 0,
-            typical_sampling=typical_sampling,
-            max_new_tokens=int(max_mel_tokens),
-        )
         conds = self._conds_for(prompt_mel)
 
         wavs = []
@@ -1134,25 +1136,8 @@ class IndexTTS:
         if output_paths is not None and len(output_paths) != len(items):
             raise ValueError("output_paths must match items length")
 
-        do_sample = generation_kwargs.pop("do_sample", True)
-        top_p = generation_kwargs.pop("top_p", 0.8)
-        top_k = generation_kwargs.pop("top_k", 30)
-        temperature = generation_kwargs.pop("temperature", 1.0)
-        length_penalty = generation_kwargs.pop("length_penalty", 0.0)
-        num_beams = generation_kwargs.pop("num_beams", 3)
-        repetition_penalty = generation_kwargs.pop("repetition_penalty", 10.0)
-        max_mel_tokens = self._clamp_mel_tokens(generation_kwargs.pop("max_mel_tokens", 600))
-        typical_sampling = generation_kwargs.pop("typical_sampling", False)
-        typical_mass = generation_kwargs.pop("typical_mass", 0.9)
+        gen, base_dyn, max_mel_tokens = self._parse_generation_kwargs(generation_kwargs)
         sampling_rate = 24000
-        gen = GenerationConfig(
-            do_sample=do_sample, num_beams=num_beams,
-            top_k=int(top_k) if top_k else 0,
-            typical_sampling=typical_sampling, max_new_tokens=int(max_mel_tokens),
-        )
-        base_dyn = {"temperature": temperature, "top_p": top_p,
-                    "repetition_penalty": repetition_penalty,
-                    "length_penalty": length_penalty, "typical_mass": typical_mass}
         if per_request_kwargs is not None:
             if len(per_request_kwargs) != len(items):
                 raise ValueError("per_request_kwargs must match items length")
@@ -1188,9 +1173,17 @@ class IndexTTS:
 
         # cross-request length buckets (same machinery as infer_fast; idx is
         # the flat row index, which recovers the owning request)
+        self._set_gr_progress(0.1, "text processing...")
         buckets = self.bucket_sentences(flat_sents, bucket_max_size=sentences_bucket_max_size)
         row_latents: Dict[int, Tuple[jnp.ndarray, int]] = {}
+        processed = 0
+        has_warned = False
         for bucket in buckets:
+            self._set_gr_progress(
+                0.15 + 0.55 * processed / len(flat_sents),
+                f"gpt inference speech... {processed}/{len(flat_sents)}",
+            )
+            processed += len(bucket)
             item_tokens = [
                 np.asarray(self.tokenizer.convert_tokens_to_ids(it["sent"]), np.int32)[None, :]
                 for it in bucket
@@ -1216,6 +1209,13 @@ class IndexTTS:
                 dyn["length_penalty"], dyn["typical_mass"],
             )
             for i, it in enumerate(bucket):
+                if (not has_warned and lens_b[i] >= gen.max_new_tokens
+                        and codes_b[i, -1] != self.stop_mel_token):
+                    warnings.warn(
+                        f"WARN: generation stopped due to exceeding `max_mel_tokens` ({max_mel_tokens}).",
+                        category=RuntimeWarning,
+                    )
+                    has_warned = True
                 code_row = codes_b[i : i + 1, : max(int(lens_b[i]), 1)]
                 codes, code_lens = self.remove_long_silence(
                     code_row, silent_token=52, max_consecutive=30
@@ -1236,6 +1236,7 @@ class IndexTTS:
         for gidx, r in enumerate(flat_req):
             per_req_rows[r].append(gidx)
         audio_s = 0.0
+        self._set_gr_progress(0.75, "bigvgan decode...")
         for r in range(len(items)):
             wavs = []
             rows = [row_latents[g] for g in per_req_rows[r]]

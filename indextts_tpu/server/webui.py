@@ -227,18 +227,10 @@ def create_app(engine=None, base_dir: Optional[str] = None,
                 if task_id in tasks_status:
                     tasks_status[task_id].update({"progress": int(fraction * 100), "message": description})
 
-        def update_status(fields):
-            # .get guard: the task may have been reaped by the TTL sweep while
-            # the worker ran; never KeyError the worker thread
-            with tasks_lock:
-                entry = tasks_status.get(task_id)
-                if entry is not None:
-                    entry.update(fields)
-
         with worker_lock:
             engine.set_gr_progress_callback(progress_callback)
             try:
-                update_status({"status": "processing", "progress": 0, "message": "preparing..."})
+                _update_status(task_id, {"status": "processing", "progress": 0, "message": "preparing..."})
                 infer = engine.infer_fast if infer_mode == "批次推理" else engine.infer
                 infer(
                     prompt_mel=prompt_mel,
@@ -248,23 +240,11 @@ def create_app(engine=None, base_dir: Optional[str] = None,
                     verbose=verbose_tts,
                     **kwargs,
                 )
-                relative_path = f"/static/outputs/{os.path.basename(output_filename)}"
-                base = create_download_filename(text_input)
-                _, ext = os.path.splitext(output_filename)
-                update_status(
-                    {
-                        "status": "completed",
-                        "progress": 100,
-                        "message": "synthesis complete!",
-                        "audio_url": relative_path,
-                        "download_filename": f"{base}{ext}",
-                        "finished_at": time.time(),
-                    }
-                )
+                _update_status(task_id, _completed_fields(text_input, output_filename))
             except Exception as e:
                 print(f"Error in synthesis_worker for task {task_id}: {e}")
                 traceback.print_exc()
-                update_status({"status": "failed", "message": f"synthesis failed: {e}", "finished_at": time.time()})
+                _update_status(task_id, {"status": "failed", "message": f"synthesis failed: {e}", "finished_at": time.time()})
             finally:
                 engine.set_gr_progress_callback(None)
 
@@ -359,7 +339,17 @@ def create_app(engine=None, base_dir: Optional[str] = None,
                 take = [j for j in batch_pending if _job_sig(j) == sig0][:batch_requests]
                 for j in take:
                     batch_pending.remove(j)
-            _run_batch(take)
+            try:
+                _run_batch(take)
+            except Exception as e:
+                # the dispatcher is the ONLY consumer: if it dies, every
+                # future request queues forever — never let a job kill it
+                print(f"Error in batch dispatcher: {e}")
+                traceback.print_exc()
+                for j in take:
+                    _update_status(j["task_id"], {"status": "failed",
+                                                  "message": f"synthesis failed: {e}",
+                                                  "finished_at": time.time()})
 
     if batch_requests > 1:
         threading.Thread(target=batch_dispatcher, daemon=True).start()

@@ -93,3 +93,13 @@ class TestCLI:
         tmp, cfg, voice = stub
         with pytest.raises(SystemExit):
             cli.main(["   ", "-v", voice, "-c", cfg, "--model_dir", str(tmp)])
+
+    def test_batch_file_tab_in_text(self, stub):
+        """Only the FIRST tab separates voice from text; later tabs are text."""
+        tmp, cfg, voice = stub
+        bf = tmp / "jobs2.tsv"
+        bf.write_text(f"{voice}\twith\ta tab.\n", encoding="utf-8")
+        cli.main(["--batch-file", str(bf), "-c", cfg, "--model_dir", str(tmp),
+                  "-o", str(tmp / "outs2")])
+        _, items, _ = StubTTS.instances[-1].calls[0]
+        assert items == [(voice, "with\ta tab.")]

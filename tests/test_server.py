@@ -449,7 +449,7 @@ class TestContinuousBatching:
     def test_two_requests_merge(self, tmp_path):
         engine = BatchFakeEngine()
         app = create_app(engine, base_dir=str(tmp_path), batch_requests=4,
-                         batch_window_s=0.15)
+                         batch_window_s=0.6)  # wide: 2nd submit runs mel extraction first
         client = Client(app)
         ids = [self._submit(client, "first one."), self._submit(client, "second one.")]
         st = self._wait(app, ids)
@@ -465,7 +465,7 @@ class TestContinuousBatching:
         per-row traced vectors (engine.BATCH_DYNAMIC_PARAMS)."""
         engine = BatchFakeEngine()
         app = create_app(engine, base_dir=str(tmp_path), batch_requests=4,
-                         batch_window_s=0.15)
+                         batch_window_s=0.6)  # wide: 2nd submit runs mel extraction first
         client = Client(app)
         ids = [
             self._submit(client, "cool one.", {"temperature": "0.7"}),
@@ -482,7 +482,7 @@ class TestContinuousBatching:
         """top_k is static (shape/trace: GenerationConfig) -> no merge."""
         engine = BatchFakeEngine()
         app = create_app(engine, base_dir=str(tmp_path), batch_requests=4,
-                         batch_window_s=0.15)
+                         batch_window_s=0.6)  # wide: 2nd submit runs mel extraction first
         client = Client(app)
         ids = [
             self._submit(client, "narrow one.", {"top_k": "5"}),
@@ -508,7 +508,7 @@ class TestContinuousBatching:
         must not overwrite each other within one batch."""
         engine = BatchFakeEngine()
         app = create_app(engine, base_dir=str(tmp_path), batch_requests=4,
-                         batch_window_s=0.15)
+                         batch_window_s=0.6)  # wide: 2nd submit runs mel extraction first
         client = Client(app)
         ids = [self._submit(client, "SAME PREFIX ONE."), self._submit(client, "SAME PREFIX TWO.")]
         st = self._wait(app, ids)
