@@ -515,3 +515,31 @@ class TestContinuousBatching:
         assert all(s == "completed" for s in st.values()), st
         urls = {app._tasks_status[i]["audio_url"] for i in ids}
         assert len(urls) == 2, urls
+
+    def test_dispatcher_survives_engine_failure(self, tmp_path):
+        """A batch that raises marks its tasks failed but must NOT kill the
+        dispatcher thread — the next request still completes."""
+
+        class FlakyEngine(BatchFakeEngine):
+            def __init__(self):
+                super().__init__()
+                self.boom = True
+
+            def infer_batch(self, items, output_paths=None, **kw):
+                if self.boom:
+                    self.boom = False
+                    raise RuntimeError("synthetic batch failure")
+                return super().infer_batch(items, output_paths=output_paths, **kw)
+
+        engine = FlakyEngine()
+        app = create_app(engine, base_dir=str(tmp_path), batch_requests=4,
+                         batch_window_s=0.6)
+        client = Client(app)
+        ids = [self._submit(client, "boom one."), self._submit(client, "boom two.")]
+        st = self._wait(app, ids)
+        assert all(s == "failed" for s in st.values()), st
+        assert "synthetic batch failure" in app._tasks_status[ids[0]]["message"]
+        # dispatcher still alive: a fresh pair completes normally
+        ids2 = [self._submit(client, "retry one."), self._submit(client, "retry two.")]
+        st2 = self._wait(app, ids2)
+        assert all(s == "completed" for s in st2.values()), st2
