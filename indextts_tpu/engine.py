@@ -886,7 +886,7 @@ class IndexTTS:
         state carries the captured-latent buffer and decodes with consistent
         positions (see __init__)."""
         fast = self.fast_latents
-        key = ("stream", b, l, gen, n_steps, fast)
+        key = ("stream", b, l, gen, n_steps, fast, self.quant_kv)
         if key not in self._decode_cache:
             cfg = self.cfg.gpt
 
@@ -930,7 +930,8 @@ class IndexTTS:
         valid_n codes). Latent frames past valid_n are zeroed in-graph so
         the waveform matches the unfused path's zero-padded vocoder call."""
         fast = self.fast_latents
-        key = ("stream1", l, gen, n_steps, fb, fast)
+        quant = self.quant_kv
+        key = ("stream1", l, gen, n_steps, fb, fast, quant)
         if key not in self._decode_cache:
             cfg = self.cfg.gpt
             h = self.cfg.bigvgan
@@ -949,6 +950,7 @@ class IndexTTS:
                     params, cfg, gen, conds, text, lens, rng,
                     temperature=temperature, top_p=top_p, repetition_penalty=repetition_penalty,
                     typical_mass=typical_mass, capture_latents=fast,
+                    quant_kv=quant,
                 )
                 pv = aux["prefill_valid"]
                 state = decode_steps(

@@ -208,7 +208,7 @@ def _activation(p_act: Params, x: jnp.ndarray, h: BigVGANConfig, use_pallas: boo
         return anti_aliased_activation_polyphase(
             x, p_act["alpha"], p_act.get("beta"), alpha_logscale=h.snake_logscale
         )
-    if _os.environ.get("INDEXTTS_WIDE_PHASE", "") == "1":
+    if _os.environ.get("INDEXTTS_WIDE_PHASE", "") in ("1", "2"):
         from indextts_tpu.ops.antialias import anti_aliased_activation_phase
 
         return anti_aliased_activation_phase(

@@ -43,6 +43,22 @@ from indextts_tpu.utils.audio import UnsupportedAudioFormat, decode_audio, resam
 from indextts_tpu.utils.mel import MelSpectrogramFeatures
 
 
+def apply_replacements(text: str, raw) -> str:
+    """Apply the SPA's regex ruleset (JSON list of {original, replacement})
+    to `text`. ONE implementation shared by /api/synthesize and the
+    streaming endpoint so the semantics cannot drift; malformed JSON or a
+    bad regex logs a warning and keeps the rules applied so far."""
+    if not raw:
+        return text
+    try:
+        for rule in json.loads(raw):
+            if rule.get("original"):
+                text = re.sub(rule["original"], rule.get("replacement", ""), text)
+    except (json.JSONDecodeError, TypeError, AttributeError, re.error) as e:
+        print(f"Warning: Could not apply replacements: {e}")
+    return text
+
+
 def sanitize_filename(name: str) -> str:
     name = re.sub(r"[^\w\s.-]", "", str(name)).strip()
     return re.sub(r"[-\s]+", "-", name).replace("/", "_").replace("\\", "_")
@@ -437,18 +453,13 @@ def create_app(engine=None, base_dir: Optional[str] = None,
                     except (ValueError, TypeError):
                         print(f"Warning: bad param {key}={form[key]!r}; skipped")
 
-            text_input = form.get("text", "")
+            # replacements run BEFORE the empty check so a text-deleting rule
+            # yields a clean 400, not a mid-synthesis engine error
+            text_input = apply_replacements(form.get("text", ""), form.get("replacements"))
             if not text_input.strip():
                 return jsonify({"error": "text is empty"}, 400)
             max_tokens = form.get("max_text_tokens_per_sentence", 100)
             verbose_tts = str(form.get("verbose_tts", "true")).lower() in ("true", "on", "1")
-            try:
-                replacements = json.loads(form.get("replacements", "[]"))
-                for rule in replacements:
-                    if rule.get("original"):
-                        text_input = re.sub(rule["original"], rule.get("replacement", ""), text_input)
-            except (json.JSONDecodeError, TypeError) as e:
-                print(f"Warning: Could not apply replacements: {e}")
 
             output_filename = os.path.join(output_dir, create_download_filename(text_input, safe_voice_id) + ".wav")
             infer_mode = form.get("infer_mode", "普通推理")
@@ -500,17 +511,12 @@ def create_app(engine=None, base_dir: Optional[str] = None,
         if engine is None:
             return jsonify({"error": "TTS Engine not loaded."}, 503)
         form = req.form
-        text_input = form.get("text", "")
+        # replacements BEFORE the empty check (shared semantics with
+        # /api/synthesize): a text-deleting rule must 400 here, not raise
+        # inside wav_stream() after the 200 + RIFF header went out
+        text_input = apply_replacements(form.get("text", ""), form.get("replacements"))
         if not text_input.strip():
             return jsonify({"error": "text is empty"}, 400)
-        if form.get("replacements"):
-            # same regex ruleset semantics as /api/synthesize
-            try:
-                for rule in json.loads(form["replacements"]):
-                    if rule.get("original"):
-                        text_input = re.sub(rule["original"], rule.get("replacement", ""), text_input)
-            except (json.JSONDecodeError, TypeError, re.error) as e:
-                print(f"Warning: Could not apply replacements: {e}")
         prompt_mel = None
         if form.get("saved_voice_identifier"):
             safe_voice_id = sanitize_filename(form["saved_voice_identifier"])

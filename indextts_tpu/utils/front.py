@@ -299,9 +299,11 @@ class TextNormalizer:
         # time ranges: 8:00-22:00 -> 八点到二十二点 (rewrite the dash before
         # the single-time rule consumes the endpoints)
         t = re.sub(r"(?<=\d)\s*[-~～]\s*(?=\d{1,2}:\d{2})", "到", t)
-        t = re.sub(r"(\d{1,2}):(\d{2})(?::(\d{2}))?", _time, t)
-        # leftover digit colons are ratios/scores, not times (3:2 -> 三比二;
-        # valid clock times were consumed above)
+        # digit guards: "120:119" is a score, not the time "20:11" embedded
+        # in it — whole numbers only on both sides of the colon
+        t = re.sub(r"(?<!\d)(\d{1,2}):(\d{2})(?::(\d{2}))?(?!\d)", _time, t)
+        # leftover digit colons are ratios/scores, not times (3:2 -> 三比二,
+        # 120:119 -> 一百二十比一百一十九; valid clock times were consumed above)
         t = re.sub(
             r"(\d+):(\d+)",
             lambda m: zh_num.zh_integer(m.group(1)) + "比" + zh_num.zh_integer(m.group(2)),
@@ -358,10 +360,12 @@ class TextNormalizer:
             t,
         )
         # percent ranges first (else the dash reads as a minus on the right
-        # endpoint): 50%-60% -> 百分之五十到百分之六十
+        # endpoint): 50%-60% -> 百分之五十到百分之六十; a leading minus on the
+        # left endpoint is captured too (-2%~3% -> 负百分之二到百分之三)
         t = re.sub(
-            r"(\d+(?:\.\d+)?)\s*%\s*[-~～]\s*(\d+(?:\.\d+)?)\s*%",
-            lambda m: "百分之" + zh_num.zh_number(m.group(1)) + "到百分之" + zh_num.zh_number(m.group(2)),
+            r"(-?)(\d+(?:\.\d+)?)\s*%\s*[-~～]\s*(\d+(?:\.\d+)?)\s*%",
+            lambda m: ("负" if m.group(1) else "") + "百分之" + zh_num.zh_number(m.group(2))
+            + "到百分之" + zh_num.zh_number(m.group(3)),
             t,
         )
         # percentages: 2.5% -> 百分之二点五, -2.3% -> 负百分之二点三
@@ -491,7 +495,13 @@ class TextNormalizer:
                 out += " " + zh_num.en_integer(int(mm))
             return out
 
-        t = re.sub(r"(\d{1,2}):(\d{2})", _time, t)
+        t = re.sub(r"(?<!\d)(\d{1,2}):(\d{2})(?!\d)", _time, t)
+        # leftover digit colons are scores/ratios (clock times consumed above)
+        t = re.sub(
+            r"(?<!\d)(\d+):(\d+)(?!\d)",
+            lambda m: zh_num.en_number(m.group(1)) + " to " + zh_num.en_number(m.group(2)),
+            t,
+        )
         # version/model suffixes: CosyVoice2 -> CosyVoice 2 (read as a word +
         # a number, the reference FSTs' behavior per front.py:470 comments).
         # Only whole letters-then-digits tokens split, so identifiers with

@@ -238,6 +238,8 @@ async function synthesizeStreaming(form) {
     throw new Error(msg);
   }
   const sr = 24000;
+  // browsers cap live AudioContexts per page (~6 in Chrome): always close
+  // this one when the stream ends or fails, after scheduled audio drains
   const ctx = new (window.AudioContext || window.webkitAudioContext)({ sampleRate: sr });
   const reader = res.body.getReader();
   const allChunks = [];
@@ -245,6 +247,7 @@ async function synthesizeStreaming(form) {
   let carry = new Uint8Array(0);
   let nextTime = ctx.currentTime + 0.05;
   let samplesStreamed = 0;
+  try {
   for (;;) {
     const { value, done } = await reader.read();
     if (done) break;
@@ -276,6 +279,10 @@ async function synthesizeStreaming(form) {
     samplesStreamed += pcm.length;
     setProgress(Math.min(99, 100 * samplesStreamed / (sr * 30)),
                 `流式播放中 streaming… ${(samplesStreamed / sr).toFixed(1)}s`);
+  }
+  } finally {
+    const drainMs = Math.max(0, (nextTime - ctx.currentTime) * 1000) + 200;
+    setTimeout(() => { try { ctx.close(); } catch (e) {} }, drainMs);
   }
   // assemble a well-formed WAV (fix the max-size RIFF lengths) for replay
   const total = allChunks.reduce((n, c) => n + c.length, 0);

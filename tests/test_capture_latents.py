@@ -209,3 +209,30 @@ class TestServingModeCombined:
         keys = [k for k in engine._decode_cache if k and k[0] == "dec"]
         assert keys, "greedy infer above must have populated the decode cache"
         assert all(k[-1] is True for k in keys), keys
+
+    def test_streaming_uses_int8_cache(self, engine, monkeypatch):
+        """--quant-kv must apply to the streaming path too (review finding:
+        it was silently ignored there). The first-chunk prefill must build
+        the int8 (k8, ks, v8, vs) cache, not the bf16 (k2, v2) pair."""
+        import indextts_tpu.models.gpt_decode as gd
+
+        seen_struct = []
+        orig = gd.prefill_decode_state
+
+        def spy(*a, **k):
+            state, aux = orig(*a, **k)
+            seen_struct.append(len(state[2]))  # arrays in the cache tuple
+            return state, aux
+
+        monkeypatch.setattr(gd, "prefill_decode_state", spy)
+        # the engine caches jitted graphs; use a fresh bucket via a distinct
+        # chunk size so the spy-wrapped trace actually runs
+        import os as _os
+
+        mel = engine.extract_features(_os.path.join(_os.path.dirname(__file__), "sample_prompt.wav"))
+        chunks = list(engine.infer_stream(
+            prompt_mel=mel, text="QUANT STREAM CHECK.", do_sample=True, top_k=10,
+            max_mel_tokens=12, first_chunk_codes=5, chunk_codes=5,
+        ))
+        assert chunks and all(np.isfinite(c).all() for c in chunks)
+        assert seen_struct and seen_struct[0] == 4  # int8 cache: k8, ks, v8, vs

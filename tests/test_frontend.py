@@ -228,10 +228,15 @@ class TestNormalizerWextCategories:
             ("1+1=2", ["一加一等于二"]),
             ("10÷2等于5", ["十除以二"]),
             ("误差±3毫米", ["正负三毫米"]),
+            ("The game ended 120:119", ["one hundred twenty to one hundred nineteen"]),
             ("大约100,000人参加", ["十万人"]),
             ("共1,234,567元", ["一百二十三万四千五百六十七元"]),
             # 4-digit left group is an enumeration, NOT thousands grouping
             ("年份2023,456人到场", ["两千零二十三,四百五十六人"]),
+            # 3+-digit scores must not have an inner clock time consumed
+            ("比分是120:119", ["一百二十比一百一十九"]),
+            # percent range with a signed left endpoint
+            ("增长-2%~3%", ["负百分之二到百分之三"]),
             ("面积约120㎡", ["一百二十平方米"]),
             ("占地3km²", ["三平方千米"]),
             ("股价下跌了-2.3%", ["负百分之二点三"]),

@@ -543,3 +543,30 @@ class TestContinuousBatching:
         ids2 = [self._submit(client, "retry one."), self._submit(client, "retry two.")]
         st2 = self._wait(app, ids2)
         assert all(s == "completed" for s in st2.values()), st2
+
+
+class TestReplacements:
+    def test_text_deleting_rule_400s_on_both_endpoints(self, server):
+        """A ruleset that empties the text must yield a clean 400 — on the
+        stream endpoint BEFORE any 200/RIFF bytes go out (review finding)."""
+        client, _, _, _ = server
+        rules = json.dumps([{"original": ".*", "replacement": ""}])
+        status, data = client.multipart(
+            "/api/synthesize", {"text": "hello", "replacements": rules},
+            files={"referenceAudioFile": ("p.wav", _wav_bytes())},
+        )
+        assert status == 400 and "empty" in data["error"]
+        status, data = client.multipart(
+            "/api/synthesize-stream", {"text": "hello", "replacements": rules},
+            files={"referenceAudioFile": ("p.wav", _wav_bytes())},
+        )
+        assert status == 400 and "empty" in data["error"]
+
+    def test_bad_regex_does_not_500(self, server):
+        client, engine, app, _ = server
+        rules = json.dumps([{"original": "[", "replacement": "x"}])
+        status, data = client.multipart(
+            "/api/synthesize", {"text": "keep me.", "replacements": rules},
+            files={"referenceAudioFile": ("p.wav", _wav_bytes())},
+        )
+        assert status == 200, data
