@@ -121,10 +121,14 @@ def run_verify(jax, jnp):
 
         def step(cache, i):
             valid = prefill_valid | ((cache_positions >= p) & (cache_positions < p + i))
-            lg, cache = _decode_step(gpt_p, gpt_cfg, forced[:, i], i + 2, cache, p + i, valid)
-            return cache, lg
+            # return_hidden covers the fast_latents capture path (the
+            # serving mode's latent source) on the production backend
+            lg, cache, h = _decode_step(
+                gpt_p, gpt_cfg, forced[:, i], i + 2, cache, p + i, valid, return_hidden=True
+            )
+            return cache, (lg, h)
 
-        _, lgs = jax.lax.scan(step, cache, jnp.arange(T - 1))
+        _, (lgs, caps) = jax.lax.scan(step, cache, jnp.arange(T - 1))
         step_logits = jnp.concatenate([logits0[None], lgs], axis=0)  # [T, B, V]
         # same forced loop over the INT8 KV cache (quant_kv serving mode):
         # verifies the quantize/dequantize lowering on the production backend
@@ -144,7 +148,7 @@ def run_verify(jax, jnp):
         wav = bigvgan_apply(bv_p, h, latent, jnp.broadcast_to(mel, (2,) + mel.shape[1:]))
         f32 = jnp.float32
         return (conds.astype(f32), step_logits.astype(f32), latent.astype(f32),
-                wav.astype(f32), qstep_logits.astype(f32))
+                wav.astype(f32), qstep_logits.astype(f32), caps.astype(f32))
 
     def run_on(device):
         put = lambda tree: jax.tree_util.tree_map(lambda x: jax.device_put(x, device), tree)
@@ -158,9 +162,9 @@ def run_verify(jax, jnp):
         )
         return tuple(np.asarray(o) for o in out)
 
-    conds_t, lg_t, lat_t, wav_t, qlg_t = run_on(jax.devices()[0])
+    conds_t, lg_t, lat_t, wav_t, qlg_t, cap_t = run_on(jax.devices()[0])
     _mark("verify: tpu side done")
-    conds_c, lg_c, lat_c, wav_c, qlg_c = run_on(cpu_dev)
+    conds_c, lg_c, lat_c, wav_c, qlg_c, cap_c = run_on(cpu_dev)
     _mark("verify: cpu side done")
 
     conds_maxdiff = float(np.max(np.abs(conds_t - conds_c)))
@@ -171,6 +175,17 @@ def run_verify(jax, jnp):
     # TPU (quantization error itself, which must stay bounded)
     qlogits_maxdiff = float(np.max(np.abs(qlg_t - qlg_c)))
     quant_drift = float(np.max(np.abs(qlg_t - lg_t)))
+    # captured hiddens (fast_latents serving mode's latent source).
+    # INFORMATIONAL, not gating: at this degenerate tiny-random scale the
+    # pre-final-norm residual stream is ~0.02-magnitude, so layer_norm
+    # amplifies backend bf16 accumulation differences to O(0.1) on the
+    # normalized hiddens (measured mean 0.14 on |h|~0.8, flat across steps
+    # — NOT compounding). Every projection of those same hiddens is tight
+    # (step logits 0.09 gate above; teacher-forced latents 0.025), and the
+    # serving contract captured == teacher-forced is pinned within-backend
+    # by tests/test_capture_latents.py. Real-scale weights have healthy
+    # pre-norm magnitudes and none of this amplification.
+    cap_maxdiff = float(np.max(np.abs(cap_t - cap_c)))
     # argmax agreement wherever the CPU margin is decisive
     TOL_LOGITS = 0.5
     srt = np.sort(lg_c, axis=-1)
@@ -196,6 +211,7 @@ def run_verify(jax, jnp):
         "verify_wav_maxdiff": round(wav_maxdiff, 5),
         "verify_quant_logits_maxdiff": round(qlogits_maxdiff, 5),
         "verify_quant_drift": round(quant_drift, 5),
+        "verify_capture_maxdiff": round(cap_maxdiff, 5),
     }
     if os.environ.get("BENCH_VERIFY_EXT", "0") == "1":
         # standalone-only extension (costs its own compile): the engine's
