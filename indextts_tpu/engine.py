@@ -380,7 +380,8 @@ class IndexTTS:
             from functools import partial
 
             if gen.num_beams > 1:
-                jitted = jax.jit(partial(generate_speech_beam, cfg=cfg, gen=gen))
+                jitted = jax.jit(partial(generate_speech_beam, cfg=cfg, gen=gen,
+                                         quant_kv=self.quant_kv))
             else:
                 jitted = jax.jit(partial(
                     generate_speech, cfg=cfg, gen=gen,
@@ -494,7 +495,7 @@ class IndexTTS:
 
             seg_fn = generate_speech_beam_segmented if gen.num_beams > 1 else generate_speech_segmented
             if gen.num_beams > 1:
-                extra = {"length_penalty": length_penalty}
+                extra = {"length_penalty": length_penalty, "quant_kv": self.quant_kv}
             else:
                 extra = {"capture_latents": capture, "pos_off": 1 if capture else 2,
                          "quant_kv": self.quant_kv}

@@ -971,8 +971,21 @@ def _decode_block_beam_lineage(layer_p, x, kvp, kvg, lin_masks, bias_p, bias_g, 
     """
     from indextts_tpu.ops.quant import matmul_maybe_quantized
 
-    k2p, v2p = kvp
-    k2g, v2g = kvg
+    # bf16 caches are 2-tuples (k2, v2); int8 caches (quant_kv beams) are
+    # 4-tuples (k8, ks, v8, vs) with per-column scales — the dequant factors
+    # out of both contractions exactly as in _decode_block_q (scores: scale
+    # AFTER the int8 contraction; values: fold the scale into the attention
+    # weights BEFORE it), so the lineage machinery is untouched.
+    qp = len(kvp) == 4
+    qg = len(kvg) == 4
+    if qp:
+        k8p, ksp, v8p, vsp = kvp
+    else:
+        k2p, v2p = kvp
+    if qg:
+        k8g, ksg, v8g, vsg = kvg
+    else:
+        k2g, v2g = kvg
     bn, d = x.shape
     b = bn // nb
     dh = d // heads
@@ -985,10 +998,14 @@ def _decode_block_beam_lineage(layer_p, x, kvp, kvg, lin_masks, bias_p, bias_g, 
     v_new = v_new.reshape(bn, heads, dh)
     scale = 1.0 / math.sqrt(dh)
 
-    p_len = k2p.shape[2]
-    n_len = k2g.shape[2]
+    p_len = (k8p if qp else k2p).shape[2]
+    n_len = (k8g if qg else k2g).shape[2]
     qb2 = _qpad2(q, heads).reshape(b, nb, g2, 2, 2 * dh)
-    sp = jnp.einsum("bngtd,bgpd->bngtp", qb2, k2p).astype(jnp.float32) * scale
+    if qp:
+        sp = jnp.einsum("bngtd,bgpd->bngtp", qb2, k8p.astype(x.dtype)).astype(jnp.float32)
+        sp = sp * ksp[:, None, :, None, :] * scale
+    else:
+        sp = jnp.einsum("bngtd,bgpd->bngtp", qb2, k2p).astype(jnp.float32) * scale
     sp = (sp + bias_p[:, None, None, None, :]).reshape(bn, heads, p_len)
 
     # scores: s_d[c, s] = q[sibling(c, +delta)] . kg[c, s]; rotate back to
@@ -996,10 +1013,14 @@ def _decode_block_beam_lineage(layer_p, x, kvp, kvg, lin_masks, bias_p, bias_g, 
     # extra einsum dim to read the cache once instead of nb times flips the
     # cache layout and nets out SLOWER: 9.8 vs 7.6 ms/step — the per-delta
     # form keeps the greedy path's operand shapes and cheap column write.)
+    kg_op = k8g.astype(x.dtype) if qg else k2g
     sg = None
     for delta in range(nb):
         qd = _roll_beams(_qpad2(q, heads), delta, nb)
-        s_d = jnp.einsum("bgtd,bgsd->bgts", qd, k2g).astype(jnp.float32).reshape(bn, heads, n_len)
+        s_d = jnp.einsum("bgtd,bgsd->bgts", qd, kg_op).astype(jnp.float32)
+        if qg:
+            s_d = s_d * ksg[:, :, None, :]
+        s_d = s_d.reshape(bn, heads, n_len)
         term = _roll_beams(s_d, -delta, nb) * lin_masks[delta]
         sg = term if sg is None else sg + term
     sg = sg * scale + bias_g[:, None, :]
@@ -1007,14 +1028,22 @@ def _decode_block_beam_lineage(layer_p, x, kvp, kvg, lin_masks, bias_p, bias_g, 
     scores = jnp.concatenate([sp, sg, ss], axis=-1)
     attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
     ap2 = attn[..., :p_len].reshape(b, nb, g2, 2, p_len)
-    op = _select_paired(jnp.einsum("bngtp,bgpd->bngtd", ap2, v2p), dh).reshape(bn, heads, dh)
+    if qp:
+        ap2 = (ap2.astype(jnp.float32) * vsp[:, None, :, None, :]).astype(x.dtype)
+        op_v = jnp.einsum("bngtp,bgpd->bngtd", ap2, v8p.astype(x.dtype))
+    else:
+        op_v = jnp.einsum("bngtp,bgpd->bngtd", ap2, v2p)
+    op = _select_paired(op_v, dh).reshape(bn, heads, dh)
     # values: mask the attention rows to the positions sourced at this
     # rotation, rotate them onto their cache rows, contract, rotate back
     ag = attn[..., p_len:-1]
+    vg_op = v8g.astype(x.dtype) if qg else v2g
     og = None
     for delta in range(nb):
         a_d = _roll_beams(ag * lin_masks[delta].astype(x.dtype), delta, nb).reshape(bn, g2, 2, n_len)
-        o_d = _select_paired(jnp.einsum("bgts,bgsd->bgtd", a_d, v2g), dh)
+        if qg:
+            a_d = (a_d.astype(jnp.float32) * vsg[:, :, None, :]).astype(x.dtype)
+        o_d = _select_paired(jnp.einsum("bgts,bgsd->bgtd", a_d, vg_op), dh)
         term = _roll_beams(o_d, -delta, nb)
         og = term if og is None else og + term
     out = op + og + attn[..., -1:] * v_new
@@ -1024,6 +1053,42 @@ def _decode_block_beam_lineage(layer_p, x, kvp, kvg, lin_masks, bias_p, bias_g, 
     h = gelu_new(matmul_maybe_quantized(h, layer_p["mlp_fc"]))
     h = matmul_maybe_quantized(h, layer_p["mlp_proj"])
     return x + h, (_pair_heads_new(k_new), _pair_heads_new(v_new))
+
+
+def _write_beam_cache(kvg, kv_news, i):
+    """Write this step's per-layer (k_new, v_new) columns into the generated
+    beam cache at slot i — bf16 2-tuple or int8 4-tuple (quant_kv), same
+    column-write shapes as the greedy _decode_step."""
+    k2n, v2n = kv_news
+    if len(kvg) == 4:
+        k8, ks, v8, vs = kvg
+        k8n, ksn = _quant_cols(k2n)
+        v8n, vsn = _quant_cols(v2n)
+        return (
+            jax.lax.dynamic_update_slice(k8, k8n[:, :, :, None, :], (0, 0, 0, i, 0)),
+            jax.lax.dynamic_update_slice(ks, ksn[:, :, :, None], (0, 0, 0, i)),
+            jax.lax.dynamic_update_slice(v8, v8n[:, :, :, None, :], (0, 0, 0, i, 0)),
+            jax.lax.dynamic_update_slice(vs, vsn[:, :, :, None], (0, 0, 0, i)),
+        )
+    return tuple(
+        jax.lax.dynamic_update_slice(c, n[:, :, :, None, :], (0, 0, 0, i, 0))
+        for c, n in zip(kvg, kv_news)
+    )
+
+
+def _empty_beam_cache(layers, bb, g2, n, dh2, dtype, quant_kv):
+    """Zero generated-region cache (positions are bias-masked until written)."""
+    if quant_kv:
+        return (
+            jnp.zeros((layers, bb, g2, n, dh2), jnp.int8),
+            jnp.ones((layers, bb, g2, n), jnp.float32),
+            jnp.zeros((layers, bb, g2, n, dh2), jnp.int8),
+            jnp.ones((layers, bb, g2, n), jnp.float32),
+        )
+    return (
+        jnp.zeros((layers, bb, g2, n, dh2), dtype),
+        jnp.zeros((layers, bb, g2, n, dh2), dtype),
+    )
 
 
 def generate_speech_beam(
@@ -1039,6 +1104,7 @@ def generate_speech_beam(
     repetition_penalty=10.0,
     length_penalty=0.0,
     typical_mass=0.9,
+    quant_kv: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Beam decode with a split, NEVER-REORDERED KV cache: the prefill runs
     once per batch row (not per beam) and is shared read-only across beams;
@@ -1067,13 +1133,11 @@ def generate_speech_beam(
     emb, prefill_mask = prepare_gpt_inputs(params, cfg, conds, text_tokens, text_lengths)
     p = emb.shape[1]
     # prefill on B rows only; packed cache stays [L, B, H, P, 2*Dh]
-    logits0_b, kvp = _prefill(params, cfg, emb, prefill_mask, p)
+    # (int8 + per-column scales under quant_kv)
+    logits0_b, kvp = _prefill(params, cfg, emb, prefill_mask, p, quant_kv=quant_kv)
     logits0 = jnp.repeat(logits0_b, nb, axis=0)  # [bb, V]
 
-    kvg = (
-        jnp.zeros((layers, bb, heads // 2, max_new, 2 * dh), emb.dtype),
-        jnp.zeros((layers, bb, heads // 2, max_new, 2 * dh), emb.dtype),
-    )
+    kvg = _empty_beam_cache(layers, bb, heads // 2, max_new, 2 * dh, emb.dtype, quant_kv)
 
     seen0 = jnp.zeros((bb, v), bool).at[:, 1].set(True).at[:, cfg.start_mel_token].set(True)
     bias_p = jnp.where(prefill_mask, 0.0, NEG_INF).astype(jnp.float32)  # [B, P]
@@ -1169,10 +1233,7 @@ def generate_speech_beam(
             return out, kv_new
 
         x, kv_news = jax.lax.scan(scan_body, x, (params["gpt"]["blocks"], kvg, kvp))
-        kvg2 = tuple(
-            jax.lax.dynamic_update_slice(c, n[:, :, :, None, :], (0, 0, 0, i, 0))
-            for c, n in zip(kvg, kv_news)
-        )
+        kvg2 = _write_beam_cache(kvg, kv_news, i)
         x = layer_norm(x, params["gpt"]["ln_f"]["weight"], params["gpt"]["ln_f"]["bias"])
         logits = _mel_logits(params, x)
         codes, beam_scores, seen, done_best, flat_src, nxt = step_beams(
@@ -1212,6 +1273,7 @@ def generate_speech_beam_segmented(
     typical_mass=0.9,
     segment: int = 160,
     jit_cache: Optional[Dict[Any, Any]] = None,
+    quant_kv: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Split-cache beam decode with segment-growing generated cache:
     lineage-resolved attention (no physical cache reorder) against a
@@ -1226,7 +1288,7 @@ def generate_speech_beam_segmented(
     cache = jit_cache if jit_cache is not None else {}
 
     def seg_fn(seg_idx: int):
-        key = ("bseg", b, l, gen, segment, seg_idx)
+        key = ("bseg", b, l, gen, segment, seg_idx, quant_kv)
         if key in cache:
             return cache[key]
         cache_len = min(segment * (seg_idx + 1), max_new)
@@ -1239,6 +1301,7 @@ def generate_speech_beam_segmented(
                     params, cfg, gen, conds, text_tokens, text_lengths, rng,
                     temperature, top_p, repetition_penalty, length_penalty, typical_mass,
                     cache_len=cache_len, n_steps=n_steps, init=True, state=None,
+                    quant_kv=quant_kv,
                 )
 
             cache[key] = first_fn
@@ -1286,7 +1349,7 @@ def generate_speech_beam_segmented(
 
 def _beam_segment_run(params, cfg, gen, conds, text_tokens, text_lengths, rng,
                       temperature, top_p, repetition_penalty, length_penalty, typical_mass, *,
-                      cache_len, n_steps, init, state):
+                      cache_len, n_steps, init, state, quant_kv=False):
     """One jitted beam segment: optionally prefill+first-token, then up to
     n_steps decode iterations against a generated cache of size cache_len."""
     nb = gen.num_beams
@@ -1321,12 +1384,9 @@ def _beam_segment_run(params, cfg, gen, conds, text_tokens, text_lengths, rng,
         bb = b * nb
         emb, prefill_mask = prepare_gpt_inputs(params, cfg, conds, text_tokens, text_lengths)
         p = emb.shape[1]
-        logits0_b, kvp = _prefill(params, cfg, emb, prefill_mask, p)
+        logits0_b, kvp = _prefill(params, cfg, emb, prefill_mask, p, quant_kv=quant_kv)
         logits0 = jnp.repeat(logits0_b, nb, axis=0)
-        kvg = (
-            jnp.zeros((layers, bb, heads // 2, cache_len, 2 * dh), emb.dtype),
-            jnp.zeros((layers, bb, heads // 2, cache_len, 2 * dh), emb.dtype),
-        )
+        kvg = _empty_beam_cache(layers, bb, heads // 2, cache_len, 2 * dh, emb.dtype, quant_kv)
         seen0 = jnp.zeros((bb, v), bool).at[:, 1].set(True).at[:, cfg.start_mel_token].set(True)
         bias_p = jnp.where(prefill_mask, 0.0, NEG_INF).astype(jnp.float32)
         beam_scores0 = jnp.tile(jnp.array([0.0] + [NEG_INF] * (nb - 1), jnp.float32), (b,))
@@ -1347,8 +1407,12 @@ def _beam_segment_run(params, cfg, gen, conds, text_tokens, text_lengths, rng,
         st, aux = state
         i, codes, beam_scores, kvg, lin, seen, cur, done_best = st
         extra = cache_len - kvg[0].shape[3]
-        pads = ((0, 0), (0, 0), (0, 0), (0, extra), (0, 0))
-        kvg = tuple(jnp.pad(c, pads) for c in kvg)
+        # axis 3 is the position axis for k8/v8 (rank 5) AND the scale
+        # tensors (rank 4, position-minor) under quant_kv
+        kvg = tuple(
+            jnp.pad(c, ((0, 0),) * 3 + ((0, extra),) + ((0, 0),) * (c.ndim - 4))
+            for c in kvg
+        )
         # grow the lineage map with the cache; new positions are bias-masked
         # until written, so their lineage value (0) is irrelevant
         lin = jnp.pad(lin, ((0, 0), (0, extra)))
@@ -1393,10 +1457,7 @@ def _beam_segment_run(params, cfg, gen, conds, text_tokens, text_lengths, rng,
             return out, kv_new
 
         x, kv_news = jax.lax.scan(scan_body, x, (params["gpt"]["blocks"], kvg, kvp))
-        kvg2 = tuple(
-            jax.lax.dynamic_update_slice(c, n[:, :, :, None, :], (0, 0, 0, i, 0))
-            for c, n in zip(kvg, kv_news)
-        )
+        kvg2 = _write_beam_cache(kvg, kv_news, i)
         x = layer_norm(x, params["gpt"]["ln_f"]["weight"], params["gpt"]["ln_f"]["bias"])
         logits = _mel_logits(params, x)
         codes, beam_scores, seen, done_best, flat_src, nxt = _beam_step(

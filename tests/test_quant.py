@@ -178,3 +178,81 @@ class TestQuantKVCache:
         b, lb = generate_speech_segmented(params, cfg, gen, conds, text, lens,
                                           jax.random.PRNGKey(2), segment=5, quant_kv=True)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_beam_quant_kv_runs_and_tracks(self):
+        """quant_kv beams: the lineage attention reads int8 kvp/kvg with
+        folded per-column dequant. Beam choices may legitimately shift under
+        K/V rounding; shapes/validity and the decisive first selection must
+        hold, and the cache must actually be int8 (spied via _prefill)."""
+        from indextts_tpu.models.gpt_decode import GenerationConfig, generate_speech_beam
+
+        cfg, params, conds, text, lens = self._setup()
+        gen = GenerationConfig(do_sample=False, num_beams=2, max_new_tokens=10)
+        a, la = generate_speech_beam(params, cfg, gen, conds, text, lens, jax.random.PRNGKey(2))
+        b, lb = generate_speech_beam(params, cfg, gen, conds, text, lens, jax.random.PRNGKey(2),
+                                     quant_kv=True)
+        assert a.shape == b.shape
+        assert int(la[0]) > 0 and int(lb[0]) > 0
+        assert int(a[0, 0]) == int(b[0, 0])
+
+    def test_beam_segmented_quant_kv_matches_monolithic(self):
+        """Segmented quant beams bit-match the monolithic quant beam (the
+        same contract the bf16 drivers are pinned to in test_segmented.py)."""
+        from indextts_tpu.models.gpt_decode import (
+            GenerationConfig,
+            generate_speech_beam,
+            generate_speech_beam_segmented,
+        )
+
+        cfg, params, conds, text, lens = self._setup()
+        gen = GenerationConfig(do_sample=False, num_beams=2, max_new_tokens=12)
+        a, la = generate_speech_beam(params, cfg, gen, conds, text, lens, jax.random.PRNGKey(2),
+                                     quant_kv=True)
+        b, lb = generate_speech_beam_segmented(params, cfg, gen, conds, text, lens,
+                                               jax.random.PRNGKey(2), segment=5, quant_kv=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+    def test_beam_lineage_block_quant_parity(self):
+        """The quantized lineage block == the bf16 lineage block fed the
+        DEQUANTIZED cache (same folded-dequant contract as _decode_block_q):
+        identical math, only accumulation order differs."""
+        from indextts_tpu.models.gpt_decode import (
+            _decode_block_beam_lineage, _quant_cols,
+        )
+        from indextts_tpu.models.gpt import init_unified_voice
+        from tests.test_gpt import tiny_cfg
+
+        cfg = tiny_cfg()
+        params = init_unified_voice(jax.random.PRNGKey(0), cfg)
+        layer_p = jax.tree_util.tree_map(lambda t: t[0], params["gpt"]["blocks"])
+        npr = np.random.default_rng(9)
+        heads, d = cfg.heads, cfg.model_dim
+        dh, g2 = d // heads, heads // 2
+        b, nb, p_len, n_len = 2, 2, 6, 5
+        bn = b * nb
+        x = jnp.asarray(npr.standard_normal((bn, d)) * 0.3, jnp.float32)
+        k2p = jnp.asarray(npr.standard_normal((b, g2, p_len, 2 * dh)) * 0.5, jnp.float32)
+        v2p = jnp.asarray(npr.standard_normal((b, g2, p_len, 2 * dh)) * 0.5, jnp.float32)
+        k2g = jnp.asarray(npr.standard_normal((bn, g2, n_len, 2 * dh)) * 0.5, jnp.float32)
+        v2g = jnp.asarray(npr.standard_normal((bn, g2, n_len, 2 * dh)) * 0.5, jnp.float32)
+        k8p, ksp = _quant_cols(k2p)
+        v8p, vsp = _quant_cols(v2p)
+        k8g, ksg = _quant_cols(k2g)
+        v8g, vsg = _quant_cols(v2g)
+        lin = jnp.zeros((bn, n_len), jnp.int32)
+        m_idx = (jnp.arange(bn, dtype=jnp.int32) % nb)[:, None]
+        lin_masks = [(((m_idx - lin) % nb) == delta).astype(jnp.float32)[:, None, :]
+                     for delta in range(nb)]
+        bias_p = jnp.zeros((b, p_len), jnp.float32)
+        bias_g = jnp.where(jnp.arange(n_len)[None, :] < 3, 0.0, -1e30).astype(jnp.float32)
+        # bf16 block on the DEQUANTIZED cache == quant block on the int8 cache
+        deq = lambda q8, s: q8.astype(jnp.float32) * s[..., None]
+        out_ref, kv_ref = _decode_block_beam_lineage(
+            layer_p, x, (deq(k8p, ksp), deq(v8p, vsp)), (deq(k8g, ksg), deq(v8g, vsg)),
+            lin_masks, bias_p, bias_g, heads, nb)
+        out_q, kv_q = _decode_block_beam_lineage(
+            layer_p, x, (k8p, ksp, v8p, vsp), (k8g, ksg, v8g, vsg),
+            lin_masks, bias_p, bias_g, heads, nb)
+        np.testing.assert_allclose(np.asarray(out_q), np.asarray(out_ref), atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(kv_q[0]), np.asarray(kv_ref[0]), atol=1e-6)

@@ -69,15 +69,27 @@ def main():
         conds = jnp.asarray(npr.standard_normal((batch, gpt_cfg.condition_num_latent, d)), dtype)
         text = jnp.asarray(npr.integers(2, 8000, (batch, TEXT_LEN)), jnp.int32)
         text_lens = jnp.full((batch,), TEXT_LEN, jnp.int32)
-        gen = GenerationConfig(do_sample=True, num_beams=1, top_k=30, max_new_tokens=gen_tokens)
+        nb = int(os.environ.get("BEAM", "1"))
+        gen = GenerationConfig(do_sample=nb == 1, num_beams=nb, top_k=30, max_new_tokens=gen_tokens)
         quant_kv = os.environ.get("QUANT_KV", "0") == "1"
-        fn = jax.jit(
-            lambda p, c, t, tl, r: generate_speech(
-                p, gpt_cfg, gen, c, t, tl, r,
-                temperature=jnp.float32(1.0), top_p=jnp.float32(0.8),
-                repetition_penalty=jnp.float32(10.0), quant_kv=quant_kv,
-            )[1].sum()
-        )
+        if nb > 1:
+            from indextts_tpu.models.gpt_decode import generate_speech_beam
+
+            fn = jax.jit(
+                lambda p, c, t, tl, r: generate_speech_beam(
+                    p, gpt_cfg, gen, c, t, tl, r,
+                    temperature=jnp.float32(1.0), top_p=jnp.float32(0.8),
+                    repetition_penalty=jnp.float32(10.0), quant_kv=quant_kv,
+                )[1].sum()
+            )
+        else:
+            fn = jax.jit(
+                lambda p, c, t, tl, r: generate_speech(
+                    p, gpt_cfg, gen, c, t, tl, r,
+                    temperature=jnp.float32(1.0), top_p=jnp.float32(0.8),
+                    repetition_penalty=jnp.float32(10.0), quant_kv=quant_kv,
+                )[1].sum()
+            )
         t0 = time.perf_counter()
         int(fn(params, conds, text, text_lens, jax.random.PRNGKey(1)))
         compile_s = time.perf_counter() - t0
@@ -101,10 +113,9 @@ def main():
         )
         return ms_step
 
-    run_case(8, GEN_TOKENS)
-    run_case(16, GEN_TOKENS)
-    run_case(32, GEN_TOKENS)
-    run_case(1, GEN_TOKENS)
+    batches = [int(x) for x in os.environ.get("BATCHES", "8,16,32,1").split(",")]
+    for bsz in batches:
+        run_case(bsz, GEN_TOKENS)
 
 
 if __name__ == "__main__":
