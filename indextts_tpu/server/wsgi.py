@@ -19,6 +19,13 @@ from urllib.parse import parse_qs, unquote
 from wsgiref.simple_server import WSGIRequestHandler, WSGIServer, make_server
 
 
+# request bodies are read fully into memory (multipart WAV uploads); cap the
+# declared size so a hostile Content-Length cannot OOM the serving process.
+# 64 MB >> any real reference prompt (a 10-minute 48 kHz stereo WAV is 115 MB,
+# but prompts are seconds long; the reference trims to 15 s of mel anyway).
+MAX_BODY_BYTES = int(os.environ.get("INDEXTTS_MAX_BODY_BYTES", 64 * 1024 * 1024))
+
+
 class Request:
     def __init__(self, environ):
         self.environ = environ
@@ -26,6 +33,7 @@ class Request:
         self.path = environ.get("PATH_INFO", "/")
         self.query = {k: v[0] for k, v in parse_qs(environ.get("QUERY_STRING", "")).items()}
         self._body: Optional[bytes] = None
+        self.too_large = False
         self.form: Dict[str, str] = {}
         self.files: Dict[str, Tuple[str, bytes]] = {}  # name -> (filename, data)
         self._parse_body()
@@ -37,7 +45,11 @@ class Request:
                 length = int(self.environ.get("CONTENT_LENGTH") or 0)
             except ValueError:
                 length = 0
-            self._body = self.environ["wsgi.input"].read(length) if length else b""
+            if length > MAX_BODY_BYTES:
+                self.too_large = True
+                self._body = b""
+            else:
+                self._body = self.environ["wsgi.input"].read(length) if length else b""
         return self._body
 
     @property
@@ -167,7 +179,10 @@ class App:
     def __call__(self, environ, start_response):
         req = Request(environ)
         try:
-            result = self._dispatch(req)
+            if req.too_large:
+                result = jsonify({"error": "request body too large"}, 413)
+            else:
+                result = self._dispatch(req)
         except Exception as e:  # route errors -> 500 JSON like Flask's default
             import traceback
 

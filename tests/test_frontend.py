@@ -428,3 +428,39 @@ def test_pinyin_vocab_id_range():
     for i in range(8474, 10201):
         piece = sp.id_to_piece(i)
         assert re.match(TextNormalizer.PINYIN_TONE_PATTERN, piece, re.IGNORECASE), piece
+
+
+class TestNormalizerFuzz:
+    """Serving-facing robustness: normalize() must never raise and must
+    always return a string, for arbitrary junk input (the web form accepts
+    anything). Seeded, deterministic."""
+
+    def test_random_unicode_never_raises(self, normalizer):
+        rng = np.random.default_rng(0)
+        pools = [
+            (0x20, 0x7F),      # ascii
+            (0x4E00, 0x9FFF),  # CJK
+            (0x3000, 0x303F),  # CJK punct
+            (0x1F300, 0x1F600),  # emoji
+            (0x0391, 0x03C9),  # greek
+        ]
+        for i in range(200):
+            n = int(rng.integers(0, 60))
+            chars = []
+            for _ in range(n):
+                lo, hi = pools[int(rng.integers(0, len(pools)))]
+                chars.append(chr(int(rng.integers(lo, hi))))
+            s = "".join(chars)
+            out = normalizer.normalize(s)
+            assert isinstance(out, str)
+
+    def test_adversarial_numeric_shapes(self, normalizer):
+        cases = [
+            "1" * 40, "1,2,3,4,5", "1.2.3.4.5.6", "::::", "%%%%", "---",
+            "1:2:3:4", "999999999999999999999999", "0.0.0.0:8080", "3.1415926" * 5,
+            "-", "+", "±", "~", "1~", "~1", "%", "5%%", "¥", "$", "$-", "-$5",
+            "12:", ":12", "1,,2", ",1", "1,", "第", "第第3", "100,00,000",
+        ]
+        for s in cases:
+            out = normalizer.normalize(s)
+            assert isinstance(out, str)

@@ -570,3 +570,30 @@ class TestReplacements:
             files={"referenceAudioFile": ("p.wav", _wav_bytes())},
         )
         assert status == 200, data
+
+
+class TestBodyLimit:
+    def test_oversized_body_413(self, server, monkeypatch):
+        """A hostile Content-Length must not be read into memory (OOM DoS);
+        the server answers 413 without touching wsgi.input."""
+        import indextts_tpu.server.wsgi as wsgi
+
+        client, _, app, _ = server
+
+        class Bomb:
+            def read(self, n):  # pragma: no cover - must never be called
+                raise AssertionError("oversized body was read")
+
+        environ = {
+            "REQUEST_METHOD": "POST", "PATH_INFO": "/api/synthesize",
+            "QUERY_STRING": "", "CONTENT_TYPE": "multipart/form-data; boundary=x",
+            "CONTENT_LENGTH": str(wsgi.MAX_BODY_BYTES + 1), "wsgi.input": Bomb(),
+        }
+        captured = {}
+
+        def start_response(status, headers):
+            captured["status"] = int(status.split()[0])
+
+        body = b"".join(app(environ, start_response))
+        assert captured["status"] == 413
+        assert b"too large" in body
