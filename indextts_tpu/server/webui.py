@@ -605,6 +605,18 @@ def create_app(engine=None, base_dir: Optional[str] = None,
         for entry in reaped:
             _cleanup_task_files(entry)
 
+    @app.route("/api/task-status/<task_id>")
+    def task_status(req: Request, task_id: str):
+        """One-shot JSON status (programmatic clients / tools/load_test.py;
+        the SSE route below is the browser channel). Extra server surface
+        beyond the reference (its webui.py serves status via SSE only)."""
+        with tasks_lock:
+            st = tasks_status.get(task_id)
+            if st is None:
+                return jsonify({"error": "unknown task"}, 404)
+            safe = {k: v for k, v in st.items() if k != "files_to_delete"}
+        return jsonify(safe)
+
     @app.route("/api/synthesize-stream-status/<task_id>")
     def synthesize_stream_status(req: Request, task_id: str):
         def generate():

@@ -597,3 +597,22 @@ class TestBodyLimit:
         body = b"".join(app(environ, start_response))
         assert captured["status"] == 413
         assert b"too large" in body
+
+    def test_task_status_route(self, server):
+        client, engine, app, _ = server
+        status, data = client.json("GET", "/api/task-status/nope")
+        assert status == 404
+        status, data = client.multipart(
+            "/api/synthesize", {"text": "status probe."},
+            files={"referenceAudioFile": ("p.wav", _wav_bytes())},
+        )
+        tid = data["task_id"]
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            status, st = client.json("GET", f"/api/task-status/{tid}")
+            assert status == 200
+            if st["status"] in ("completed", "failed"):
+                break
+            time.sleep(0.02)
+        assert st["status"] == "completed"
+        assert "files_to_delete" not in st
