@@ -610,18 +610,22 @@ class IndexTTS:
             )
         return max(1, min(int(n), cap))
 
-    def _parse_generation_kwargs(self, generation_kwargs):
+    def _parse_generation_kwargs(self, generation_kwargs, force_num_beams=None):
         """Shared parse of the reference's generation kwargs (defaults per
         ref infer.py:116-124): pops the knobs, clamps max_mel_tokens, builds
         the static GenerationConfig, and returns the dynamic sampling params.
-        ONE definition so infer / infer_fast / infer_batch cannot drift.
-        Returns (gen, dyn_params, max_mel_tokens)."""
+        ONE definition so infer / infer_fast / infer_batch / infer_stream
+        cannot drift. Returns (gen, dyn_params, max_mel_tokens).
+        `force_num_beams` overrides the num_beams knob (streaming is not
+        beam-searchable)."""
         do_sample = generation_kwargs.pop("do_sample", True)
         top_p = generation_kwargs.pop("top_p", 0.8)
         top_k = generation_kwargs.pop("top_k", 30)
         temperature = generation_kwargs.pop("temperature", 1.0)
         length_penalty = generation_kwargs.pop("length_penalty", 0.0)
         num_beams = generation_kwargs.pop("num_beams", 3)
+        if force_num_beams is not None:
+            num_beams = force_num_beams
         repetition_penalty = generation_kwargs.pop("repetition_penalty", 10.0)
         max_mel_tokens = self._clamp_mel_tokens(generation_kwargs.pop("max_mel_tokens", 600))
         typical_sampling = generation_kwargs.pop("typical_sampling", False)
@@ -1009,18 +1013,11 @@ class IndexTTS:
         infer(); beam search is not streamable."""
         max_text_tokens_per_sentence = self._clamp_split_len(max_text_tokens_per_sentence)
         prompt_mel = self._resolve_prompt(audio_prompt if prompt_mel is None else prompt_mel)
-        do_sample = generation_kwargs.pop("do_sample", True)
-        top_p = generation_kwargs.pop("top_p", 0.8)
-        top_k = generation_kwargs.pop("top_k", 30)
-        temperature = generation_kwargs.pop("temperature", 1.0)
-        repetition_penalty = generation_kwargs.pop("repetition_penalty", 10.0)
-        max_mel_tokens = self._clamp_mel_tokens(generation_kwargs.pop("max_mel_tokens", 600))
-        typical_sampling = generation_kwargs.pop("typical_sampling", False)
-        typical_mass = generation_kwargs.pop("typical_mass", 0.9)
-        gen = GenerationConfig(
-            do_sample=do_sample, num_beams=1, top_k=int(top_k) if top_k else 0,
-            typical_sampling=typical_sampling, max_new_tokens=int(max_mel_tokens),
+        gen, dyn, max_mel_tokens = self._parse_generation_kwargs(
+            generation_kwargs, force_num_beams=1
         )
+        temperature, top_p = dyn["temperature"], dyn["top_p"]
+        repetition_penalty, typical_mass = dyn["repetition_penalty"], dyn["typical_mass"]
         conds = self._conds_for(prompt_mel)
         sentences = self.tokenizer.split_sentences(
             self.tokenizer.tokenize(text), max_text_tokens_per_sentence

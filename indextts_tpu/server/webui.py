@@ -400,7 +400,9 @@ def create_app(engine=None, base_dir: Optional[str] = None,
                 temp_path = os.path.join(temp_dir, temp_name)
                 with open(temp_path, "wb") as f:
                     f.write(data)
-                source_identifier_for_save = temp_path
+                # opaque identifier: the SPA echoes it back to
+                # /api/save-voice-feature; never expose server paths
+                source_identifier_for_save = f"upload:{task_id}"
                 files_to_delete.append(temp_path)
 
                 target_sr = engine.cfg.bigvgan.sampling_rate
@@ -457,6 +459,13 @@ def create_app(engine=None, base_dir: Optional[str] = None,
             # yields a clean 400, not a mid-synthesis engine error
             text_input = apply_replacements(form.get("text", ""), form.get("replacements"))
             if not text_input.strip():
+                # early return skips task creation, so the TTL reaper will
+                # never see the uploaded temp file — clean it here
+                for fpath in files_to_delete:
+                    try:
+                        os.remove(fpath)
+                    except OSError:
+                        pass
                 return jsonify({"error": "text is empty"}, 400)
             max_tokens = form.get("max_text_tokens_per_sentence", 100)
             verbose_tts = str(form.get("verbose_tts", "true")).lower() in ("true", "on", "1")

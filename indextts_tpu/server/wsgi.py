@@ -131,7 +131,8 @@ class StreamResponse:
 
 _STATUS = {
     200: "200 OK", 201: "201 Created", 400: "400 Bad Request", 404: "404 Not Found",
-    405: "405 Method Not Allowed", 415: "415 Unsupported Media Type",
+    405: "405 Method Not Allowed", 413: "413 Request Entity Too Large",
+    415: "415 Unsupported Media Type",
     500: "500 Internal Server Error", 503: "503 Service Unavailable",
 }
 

@@ -360,12 +360,14 @@ class TextNormalizer:
             t,
         )
         # percent ranges first (else the dash reads as a minus on the right
-        # endpoint): 50%-60% -> 百分之五十到百分之六十; a leading minus on the
-        # left endpoint is captured too (-2%~3% -> 负百分之二到百分之三)
+        # endpoint): 50%-60% -> 百分之五十到百分之六十; BOTH endpoints may be
+        # signed (-5%~-2% -> 负百分之五到负百分之二). The separator between a
+        # left % and a signed right endpoint is ~ only (a dash there is
+        # ambiguous with the minus itself).
         t = re.sub(
-            r"(-?)(\d+(?:\.\d+)?)\s*%\s*[-~～]\s*(\d+(?:\.\d+)?)\s*%",
+            r"(-?)(\d+(?:\.\d+)?)\s*%\s*(?:[~～]\s*(-)|[-~～]\s*)(\d+(?:\.\d+)?)\s*%",
             lambda m: ("负" if m.group(1) else "") + "百分之" + zh_num.zh_number(m.group(2))
-            + "到百分之" + zh_num.zh_number(m.group(3)),
+            + "到" + ("负" if m.group(3) else "") + "百分之" + zh_num.zh_number(m.group(4)),
             t,
         )
         # percentages: 2.5% -> 百分之二点五, -2.3% -> 负百分之二点三

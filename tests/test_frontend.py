@@ -464,3 +464,11 @@ class TestNormalizerFuzz:
         for s in cases:
             out = normalizer.normalize(s)
             assert isinstance(out, str)
+
+
+def test_signed_percent_range_both_endpoints(normalizer=None):
+    from indextts_tpu.utils.front import TextNormalizer
+
+    n = TextNormalizer(); n.load()
+    assert n.normalize("跌幅-5%~-2%") == "跌幅负百分之五到负百分之二"
+    assert "负百分之二到百分之三" in n.normalize("增长-2%~3%")

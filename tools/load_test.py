@@ -58,35 +58,42 @@ def main():
     lat, lock = [], threading.Lock()
     sem = threading.Semaphore(args.concurrency)
 
+    def _one_inner(i):
+        body, ctype = multipart(
+            {
+                "text": f"LOAD TEST REQUEST NUMBER {i}.",
+                "do_sample": args.do_sample, "top_k": "30", "num_beams": "1",
+                "max_mel_tokens": str(args.max_mel_tokens),
+                "infer_mode": "普通推理",
+            },
+            {"referenceAudioFile": ("p.wav", wav)},
+        )
+        req = urllib.request.Request(
+            args.url + "/api/synthesize", data=body,
+            headers={"Content-Type": ctype}, method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            task_id = json.load(r)["task_id"]
+        deadline = time.perf_counter() + args.timeout_s
+        status = "timeout"
+        while time.perf_counter() < deadline:
+            with urllib.request.urlopen(
+                args.url + f"/api/task-status/{task_id}", timeout=60
+            ) as r:
+                st = json.load(r)
+            status = st.get("status")
+            if status in ("completed", "failed"):
+                break
+            time.sleep(0.25)
+        return status
+
     def one(i):
         with sem:
             t0 = time.perf_counter()
-            body, ctype = multipart(
-                {
-                    "text": f"LOAD TEST REQUEST NUMBER {i}.",
-                    "do_sample": args.do_sample, "top_k": "30", "num_beams": "1",
-                    "max_mel_tokens": str(args.max_mel_tokens),
-                    "infer_mode": "普通推理",
-                },
-                {"referenceAudioFile": ("p.wav", wav)},
-            )
-            req = urllib.request.Request(
-                args.url + "/api/synthesize", data=body,
-                headers={"Content-Type": ctype}, method="POST",
-            )
-            with urllib.request.urlopen(req, timeout=60) as r:
-                task_id = json.load(r)["task_id"]
-            deadline = time.perf_counter() + args.timeout_s
-            status = "timeout"
-            while time.perf_counter() < deadline:
-                with urllib.request.urlopen(
-                    args.url + f"/api/task-status/{task_id}", timeout=60
-                ) as r:
-                    st = json.load(r)
-                status = st.get("status")
-                if status in ("completed", "failed"):
-                    break
-                time.sleep(0.25)
+            try:
+                status = _one_inner(i)
+            except Exception as e:  # connection refused, 5xx, timeout...
+                status = f"error: {e}"
             with lock:
                 lat.append((i, status, time.perf_counter() - t0))
 
