@@ -120,3 +120,28 @@ def test_mesh_dp_non_divisible_batch_matches_single(ckpt):
     assert codes_m.shape[0] == 5 and lens_m.shape[0] == 5
     np.testing.assert_array_equal(lens_s, lens_m)
     np.testing.assert_array_equal(codes_s, codes_m)
+
+
+def test_mesh_dp_quant_beam_matches_single(ckpt):
+    """DP mesh + int8 KV cache + beam search together: the three features
+    compose (sharded rows, quantized caches, lineage attention) and must
+    reproduce the unsharded quantized output exactly (both paths quantize
+    identically; greedy beam selection is deterministic)."""
+    from indextts_tpu.models.gpt_decode import GenerationConfig
+
+    rng = np.random.default_rng(11)
+    mel = rng.standard_normal((1, 100, 60)).astype(np.float32)
+    tokens = rng.integers(2, 40, (4, 9)).astype(np.int32)
+    lengths = np.asarray([9, 7, 8, 6], np.int32)
+    gen = GenerationConfig(do_sample=False, num_beams=2, max_new_tokens=8)
+
+    single = IndexTTS(cfg_path=f"{ckpt}/config.yaml", model_dir=ckpt, is_fp16=False,
+                      allow_random_init=True, use_mesh=False, quant_kv=True)
+    meshed = IndexTTS(cfg_path=f"{ckpt}/config.yaml", model_dir=ckpt, is_fp16=False,
+                      allow_random_init=True, use_mesh=True, tp=2, quant_kv=True)
+    conds_s = single._conds_for(mel)
+    conds_m = meshed._conds_for(mel)
+    codes_s, lens_s, _ = single._gpt_generate(conds_s, tokens, lengths, gen, 1.0, 0.8, 1.0)
+    codes_m, lens_m, _ = meshed._gpt_generate(conds_m, tokens, lengths, gen, 1.0, 0.8, 1.0)
+    np.testing.assert_array_equal(lens_s, lens_m)
+    np.testing.assert_array_equal(codes_s, codes_m)
