@@ -71,6 +71,13 @@ class GenerationConfig:
     top_k: int = 30
     typical_sampling: bool = False
     max_new_tokens: int = 600
+    # beam termination: an ADMISSIBLE score-bound criterion — stop once no
+    # live beam's optimistic bound (raw score / max-length penalty) can beat
+    # the best finished hypothesis. This differs from HF's early_stopping=True
+    # (stop after num_beams finished hypotheses): ours may search LONGER and
+    # return a higher-scoring hypothesis, so beam token sequences can deviate
+    # from HF generate() even at identical scores arithmetic. All in-repo
+    # drivers and the dense oracle share this rule (bit-matched in tests).
     early_stopping: bool = True
 
 
@@ -169,8 +176,10 @@ def _prefill(params: Params, cfg: GPTConfig, emb: jnp.ndarray, mask: jnp.ndarray
     pad_amt = cache_len - k2.shape[3]
     pads = ((0, 0), (0, 0), (0, 0), (0, pad_amt), (0, 0))
     if quant_kv:
-        # int8 cache with per-column scales (see _decode_block_q); the pad
-        # columns carry scale 1e-8/127 on zeros — masked by attention anyway
+        # int8 cache with per-column scales (see _decode_block_q); jnp.pad
+        # ZERO-fills the pad columns' scales — safe because attention bias
+        # masks unwritten columns (zero scale => zero score/value); do not
+        # rely on pad scales being nonzero (grow_cache zero-pads too)
         k8, ks = _quant_cols(k2)
         v8, vs = _quant_cols(v2)
         spads = pads[:-1]
@@ -411,7 +420,6 @@ def generate_speech(
     if input_tokens is not None:
         seen0 = seen0.at[jnp.arange(b)[:, None], input_tokens.astype(jnp.int32)].set(True)
 
-    cache_positions = jnp.arange(s_max)[None, :]  # [1, S]
     prefill_valid = jnp.pad(prefill_mask, ((0, 0), (0, s_max - p)))
 
     def sample_from(logits, seen, key, step):
@@ -624,7 +632,10 @@ def generate_speech_segmented(
 
     def seg_fns(seg_idx: int):
         cache_len = p + min(segment * (seg_idx + 1), max_new)
-        key = ("seg", b, l, gen, segment, seg_idx, capture_latents, pos_off, quant_kv)
+        # p participates: the closures capture cache_len/p, and p depends on
+        # the conditioning length (cond counts can differ across calls under
+        # condition_type='conformer_encoder')
+        key = ("seg", b, l, p, gen, segment, seg_idx, capture_latents, pos_off, quant_kv)
         if key not in cache:
             if seg_idx == 0:
                 @jax.jit
@@ -722,6 +733,13 @@ def inference_speech(
     if conds.shape[0] == 1 and b > 1:
         conds = jnp.broadcast_to(conds, (b,) + conds.shape[1:])
     if num_return_sequences > 1:
+        # reference asserts divisibility loudly (model.py:678-681); silent
+        # integer division would return too few (or zero) sequences
+        if b > 1 and num_return_sequences % b != 0:
+            raise ValueError(
+                f"num_return_sequences ({num_return_sequences}) must be a "
+                f"multiple of the batch size ({b})"
+            )
         reps = num_return_sequences // b if b > 1 else num_return_sequences
         conds = jnp.repeat(conds, reps, axis=0)
         text_inputs = jnp.repeat(text_inputs, reps, axis=0)
@@ -733,6 +751,18 @@ def inference_speech(
                 input_tokens, conds.shape[0] // input_tokens.shape[0], axis=0
             )
     max_new = max_generate_length if max_generate_length is not None else cfg.max_mel_tokens - 1
+    if input_tokens is not None:
+        # a forced prefix of s0 codes shifts every decode mel position by s0;
+        # cap max_new so s0 + max_new stays inside the positional table
+        # (max_mel_tokens + 2 rows, gpt.py) — the torch reference errors out
+        # of the embedding lookup instead of silently clamping the gather
+        s0 = input_tokens.shape[-1]
+        max_new = min(int(max_new), cfg.max_mel_tokens - 1 - s0)
+        if max_new <= 0:
+            raise ValueError(
+                f"input_tokens prefix ({s0}) leaves no room under "
+                f"max_mel_tokens ({cfg.max_mel_tokens})"
+            )
     gen = GenerationConfig(
         do_sample=do_sample,
         num_beams=num_beams,
@@ -742,6 +772,12 @@ def inference_speech(
     )
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     if num_beams > 1:
+        if input_tokens is not None:
+            # the beam drivers have no forced-prefix prefill; failing loudly
+            # beats the previous behavior (prefix silently ignored)
+            raise NotImplementedError(
+                "input_tokens prefixes are not supported with num_beams > 1"
+            )
         return generate_speech_beam(
             params, cfg, gen, conds, text_inputs, text_lengths, rng,
             temperature=temperature, top_p=top_p, repetition_penalty=repetition_penalty,
@@ -920,11 +956,11 @@ def _generate_speech_beam_dense(
         cond_fn, body_fn, state
     )
 
-    # if no beam finished, fall back to the best live beam (unfinished)
+    # if no beam finished, fall back to the best live beam (unfinished).
+    # The fallback selects by RAW cumulative score (all live beams share
+    # length max_new, so the length penalty cannot change the argmax).
     live_best = jnp.argmax(beam_scores.reshape(b, nb), axis=1)
     live_flat = jnp.arange(b) * nb + live_best
-    live_lp = jnp.asarray(max_new, jnp.float32) ** length_penalty
-    live_scores = beam_scores.reshape(b, nb)[jnp.arange(b), live_best] / live_lp
     has_finished = best_score > NEG_INF / 2
     final_codes = jnp.where(has_finished[:, None], best_codes, codes[live_flat])
     final_len = jnp.where(has_finished, best_len, max_new)
@@ -1168,34 +1204,12 @@ def generate_speech_beam(
              jnp.zeros((b,), jnp.int32))
 
     def step_beams(si, logits, codes, beam_scores, seen, done_best):
-        best_score, best_codes, best_len = done_best
-        logp = warp(logits, seen)
-        cand = (beam_scores[:, None] + logp).reshape(b, nb * v)
-        vals, idx = select_successors(cand, rng, si)
-        src_beam = idx // v
-        tok = (idx % v).astype(jnp.int32)
-        is_eos = tok == cfg.stop_mel_token
-        cur_len = jnp.asarray(si + 1, jnp.float32)
-        lp = jnp.where(cur_len > 0, cur_len**_lp_col(length_penalty), 1.0)
-        finished_scores = jnp.where(is_eos, vals / lp, NEG_INF)
-        fbest = jnp.max(finished_scores, axis=1)
-        fargmax = jnp.argmax(finished_scores, axis=1)
-        improve = fbest > best_score
-        fin_beam = jnp.take_along_axis(src_beam, fargmax[:, None], axis=1)[:, 0]
-        fin_tok = jnp.take_along_axis(tok, fargmax[:, None], axis=1)[:, 0]
-        flat_fin = jnp.arange(b) * nb + fin_beam
-        fin_codes = codes[flat_fin].at[:, si].set(fin_tok)
-        best_codes = jnp.where(improve[:, None], fin_codes, best_codes)
-        best_len = jnp.where(improve, si + 1, best_len)
-        best_score = jnp.where(improve, fbest, best_score)
-        cont_scores = jnp.where(is_eos, NEG_INF, vals)
-        cont_vals, cont_pick = jax.lax.top_k(cont_scores, nb)
-        new_beam = jnp.take_along_axis(src_beam, cont_pick, axis=1)
-        new_tok = jnp.take_along_axis(tok, cont_pick, axis=1).astype(jnp.int32)
-        flat_src = (jnp.arange(b)[:, None] * nb + new_beam).reshape(-1)
-        codes = codes[flat_src].at[:, si].set(new_tok.reshape(-1))
-        seen = seen[flat_src].at[jnp.arange(bb), new_tok.reshape(-1)].set(True)
-        return codes, cont_vals.reshape(-1), seen, (best_score, best_codes, best_len), flat_src, new_tok.reshape(-1)
+        # the shared successor-selection step (one definition for this, the
+        # dense oracle's driver, and the segmented driver — _beam_step)
+        return _beam_step(
+            cfg, gen, si, logits, codes, beam_scores, seen, done_best, warp,
+            select_successors, rng, b, nb, length_penalty,
+        )
 
     codes, beam_scores, seen, done_best, flat_src, cur = step_beams(
         0, logits0, codes0, beam_scores0, seen0, best0

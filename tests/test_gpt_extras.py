@@ -159,3 +159,56 @@ class TestInferenceSpeech:
         )
         c = np.asarray(codes)
         assert (c >= 0).all() and (c < cfg.number_mel_codes).all()
+
+    def test_num_return_sequences_divisibility_enforced(self):
+        """Reference asserts nrs % b == 0 loudly (model.py:678-681); silent
+        integer division returned too few sequences before round-3 review."""
+        cfg = cfg_with("conformer_perceiver")
+        params = init_unified_voice(jax.random.PRNGKey(0), cfg)
+        mel = jnp.asarray(rng_np.standard_normal((1, 40, 100)).astype(np.float32))
+        text = jnp.asarray([[5, 6, 7, 1], [6, 7, 8, 1], [7, 8, 9, 1]], jnp.int32)
+        with pytest.raises(ValueError, match="multiple"):
+            inference_speech(
+                params, cfg, mel, text, jnp.asarray([4, 4, 4]),
+                num_return_sequences=4, max_generate_length=6, rng=jax.random.PRNGKey(7),
+            )
+
+    def test_input_tokens_with_beams_raises(self):
+        """Beam drivers have no forced-prefix prefill; the prefix must not be
+        silently dropped (round-3 review finding)."""
+        cfg = cfg_with("conformer_perceiver")
+        params = init_unified_voice(jax.random.PRNGKey(0), cfg)
+        mel = jnp.asarray(rng_np.standard_normal((1, 40, 100)).astype(np.float32))
+        text = jnp.asarray([[5, 6, 7, 8, 9, 1]], jnp.int32)
+        with pytest.raises(NotImplementedError, match="num_beams"):
+            inference_speech(
+                params, cfg, mel, text, jnp.asarray([5]),
+                input_tokens=jnp.asarray([[3, 4]], jnp.int32), num_beams=2,
+                max_generate_length=6, rng=jax.random.PRNGKey(1),
+            )
+
+    def test_input_tokens_prefix_caps_max_new(self):
+        """A forced prefix shifts decode mel positions by s0; max_new must be
+        capped so the positional table is never over-indexed (the torch
+        reference raises an embedding error; XLA would silently clamp)."""
+        cfg = cfg_with("conformer_perceiver")
+        params = init_unified_voice(jax.random.PRNGKey(0), cfg)
+        mel = jnp.asarray(rng_np.standard_normal((1, 40, 100)).astype(np.float32))
+        text = jnp.asarray([[5, 6, 7, 8, 9, 1]], jnp.int32)
+        prefix = jnp.asarray([[3, 4, 5]], jnp.int32)
+        # max_generate_length beyond capacity: must cap, not over-index
+        codes, lengths = inference_speech(
+            params, cfg, mel, text, jnp.asarray([5]),
+            input_tokens=prefix, max_generate_length=cfg.max_mel_tokens,
+            rng=jax.random.PRNGKey(2),
+        )
+        # capped: generated region bounded by max_mel_tokens - 1 - s0
+        assert codes.shape[1] - prefix.shape[1] <= cfg.max_mel_tokens - 1 - prefix.shape[1]
+        assert int(lengths[0]) <= cfg.max_mel_tokens
+        # a prefix that fills the whole table leaves no room -> loud error
+        with pytest.raises(ValueError, match="no room"):
+            inference_speech(
+                params, cfg, mel, text, jnp.asarray([5]),
+                input_tokens=jnp.asarray([list(range(2, 2 + cfg.max_mel_tokens))], jnp.int32),
+                rng=jax.random.PRNGKey(2),
+            )
