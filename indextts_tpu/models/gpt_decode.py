@@ -390,67 +390,17 @@ def generate_speech(
     two-pass latents; pass pos_off=1 for the consistent-positions serving
     mode where they match exactly (see decode_steps).
     """
-    b, l = text_tokens.shape
-    v = cfg.number_mel_codes
-    emb, prefill_mask = prepare_gpt_inputs(params, cfg, conds, text_tokens, text_lengths)
-    if input_tokens is not None:
-        s0 = input_tokens.shape[1]
-        prefix_emb = (
-            params["mel_embedding"][input_tokens.astype(jnp.int32)]
-            + params["mel_pos_embedding"][1 : s0 + 1][None]
-        )
-        emb = jnp.concatenate([emb, prefix_emb.astype(emb.dtype)], axis=1)
-        prefill_mask = jnp.concatenate([prefill_mask, jnp.ones((b, s0), bool)], axis=1)
-    else:
-        s0 = 0
-    p = emb.shape[1]
     max_new = gen.max_new_tokens
-    s_max = p + max_new
-
-    if capture_latents:
-        logits0, cache, h0 = _prefill(params, cfg, emb, prefill_mask, s_max,
-                                      return_hidden=True, quant_kv=quant_kv)
-    else:
-        logits0, cache = _prefill(params, cfg, emb, prefill_mask, s_max, quant_kv=quant_kv)
-
-    # seen-token mask for repetition penalty: HF penalizes over the whole
-    # input_ids row — the fake inputs are all 1s with a trailing start_mel
-    # (model.py:645-653), so ids {1, start_mel} start out "seen".
-    seen0 = jnp.zeros((b, v), bool).at[:, 1].set(True).at[:, cfg.start_mel_token].set(True)
-    if input_tokens is not None:
-        seen0 = seen0.at[jnp.arange(b)[:, None], input_tokens.astype(jnp.int32)].set(True)
-
-    prefill_valid = jnp.pad(prefill_mask, ((0, 0), (0, s_max - p)))
-
-    def sample_from(logits, seen, key, step):
-        lf = process_logits(
-            logits,
-            seen_mask=seen,
-            repetition_penalty=repetition_penalty,
-            typical_sampling=gen.typical_sampling,
-            typical_mass=typical_mass,
-            temperature=temperature,
-            top_k=gen.top_k if gen.do_sample else 0,
-            top_p=top_p,
-            do_sample=gen.do_sample,
-        )
-        if gen.do_sample:
-            return sample_token(jax.random.fold_in(key, step), lf)
-        return greedy_token(lf)
-
-    tok1 = sample_from(logits0, seen0, rng, 0).astype(jnp.int32)
-    done0 = tok1 == cfg.stop_mel_token
-    codes0 = jnp.full((b, max_new), cfg.stop_mel_token, jnp.int32)
-    codes0 = codes0.at[:, 0].set(tok1)
-    seen1 = seen0.at[jnp.arange(b), tok1].set(True)
-
-    if capture_latents:
-        lat0 = jnp.zeros((b, max_new, cfg.model_dim), emb.dtype)
-        lat0 = jax.lax.dynamic_update_slice(lat0, h0[:, None, :].astype(lat0.dtype), (0, 0, 0))
-        state = (jnp.asarray(0), codes0, cache, done0, seen1, tok1, lat0)
-    else:
-        state = (jnp.asarray(0), codes0, cache, done0, seen1, tok1)
-    state = decode_steps(params, cfg, state, max_new - 1, p, s0, prefill_valid, sample_from, rng,
+    # one prefill/state construction for every sampling driver (one-shot,
+    # streaming, segmented) — see prefill_decode_state
+    state, aux = prefill_decode_state(
+        params, cfg, gen, conds, text_tokens, text_lengths, rng,
+        temperature=temperature, top_p=top_p, repetition_penalty=repetition_penalty,
+        typical_mass=typical_mass, capture_latents=capture_latents,
+        quant_kv=quant_kv, input_tokens=input_tokens,
+    )
+    state = decode_steps(params, cfg, state, max_new - 1, aux["p"], aux["s0"],
+                         aux["prefill_valid"], aux["sample_from"], rng,
                          max_new, pos_off=pos_off)
     codes, done = state[1], state[3]
 
@@ -537,16 +487,30 @@ def prefill_decode_state(
     cache_len: Optional[int] = None,
     capture_latents: bool = False,
     quant_kv: bool = False,
+    input_tokens: Optional[jnp.ndarray] = None,
 ):
     """Prefill + first token; returns (state, aux) where aux carries the
-    static context needed to resume with `decode_steps`. Used by the streaming engine
-    path and by segmented decoding (cache_len < p + max_new allocates a
-    smaller cache to be grown later with `grow_cache`). With
+    static context needed to resume with `decode_steps`. The SINGLE prefill/
+    state construction behind one-shot generation (generate_speech), the
+    streaming engine path, and segmented decoding (cache_len < p + max_new
+    allocates a smaller cache to be grown later with `grow_cache`). With
     `capture_latents` the state carries the [B, max_new, D] latent buffer
-    (see decode_steps)."""
+    (see decode_steps). `input_tokens` [B, S0] are forced mel-code prefixes
+    appended after start_mel at mel positions 1..S0 (model.py:673-688);
+    aux["s0"] must be forwarded to decode_steps."""
     b, l = text_tokens.shape
     v = cfg.number_mel_codes
     emb, prefill_mask = prepare_gpt_inputs(params, cfg, conds, text_tokens, text_lengths)
+    if input_tokens is not None:
+        s0 = input_tokens.shape[1]
+        prefix_emb = (
+            params["mel_embedding"][input_tokens.astype(jnp.int32)]
+            + params["mel_pos_embedding"][1 : s0 + 1][None]
+        )
+        emb = jnp.concatenate([emb, prefix_emb.astype(emb.dtype)], axis=1)
+        prefill_mask = jnp.concatenate([prefill_mask, jnp.ones((b, s0), bool)], axis=1)
+    else:
+        s0 = 0
     p = emb.shape[1]
     max_new = gen.max_new_tokens
     s_max = cache_len if cache_len is not None else p + max_new
@@ -555,7 +519,12 @@ def prefill_decode_state(
                                       return_hidden=True, quant_kv=quant_kv)
     else:
         logits0, cache = _prefill(params, cfg, emb, prefill_mask, s_max, quant_kv=quant_kv)
+    # seen-token mask for repetition penalty: HF penalizes over the whole
+    # input_ids row — the fake inputs are all 1s with a trailing start_mel
+    # (model.py:645-653), so ids {1, start_mel} start out "seen".
     seen0 = jnp.zeros((b, v), bool).at[:, 1].set(True).at[:, cfg.start_mel_token].set(True)
+    if input_tokens is not None:
+        seen0 = seen0.at[jnp.arange(b)[:, None], input_tokens.astype(jnp.int32)].set(True)
     prefill_valid = jnp.pad(prefill_mask, ((0, 0), (0, s_max - p)))
 
     def sample_from(logits, seen, key, step):
@@ -579,7 +548,8 @@ def prefill_decode_state(
         state = (jnp.asarray(0), codes0, cache, done0, seen1, tok1, lat0)
     else:
         state = (jnp.asarray(0), codes0, cache, done0, seen1, tok1)
-    aux = {"p": p, "prefill_valid": prefill_valid, "sample_from": sample_from, "rng": rng, "max_new": max_new}
+    aux = {"p": p, "s0": s0, "prefill_valid": prefill_valid, "sample_from": sample_from,
+           "rng": rng, "max_new": max_new}
     return state, aux
 
 
