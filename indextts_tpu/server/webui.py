@@ -126,7 +126,10 @@ def create_app(engine=None, base_dir: Optional[str] = None,
         audio_files = []
         for filename in os.listdir(output_dir):
             if filename.lower().endswith((".wav", ".mp3", ".ogg")):
-                stat = os.stat(os.path.join(output_dir, filename))
+                try:
+                    stat = os.stat(os.path.join(output_dir, filename))
+                except OSError:
+                    continue  # deleted between listdir and stat (concurrent DELETE)
                 audio_files.append(
                     {
                         "name": filename,
@@ -274,13 +277,21 @@ def create_app(engine=None, base_dir: Optional[str] = None,
         }
 
     # sampling knobs that may differ across jobs in ONE batch — they ride
-    # the decode as per-row traced vectors (engine.BATCH_DYNAMIC_PARAMS)
-    _DYN = ("temperature", "top_p", "repetition_penalty", "length_penalty", "typical_mass")
+    # the decode as per-row traced vectors. Sourced from the engine so the
+    # two lists cannot drift (a stale copy here would either fail whole
+    # batches in infer_batch's validation or needlessly refuse merges).
+    _DYN = tuple(getattr(engine, "BATCH_DYNAMIC_PARAMS",
+                         ("temperature", "top_p", "repetition_penalty",
+                          "length_penalty", "typical_mass")))
 
     def _job_sig(job):
         # jobs must share every STATIC generation parameter (shape/trace:
         # do_sample, num_beams, top_k, typical_sampling, max_mel_tokens…) to
-        # share a decode batch; dynamic sampling knobs merge per-row
+        # share a decode batch; dynamic sampling knobs merge per-row.
+        # infer_mode stays in the signature because a signature group of
+        # size 1 falls back to the solo worker, where the mode selects
+        # engine.infer vs engine.infer_fast — merging modes would make that
+        # fallback depend on which request arrived first.
         return (job["infer_mode"], str(job["max_tokens"]),
                 tuple(sorted((k, v) for k, v in job["kwargs"].items() if k not in _DYN)))
 
@@ -299,16 +310,8 @@ def create_app(engine=None, base_dir: Optional[str] = None,
                              j["infer_mode"], j["max_tokens"], j["verbose"], j["kwargs"])
             return
         ids = [j["task_id"] for j in jobs]
-        # de-collide output paths WITHIN the batch (reference-parity keeps
-        # the 10-char text-prefix filenames, so two same-prefix requests in
-        # one batch would silently serve one user the other's audio)
-        seen_paths: Dict[str, int] = {}
-        for j in jobs:
-            n = seen_paths.get(j["output"], 0)
-            seen_paths[j["output"]] = n + 1
-            if n:
-                root, ext = os.path.splitext(j["output"])
-                j["output"] = f"{root}-{n + 1}{ext}"
+        # output paths are unique by construction (task-id suffix at request
+        # time), so no within-batch de-collision is needed here
 
         def progress_callback(fraction, description):
             for tid in ids:
@@ -325,6 +328,7 @@ def create_app(engine=None, base_dir: Optional[str] = None,
                     [(j["prompt_mel"], j["text"]) for j in jobs],
                     output_paths=[j["output"] for j in jobs],
                     max_text_tokens_per_sentence=int(jobs[0]["max_tokens"]),
+                    verbose=any(j["verbose"] for j in jobs),
                     per_request_kwargs=[
                         {k: v for k, v in j["kwargs"].items() if k in _DYN} for j in jobs
                     ],
@@ -421,8 +425,18 @@ def create_app(engine=None, base_dir: Optional[str] = None,
                 crop_start = form.get("cropStart")
                 crop_end = form.get("cropEnd")
                 if crop_start is not None or crop_end is not None:
-                    start = int(float(crop_start) * target_sr) if crop_start else 0
-                    end = int(float(crop_end) * target_sr) if crop_end else waveform.shape[1]
+                    try:
+                        start = int(float(crop_start) * target_sr) if crop_start else 0
+                        end = int(float(crop_end) * target_sr) if crop_end else waveform.shape[1]
+                    except (ValueError, TypeError):
+                        # malformed crop values are a client error (400), not
+                        # a 500; clean the temp upload like the empty-text path
+                        for fpath in files_to_delete:
+                            try:
+                                os.remove(fpath)
+                            except OSError:
+                                pass
+                        return jsonify({"error": "invalid crop range"}, 400)
                     if start < end and start < waveform.shape[1]:
                         waveform = waveform[:, start:end]
                 mel = MelSpectrogramFeatures()(np.clip(waveform.mean(axis=0, keepdims=True), -1, 1))
@@ -470,7 +484,12 @@ def create_app(engine=None, base_dir: Optional[str] = None,
             max_tokens = form.get("max_text_tokens_per_sentence", 100)
             verbose_tts = str(form.get("verbose_tts", "true")).lower() in ("true", "on", "1")
 
-            output_filename = os.path.join(output_dir, create_download_filename(text_input, safe_voice_id) + ".wav")
+            # task-id suffix: two requests sharing a 10-char text prefix (and
+            # voice) must not write the same path, or one user downloads the
+            # other's audio. The pretty name survives in download_filename.
+            output_filename = os.path.join(
+                output_dir,
+                f"{create_download_filename(text_input, safe_voice_id)}_{task_id[:8]}.wav")
             infer_mode = form.get("infer_mode", "普通推理")
 
             with tasks_lock:
@@ -567,17 +586,49 @@ def create_app(engine=None, base_dir: Optional[str] = None,
                     pass
 
         def wav_stream():
+            import queue as _queue
             import struct
 
             sr = 24000
-            # RIFF header with max sizes: players treat it as "until EOF"
-            yield (b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVEfmt "
-                   + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
-                   + b"data" + struct.pack("<I", 0xFFFFFFFF))
-            with worker_lock:
-                for chunk in engine.infer_stream(prompt_mel, text_input, **kwargs):
-                    pcm = np.clip(chunk * 32767.0, -32767, 32767).astype("<i2")
-                    yield pcm.tobytes()
+            # Decouple engine execution from client socket writes: the
+            # producer thread holds worker_lock only while synthesizing and
+            # queues PCM; the generator yields from the queue OUTSIDE the
+            # lock. Yielding under the lock would let one slow-reading
+            # streaming client stall every other synthesis server-wide (the
+            # generator suspends mid-`with` while wsgiref blocks on the
+            # socket). Queue memory is bounded by the audio itself
+            # (~48 KB/s of PCM). A client disconnect sets `cancelled`, which
+            # stops the decode at the next chunk instead of synthesizing to
+            # completion for nobody.
+            q: "_queue.Queue[Optional[bytes]]" = _queue.Queue()
+            cancelled = threading.Event()
+
+            def produce():
+                try:
+                    with worker_lock:
+                        for chunk in engine.infer_stream(prompt_mel, text_input, **kwargs):
+                            if cancelled.is_set():
+                                break
+                            pcm = np.clip(chunk * 32767.0, -32767, 32767).astype("<i2")
+                            q.put(pcm.tobytes())
+                except Exception:
+                    traceback.print_exc()
+                finally:
+                    q.put(None)
+
+            threading.Thread(target=produce, daemon=True).start()
+            try:
+                # RIFF header with max sizes: players treat it as "until EOF"
+                yield (b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVEfmt "
+                       + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+                       + b"data" + struct.pack("<I", 0xFFFFFFFF))
+                while True:
+                    buf = q.get()
+                    if buf is None:
+                        break
+                    yield buf
+            finally:
+                cancelled.set()
 
         return StreamResponse(wav_stream(), content_type="audio/wav")
 
@@ -602,12 +653,13 @@ def create_app(engine=None, base_dir: Optional[str] = None,
                 done = entry.get("status") in ("completed", "failed", "error")
                 old = now - entry.get("created_at", now) > ttl_any
                 collected = now - entry.get("finished_at", now) > ttl_done
-                # a task actively being synthesized is never stale, however
-                # old: the serialized worker queue can legitimately sit on a
-                # deep backlog for hours, and reaping a live entry would strand
-                # its eventual result (clients polling it would get "unknown
-                # task id")
-                if entry.get("status") == "processing":
+                # a task actively being synthesized OR still waiting its turn
+                # is never stale, however old: the serialized worker queue /
+                # batch dispatcher can legitimately sit on a deep backlog for
+                # hours, and reaping a live entry would strand its eventual
+                # result (clients polling it would get "unknown task id"
+                # while the synthesis still burns device time to completion)
+                if entry.get("status") in ("processing", "queued"):
                     continue
                 if (done and collected) or old:
                     reaped.append(tasks_status.pop(tid))

@@ -49,7 +49,10 @@ class Request:
                 self.too_large = True
                 self._body = b""
             else:
-                self._body = self.environ["wsgi.input"].read(length) if length else b""
+                # length > 0 (not truthiness): a hostile "Content-Length: -1"
+                # must not become read(-1) = unbounded read-until-EOF on
+                # wsgiref's raw rfile, which bypasses the cap above.
+                self._body = self.environ["wsgi.input"].read(length) if length > 0 else b""
         return self._body
 
     @property
@@ -75,9 +78,19 @@ class Request:
     def _parse_multipart(self, boundary: bytes):
         body = self.body
         delim = b"--" + boundary
-        for part in body.split(delim):
-            part = part.strip(b"\r\n")
-            if not part or part == b"--":
+        parts = body.split(delim)
+        # parts[0] is the RFC 2046 preamble; the closing delimiter leaves a
+        # part starting with b"--". Frame removal must strip EXACTLY one CRLF
+        # on each side — a character-class strip(b"\r\n") eats trailing
+        # 0x0D/0x0A bytes that belong to the uploaded file data.
+        for part in parts[1:]:
+            if part.startswith(b"--"):
+                break  # closing delimiter; anything after is epilogue
+            if part.startswith(b"\r\n"):
+                part = part[2:]
+            if part.endswith(b"\r\n"):
+                part = part[:-2]
+            if not part:
                 continue
             if b"\r\n\r\n" not in part:
                 continue
@@ -94,6 +107,12 @@ class Request:
                 continue
             name = name_m.group(1)
             if file_m:
+                # an unselected browser <input type=file> submits
+                # filename="" with an empty body; Flask's empty FileStorage
+                # is falsy (the reference relies on `if file:` checks,
+                # ref webui.py form handling) — treat it as absent here.
+                if file_m.group(1) == "" and not data:
+                    continue
                 self.files[name] = (file_m.group(1), data)
             else:
                 self.form[name] = data.decode("utf-8", "replace")

@@ -457,6 +457,8 @@ class TestContinuousBatching:
         batch_calls = [c for c in engine.calls if c[0] == "infer_batch"]
         assert len(batch_calls) == 1
         assert sorted(batch_calls[0][1]) == ["first one.", "second one."]
+        # verbose rides through to infer_batch (default verbose_tts=true)
+        assert batch_calls[0][2]["verbose"] is True
         for i in ids:
             assert app._tasks_status[i]["audio_url"].startswith("/static/outputs/")
 
@@ -570,6 +572,153 @@ class TestReplacements:
             files={"referenceAudioFile": ("p.wav", _wav_bytes())},
         )
         assert status == 200, data
+
+
+class TestWSGIProtocol:
+    """Protocol-layer regressions in the stdlib WSGI shim (review findings)."""
+
+    def _parse(self, fields, files=None, content_length=None, body=None):
+        from indextts_tpu.server.wsgi import Request
+
+        if body is None:
+            body, ctype = _multipart_body(fields, files)
+        else:
+            ctype = f"multipart/form-data; boundary=testboundary123"
+        environ = {
+            "REQUEST_METHOD": "POST", "PATH_INFO": "/x", "QUERY_STRING": "",
+            "CONTENT_TYPE": ctype,
+            "CONTENT_LENGTH": str(len(body) if content_length is None else content_length),
+            "wsgi.input": io.BytesIO(body),
+        }
+        return Request(environ)
+
+    def test_multipart_preserves_trailing_crlf_bytes(self):
+        """File data whose final bytes are 0x0D/0x0A must survive parsing
+        byte-exact — a character-class strip(b'\\r\\n') eats them (a WAV whose
+        last PCM samples look like newlines would be silently truncated)."""
+        for payload in (b"DATA\x0a", b"DATA\x0d", b"DATA\x0d\x0a\x0a",
+                        b"\x0aDATA", b"DATA\r\n\r\n", b"\r\nDATA\r\n"):
+            req = self._parse({"k": "v"}, {"f": ("a.wav", payload)})
+            assert req.files["f"][1] == payload, payload
+            assert req.form["k"] == "v"
+
+    def test_negative_content_length_reads_nothing(self):
+        """'Content-Length: -1' must not become read(-1) (unbounded
+        read-until-EOF on the raw socket, bypassing MAX_BODY_BYTES)."""
+        from indextts_tpu.server.wsgi import Request
+
+        class Guard:
+            def read(self, n=-1):
+                assert n > 0, f"unbounded/empty read({n}) reached wsgi.input"
+                return b"x" * n
+
+        environ = {
+            "REQUEST_METHOD": "POST", "PATH_INFO": "/x", "QUERY_STRING": "",
+            "CONTENT_TYPE": "multipart/form-data; boundary=b",
+            "CONTENT_LENGTH": "-1", "wsgi.input": Guard(),
+        }
+        req = Request(environ)
+        assert req.body == b"" and not req.too_large
+
+    def test_empty_file_input_treated_as_absent(self, server):
+        """An unselected browser <input type=file> (filename="", empty body)
+        must behave like no upload: 400 'reference audio required', and it
+        must NOT clear another user's pending save-voice feature cache."""
+        client, _, app, _ = server
+        app._temp_features_cache["upload:other-user"] = {"cond_mel_numpy": np.zeros((1, 2, 2))}
+        status, data = client.multipart(
+            "/api/synthesize", {"text": "hi"},
+            files={"referenceAudioFile": ("", b"")},
+        )
+        assert status == 400 and "required" in data["error"]
+        assert "upload:other-user" in app._temp_features_cache
+
+    def test_invalid_crop_values_400(self, server, tmp_path):
+        client, _, app, base = server
+        status, data = client.multipart(
+            "/api/synthesize", {"text": "hello", "cropStart": "abc"},
+            files={"referenceAudioFile": ("p.wav", _wav_bytes())},
+        )
+        assert status == 400 and "crop" in data["error"]
+        # temp upload cleaned up on the early return
+        temp_dir = os.path.join(base, "static", "temp_audio")
+        assert os.listdir(temp_dir) == []
+
+
+class TestTaskLifecycle:
+    def test_queued_tasks_survive_ttl_reap(self, server):
+        """A task still waiting on a deep backlog ('queued' for > ttl_any)
+        must not be reaped — its synthesis WILL run, and popping the entry
+        strands the result (clients get 'unknown task id')."""
+        client, engine, app, _ = server
+        old = time.time() - 3 * 7200
+        app._tasks_status["stale-queued"] = {
+            "status": "queued", "progress": 0, "message": "m", "created_at": old}
+        app._tasks_status["stale-done"] = {
+            "status": "completed", "progress": 100, "message": "m",
+            "created_at": old, "finished_at": old}
+        # any synthesize triggers _reap_stale_tasks
+        status, data = client.multipart(
+            "/api/synthesize", {"text": "trigger reap."},
+            files={"referenceAudioFile": ("p.wav", _wav_bytes())},
+        )
+        assert status == 200
+        assert "stale-queued" in app._tasks_status
+        assert "stale-done" not in app._tasks_status
+
+    def test_same_text_sequential_requests_distinct_outputs(self, server):
+        """Two requests sharing text+voice must write distinct files — the
+        second must not overwrite audio the first user is about to download
+        (cross-request collision, not just within-batch)."""
+        client, engine, app, _ = server
+        urls = []
+        for _ in range(2):
+            status, data = client.multipart(
+                "/api/synthesize", {"text": "identical words."},
+                files={"referenceAudioFile": ("p.wav", _wav_bytes())},
+            )
+            tid = data["task_id"]
+            deadline = time.time() + 10
+            while time.time() < deadline:
+                st = app._tasks_status.get(tid, {})
+                if st.get("status") in ("completed", "failed"):
+                    break
+                time.sleep(0.02)
+            assert st.get("status") == "completed"
+            urls.append(st["audio_url"])
+        assert urls[0] != urls[1]
+
+    def test_slow_stream_client_does_not_block_other_synthesis(self, server):
+        """The streaming route must not hold worker_lock across client
+        socket writes: with a stalled stream consumer (header read, then
+        nothing), a normal /api/synthesize must still complete."""
+        client, engine, app, _ = server
+
+        def fake_stream(prompt_mel, text, **kw):
+            for _ in range(3):
+                yield np.zeros(800, np.float32)
+
+        engine.infer_stream = fake_stream
+        status, headers, result = client.request(
+            "POST", "/api/synthesize-stream",
+            *_multipart_body({"text": "stall me."}, {"referenceAudioFile": ("p.wav", _wav_bytes())}),
+        )
+        assert status == 200
+        it = iter(result)
+        assert next(it).startswith(b"RIFF")  # header out; consumer now stalls
+        # worker must be free for the next job even though the stream client
+        # never drains its remaining chunks
+        status, data = client.multipart(
+            "/api/synthesize", {"text": "unblocked."},
+            files={"referenceAudioFile": ("p.wav", _wav_bytes())},
+        )
+        tid = data["task_id"]
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            if app._tasks_status.get(tid, {}).get("status") in ("completed", "failed"):
+                break
+            time.sleep(0.02)
+        assert app._tasks_status.get(tid, {}).get("status") == "completed"
 
 
 class TestBodyLimit:
