@@ -552,6 +552,35 @@ class IndexTTS:
         )
         return latent  # [B, lc, D]
 
+    def _samples_per_code(self) -> int:
+        """Waveform samples per mel code — the ONE definition used by both
+        one-shot wav trimming and streaming chunk accounting (two diverging
+        copies would silently drop/duplicate samples at chunk boundaries)."""
+        h = self.cfg.bigvgan
+        return (4 if h.feat_upsample else 1) * int(np.prod(h.upsample_rates))
+
+    def _mel_ref_for(self, prompt_mel: np.ndarray, b: int):
+        """Device-resident frame-bucketed reference mel [b, fb, 100] + ECAPA
+        relative lengths, value-cached per prompt digest (same rationale as
+        _conds_for: each host->device upload costs ~32 ms through the
+        tunnel, and multi-sentence infer re-vocode the SAME prompt N times)."""
+        import hashlib
+
+        frames = prompt_mel.shape[-1]
+        fb = max(_round_up(frames, 100), 100)
+        vkey = ("melref", hashlib.sha1(np.ascontiguousarray(prompt_mel)).hexdigest(), b)
+        if vkey not in self._cond_cache:
+            mel_ref = np.zeros((b, fb, prompt_mel.shape[1]), np.float32)
+            mel_ref[:, :frames] = np.transpose(prompt_mel, (0, 2, 1))
+            val_keys = [k for k in self._cond_cache if k[0] == "melref"]
+            if len(val_keys) >= 16:
+                del self._cond_cache[val_keys[0]]
+            self._cond_cache[vkey] = (
+                jnp.asarray(mel_ref, self.dtype),
+                jnp.asarray([frames / fb] * b, jnp.float32),
+            )
+        return self._cond_cache[vkey] + (fb,)
+
     def _vocode(self, latent: jnp.ndarray, n_valid: int, prompt_mel: np.ndarray) -> np.ndarray:
         """latent [1, m, D] -> wav np [1, samples]; pads the latent to a
         frame bucket and trims the wav back to n_valid codes * 1024 samples."""
@@ -559,19 +588,13 @@ class IndexTTS:
         m = max(_round_up(m0, 16), 16)
         if m != m0:
             latent = jnp.pad(latent, ((0, 0), (0, m - m0), (0, 0)))
-        frames = prompt_mel.shape[-1]
-        fb = max(_round_up(frames, 100), 100)
-        mel_ref = np.zeros((latent.shape[0], fb, prompt_mel.shape[1]), np.float32)
-        mel_ref[:, :frames] = np.transpose(prompt_mel, (0, 2, 1))
         # ECAPA masks the zero-padded prompt frames via relative lengths
-        lens = jnp.asarray([frames / fb] * latent.shape[0], jnp.float32)
-        h = self.cfg.bigvgan
+        mel_ref, lens, fb = self._mel_ref_for(prompt_mel, latent.shape[0])
 
         fn = self._vocoder_fn(latent.shape[0], m, fb)
-        wav = fn(self.bigvgan_params, latent.astype(self.dtype), jnp.asarray(mel_ref, self.dtype), lens)
+        wav = fn(self.bigvgan_params, latent.astype(self.dtype), mel_ref, lens)
         wav = np.asarray(wav[..., 0], np.float32)  # [B, T]
-        samples_per_code = 4 * int(np.prod(h.upsample_rates)) if h.feat_upsample else int(np.prod(h.upsample_rates))
-        return wav[:, : n_valid * samples_per_code]
+        return wav[:, : n_valid * self._samples_per_code()]
 
     # ------------------------------------------------------------------
     # public synthesis API
@@ -630,6 +653,14 @@ class IndexTTS:
         max_mel_tokens = self._clamp_mel_tokens(generation_kwargs.pop("max_mel_tokens", 600))
         typical_sampling = generation_kwargs.pop("typical_sampling", False)
         typical_mass = generation_kwargs.pop("typical_mass", 0.9)
+        if generation_kwargs:
+            # loud, like HF generate()'s "model_kwargs are not used" check
+            # (the reference surfaces typos this way; silently running with
+            # defaults hands the user wrong-knob audio with no signal)
+            raise ValueError(
+                f"unknown generation kwargs: {sorted(generation_kwargs)} "
+                "(did you misspell a sampling parameter?)"
+            )
         gen = GenerationConfig(
             do_sample=do_sample,
             num_beams=num_beams,
@@ -846,9 +877,9 @@ class IndexTTS:
                 gpt_forward_time += time.perf_counter() - m_start
                 all_latents.append((latent[:, : codes.shape[1]], int(code_lens[0])))
 
-        # restore original order
-        order = [all_idxs.index(i) for i in range(len(all_latents))]
-        all_latents = [all_latents[j] for j in order]
+        # restore original order (argsort, not a quadratic list.index scan —
+        # a long document can split into thousands of sentences)
+        all_latents = [all_latents[j] for j in np.argsort(all_idxs)]
         chunk_size = 2
         chunk_latents = [all_latents[i : i + chunk_size] for i in range(0, len(all_latents), chunk_size)]
         chunk_length = len(chunk_latents)
@@ -1016,6 +1047,17 @@ class IndexTTS:
         gen, dyn, max_mel_tokens = self._parse_generation_kwargs(
             generation_kwargs, force_num_beams=1
         )
+        # chunk knobs must make progress and fit the codes buffer: the fused
+        # first chunk writes first_chunk_codes+1 slots of a max_new_tokens
+        # buffer (a wider write is a shape error inside jit), and a
+        # non-positive chunk_codes would make decode_steps a no-op — the
+        # while-loop below would spin forever without advancing
+        # lower clamp 0, not 1: the prefill itself emits one code, so the
+        # fused first chunk covers first_chunk_codes+1 slots — max_new=1
+        # needs zero extra steps
+        first_chunk_codes = max(0, min(int(first_chunk_codes), gen.max_new_tokens - 1))
+        chunk_codes = max(1, int(chunk_codes))
+        overlap_codes = max(0, int(overlap_codes))
         temperature, top_p = dyn["temperature"], dyn["top_p"]
         repetition_penalty, typical_mass = dyn["repetition_penalty"], dyn["typical_mass"]
         conds = self._conds_for(prompt_mel)
@@ -1024,14 +1066,8 @@ class IndexTTS:
         )
         if not sentences:
             raise ValueError("Text is empty (nothing to synthesize after tokenization).")
-        h = self.cfg.bigvgan
-        samples_per_code = (4 if h.feat_upsample else 1) * int(np.prod(h.upsample_rates))
-        frames = prompt_mel.shape[-1]
-        fb = max(_round_up(frames, 100), 100)
-        mel_ref = np.zeros((1, fb, prompt_mel.shape[1]), np.float32)
-        mel_ref[:, :frames] = np.transpose(prompt_mel, (0, 2, 1))
-        mel_ref_j = jnp.asarray(mel_ref, self.dtype)
-        mel_lens = jnp.asarray([frames / fb], jnp.float32)
+        samples_per_code = self._samples_per_code()
+        mel_ref_j, mel_lens, fb = self._mel_ref_for(prompt_mel, 1)
         for sent in sentences:
             tokens0 = np.asarray(self.tokenizer.convert_tokens_to_ids(sent), np.int32)[None, :]
             l0 = tokens0.shape[1]
@@ -1061,12 +1097,11 @@ class IndexTTS:
                 state = step_fn(self.gpt_params, state, prefill_valid, sub, *args)
                 i, codes_buf, done = state[0], state[1], state[3]
                 n_codes = int(i) + 1
-                all_done = bool(np.asarray(done).all())
                 # only vocode completed (non-stop) codes
                 codes_np = np.asarray(codes_buf[:, :n_codes])
                 stop_pos = np.nonzero(codes_np[0] == self.stop_mel_token)[0]
                 valid_n = int(stop_pos[0]) if stop_pos.size else n_codes
-                if valid_n > emitted or (all_done and valid_n > 0 and emitted == 0):
+                if valid_n > emitted:
                     start = max(emitted - overlap_codes, 0)
                     if self.fast_latents:
                         # captured during decode; no teacher-forced pass

@@ -132,6 +132,17 @@ class TestEngine:
             list(engine.infer_stream(prompt_mel, "", do_sample=False,
                                      max_mel_tokens=6, repetition_penalty=1.0))
 
+    def test_unknown_generation_kwarg_raises(self, engine, prompt_mel):
+        """A misspelled sampling knob must raise loudly, like HF generate()'s
+        unused-model_kwargs check — silently running with defaults hands the
+        user wrong-knob audio with no signal."""
+        with pytest.raises(ValueError, match="unknown generation kwargs.*max_mel_token"):
+            engine.infer(prompt_mel, "HELLO.", None, do_sample=False,
+                         num_beams=1, max_mel_token=6)  # sic: missing 's'
+        with pytest.raises(ValueError, match="unknown generation kwargs"):
+            list(engine.infer_stream(prompt_mel, "HELLO.", do_sample=False,
+                                     repetition_penality=5.0))  # sic
+
     def test_max_mel_tokens_clamped_to_capacity(self, engine, prompt_mel):
         """A max_mel_tokens request above the model's mel positional table
         (max_mel_tokens+2 rows) must be clamped, not crash the latent pass

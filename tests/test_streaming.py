@@ -58,6 +58,38 @@ class TestStreaming:
         )
         assert sum(c.size for c in chunks) >= 0  # reaching here is the test
 
+    def test_first_chunk_wider_than_max_mel_tokens(self, engine, prompt_mel):
+        """first_chunk_codes > max_mel_tokens must clamp to the codes buffer,
+        not shape-error inside jit (default path) or emit zero-latent
+        garbage audio past the generated codes (fast_latents path)."""
+        kwargs = dict(do_sample=False, max_mel_tokens=6, repetition_penalty=1.0)
+        chunks = list(
+            engine.infer_stream(prompt_mel, "HELLO WORLD.",
+                                first_chunk_codes=24, chunk_codes=6, **kwargs)
+        )
+        total = int(sum(c.size for c in chunks))
+        sr, full = engine.infer(prompt_mel, "HELLO WORLD.", None, num_beams=1, **kwargs)
+        assert total == full.shape[0]
+
+    def test_tiny_max_mel_tokens_one(self, engine, prompt_mel):
+        """max_mel_tokens=1: the prefill's single code IS the synthesis;
+        the fused first chunk must take zero extra steps."""
+        chunks = list(
+            engine.infer_stream(prompt_mel, "HELLO.", do_sample=False,
+                                max_mel_tokens=1, repetition_penalty=1.0)
+        )
+        assert sum(c.size for c in chunks) >= 0  # terminates without error
+
+    def test_nonpositive_chunk_codes_terminates(self, engine, prompt_mel):
+        """chunk_codes <= 0 used to make decode_steps a no-op and spin the
+        emit loop forever; it must clamp to 1 and terminate."""
+        chunks = list(
+            engine.infer_stream(prompt_mel, "HELLO.", do_sample=False,
+                                max_mel_tokens=6, repetition_penalty=1.0,
+                                first_chunk_codes=2, chunk_codes=0)
+        )
+        assert sum(c.size for c in chunks) >= 0
+
     def test_streamed_token_count_matches_batch(self, engine, prompt_mel):
         """The streamed decode must emit the same greedy codes as the
         non-streaming path (identical sampling state machine)."""
