@@ -481,7 +481,13 @@ def create_app(engine=None, base_dir: Optional[str] = None,
                     except OSError:
                         pass
                 return jsonify({"error": "text is empty"}, 400)
-            max_tokens = form.get("max_text_tokens_per_sentence", 100)
+            try:
+                # "" (cleared number input) or garbage falls back to the
+                # default like every param_map knob, instead of int("")
+                # blowing up the whole task inside the worker
+                max_tokens = int(float(form.get("max_text_tokens_per_sentence", 100)))
+            except (TypeError, ValueError):
+                max_tokens = 100
             verbose_tts = str(form.get("verbose_tts", "true")).lower() in ("true", "on", "1")
 
             # task-id suffix: two requests sharing a 10-char text prefix (and

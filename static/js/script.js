@@ -26,13 +26,24 @@ async function loadRulesets() {
 }
 
 function ruleRow(original = "", replacement = "") {
+  // build via DOM + .value (never innerHTML interpolation): rules are
+  // arbitrary regex text — entity sequences like "&nbsp;" must round-trip
+  // byte-exact, and attribute escaping is easy to get wrong
   const row = document.createElement("div");
   row.className = "rule-row";
-  row.innerHTML = `
-    <input class="rule-original" placeholder="正则 regex" value="${original.replace(/"/g, "&quot;")}">
-    <input class="rule-replacement" placeholder="替换 replacement" value="${replacement.replace(/"/g, "&quot;")}">
-    <button class="ghost danger rule-del">×</button>`;
-  row.querySelector(".rule-del").onclick = () => row.remove();
+  const orig = document.createElement("input");
+  orig.className = "rule-original";
+  orig.placeholder = "正则 regex";
+  orig.value = original;
+  const repl = document.createElement("input");
+  repl.className = "rule-replacement";
+  repl.placeholder = "替换 replacement";
+  repl.value = replacement;
+  const del = document.createElement("button");
+  del.className = "ghost danger rule-del";
+  del.textContent = "×";
+  del.onclick = () => row.remove();
+  row.append(orig, repl, del);
   return row;
 }
 
@@ -49,7 +60,12 @@ $("rule-add-btn").onclick = () => $("rules-list").appendChild(ruleRow());
 $("ruleset-select").onchange = async () => {
   const name = $("ruleset-select").value;
   $("rules-list").innerHTML = "";
-  if (!name) return;
+  if (!name) {
+    // clear the stale name too — otherwise Save after picking "(none)"
+    // would overwrite the previously-loaded ruleset with an empty list
+    $("ruleset-name").value = "";
+    return;
+  }
   const res = await fetch(`/api/rulesets/${encodeURIComponent(name)}`);
   if (!res.ok) return;
   const rules = await res.json();
@@ -60,13 +76,16 @@ $("ruleset-select").onchange = async () => {
 $("ruleset-save-btn").onclick = async () => {
   const name = $("ruleset-name").value.trim();
   if (!name) return alert("需要规则集名称 / ruleset name required");
-  await fetch("/api/rulesets", {
+  const res = await fetch("/api/rulesets", {
     method: "POST",
     headers: { "Content-Type": "application/json" },
     body: JSON.stringify({ name, rules: currentRules() }),
   });
+  const out = await res.json();
   await loadRulesets();
-  $("ruleset-select").value = name;
+  // the server stores under the SANITIZED name ("my rules" -> "my-rules");
+  // select what it actually saved or the dropdown silently deselects
+  $("ruleset-select").value = (out && out.filename) || name;
 };
 
 $("ruleset-delete-btn").onclick = async () => {
@@ -96,16 +115,22 @@ async function loadVoices() {
   sel.value = cur;
 }
 
-$("saved-voice-select").onchange = () => {
+// ONE sync function for the voice-source UI state: several code paths set
+// saved-voice-select.value programmatically (file pick, voice save, voice
+// delete/reload), and programmatic .value changes never fire onchange
+function updateVoiceSourceUI() {
   const usingSaved = !!$("saved-voice-select").value;
   $("upload-zone").style.opacity = usingSaved ? 0.4 : 1;
-};
+}
+
+$("saved-voice-select").onchange = updateVoiceSourceUI;
 
 $("voice-delete-btn").onclick = async () => {
   const id = $("saved-voice-select").value;
   if (!id || !confirm(`删除声音 "${id}"?`)) return;
   await fetch(`/api/saved-voices/${encodeURIComponent(id)}`, { method: "DELETE" });
   await loadVoices();
+  updateVoiceSourceUI();
 };
 
 // ---------------------------------------------------------------------------
@@ -114,14 +139,29 @@ $("voice-delete-btn").onclick = async () => {
 
 let waveDuration = 0;
 let dragStart = null;
+// decode cache + shared context: browsers cap live AudioContexts (~6 in
+// Chrome) and every crop tweak redraws — a fresh context per draw would
+// kill the waveform UI after a few adjustments, and re-decoding the same
+// file on every overlay change is wasted work
+let sharedAudioCtx = null;
+let decodedWave = { file: null, audio: null };
+
+async function decodeForWaveform(file) {
+  if (decodedWave.file === file) return decodedWave.audio;
+  if (!sharedAudioCtx) {
+    sharedAudioCtx = new (window.AudioContext || window.webkitAudioContext)();
+  }
+  const buf = await file.arrayBuffer();
+  const audio = await sharedAudioCtx.decodeAudioData(buf);
+  decodedWave = { file, audio };
+  return audio;
+}
 
 async function drawWaveform(file) {
   const canvas = $("waveform");
   const ctx2d = canvas.getContext("2d");
   try {
-    const buf = await file.arrayBuffer();
-    const actx = new (window.AudioContext || window.webkitAudioContext)();
-    const audio = await actx.decodeAudioData(buf);
+    const audio = await decodeForWaveform(file);
     waveDuration = audio.duration;
     const data = audio.getChannelData(0);
     const w = canvas.width, h = canvas.height;
@@ -165,10 +205,14 @@ $("waveform").addEventListener("mousedown", (ev) => {
   const rect = $("waveform").getBoundingClientRect();
   dragStart = ((ev.clientX - rect.left) / rect.width) * waveDuration;
 });
-$("waveform").addEventListener("mouseup", (ev) => {
+// mouseup on document, not the canvas: a drag released off-canvas must
+// finish (clamped) rather than leave a stale dragStart that pairs with an
+// unrelated later click and sets a bogus crop range
+document.addEventListener("mouseup", (ev) => {
   if (dragStart === null || !waveDuration) return;
   const rect = $("waveform").getBoundingClientRect();
-  const end = ((ev.clientX - rect.left) / rect.width) * waveDuration;
+  const frac = Math.min(1, Math.max(0, (ev.clientX - rect.left) / rect.width));
+  const end = frac * waveDuration;
   $("crop-start").value = Math.min(dragStart, end).toFixed(2);
   $("crop-end").value = Math.max(dragStart, end).toFixed(2);
   dragStart = null;
@@ -187,10 +231,13 @@ $("crop-end").addEventListener("change", () => {
 $("reference-audio").onchange = () => {
   const file = $("reference-audio").files[0];
   if (file) {
+    const prev = $("reference-preview").src;
+    if (prev && prev.startsWith("blob:")) URL.revokeObjectURL(prev);
     const url = URL.createObjectURL(file);
     $("reference-preview").src = url;
     $("reference-preview").classList.remove("hidden");
     $("saved-voice-select").value = "";
+    updateVoiceSourceUI();
     $("crop-start").value = "";
     $("crop-end").value = "";
     drawWaveform(file);
@@ -212,6 +259,7 @@ $("voice-save-btn").onclick = async () => {
   $("voice-save-btn").disabled = true;
   await loadVoices();
   $("saved-voice-select").value = out.id;
+  updateVoiceSourceUI();
 };
 
 // ---------------------------------------------------------------------------
@@ -220,7 +268,7 @@ $("voice-save-btn").onclick = async () => {
 
 function setProgress(pct, msg) {
   $("progress-wrap").classList.remove("hidden");
-  $("progress-fill").style.width = `${pct}%`;
+  if (pct !== null) $("progress-fill").style.width = `${pct}%`; // null: keep bar, update msg only
   $("progress-msg").textContent = msg || "";
 }
 
@@ -284,6 +332,12 @@ async function synthesizeStreaming(form) {
     const drainMs = Math.max(0, (nextTime - ctx.currentTime) * 1000) + 200;
     setTimeout(() => { try { ctx.close(); } catch (e) {} }, drainMs);
   }
+  if (samplesStreamed === 0) {
+    // the server streams the RIFF header before synthesis starts, so an
+    // engine failure mid-stream just ends the body: a header-only response
+    // is an error, not a completed 0-second synthesis
+    throw new Error("服务端未产生音频 no audio streamed (server-side failure?)");
+  }
   // assemble a well-formed WAV (fix the max-size RIFF lengths) for replay
   const total = allChunks.reduce((n, c) => n + c.length, 0);
   const out = new Uint8Array(total);
@@ -312,7 +366,11 @@ $("synthesize-btn").onclick = async () => {
   form.append("num_beams", $("p-num-beams").value);
   form.append("length_penalty", $("p-len-pen").value);
   form.append("max_mel_tokens", $("p-max-mel").value);
-  form.append("max_text_tokens_per_sentence", $("p-max-text").value);
+  // a cleared number input submits "" — omit it so the server default
+  // applies instead of failing the task on int("")
+  if ($("p-max-text").value) {
+    form.append("max_text_tokens_per_sentence", $("p-max-text").value);
+  }
   form.append("replacements", JSON.stringify(currentRules()));
 
   const savedVoice = $("saved-voice-select").value;
@@ -387,8 +445,16 @@ function watchTask(taskId, fromUpload) {
     }
   };
   es.onerror = () => {
-    es.close();
-    $("synthesize-btn").disabled = false;
+    // transient blips: EventSource reconnects on its own, and the server
+    // keeps the task for reconnecting clients (webui._reap_stale_tasks) —
+    // closing here would freeze progress and invite a duplicate submit.
+    // Only a CLOSED readyState means the browser has given up for good.
+    if (es.readyState === EventSource.CLOSED) {
+      $("synthesize-btn").disabled = false;
+      setProgress(0, "连接中断 connection lost — task may still complete (see history)");
+    } else {
+      setProgress(null, "重新连接 reconnecting…");
+    }
   };
 }
 
@@ -402,13 +468,28 @@ async function loadHistory() {
   const ul = $("history-list");
   ul.innerHTML = "";
   for (const item of items) {
+    // DOM construction, not innerHTML interpolation: outputs/ is a plain
+    // shared directory, so file names are not guaranteed attribute-safe
     const li = document.createElement("li");
-    li.innerHTML = `
-      <span class="name" title="${item.name}">${item.name}</span>
-      <span class="date">${item.date}</span>
-      <button class="ghost play">▶</button>
-      <a class="ghost" href="${item.url}" download>⬇</a>
-      <button class="ghost danger del">×</button>`;
+    const name = document.createElement("span");
+    name.className = "name";
+    name.title = item.name;
+    name.textContent = item.name;
+    const date = document.createElement("span");
+    date.className = "date";
+    date.textContent = item.date;
+    const play = document.createElement("button");
+    play.className = "ghost play";
+    play.textContent = "▶";
+    const dl = document.createElement("a");
+    dl.className = "ghost";
+    dl.href = item.url;
+    dl.setAttribute("download", "");
+    dl.textContent = "⬇";
+    const del = document.createElement("button");
+    del.className = "ghost danger del";
+    del.textContent = "×";
+    li.append(name, date, play, dl, del);
     li.querySelector(".play").onclick = () => {
       $("result").classList.remove("hidden");
       $("result-audio").src = `${item.url}?t=${Date.now()}`;

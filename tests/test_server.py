@@ -633,6 +633,25 @@ class TestWSGIProtocol:
         assert status == 400 and "required" in data["error"]
         assert "upload:other-user" in app._temp_features_cache
 
+    def test_empty_max_text_tokens_uses_default(self, server):
+        """A cleared number input submits ""; the server must fall back to
+        the default (100) like every param_map knob, not fail the task with
+        int('')."""
+        client, engine, app, _ = server
+        status, data = client.multipart(
+            "/api/synthesize", {"text": "default me.", "max_text_tokens_per_sentence": ""},
+            files={"referenceAudioFile": ("p.wav", _wav_bytes())},
+        )
+        assert status == 200
+        tid = data["task_id"]
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            if app._tasks_status.get(tid, {}).get("status") in ("completed", "failed"):
+                break
+            time.sleep(0.02)
+        assert app._tasks_status[tid]["status"] == "completed"
+        assert engine.calls[-1][2]["max_text_tokens_per_sentence"] == 100
+
     def test_invalid_crop_values_400(self, server, tmp_path):
         client, _, app, base = server
         status, data = client.multipart(
