@@ -355,21 +355,27 @@ def main():
     wav.block_until_ready()
     compile_s = time.perf_counter() - t0
 
-    # timed runs
-    times = []
+    # timed runs: median of per-iteration audio/wall RATIOS — with
+    # do_sample=True each key generates different code_lens, so pairing the
+    # last iteration's audio with the median wall would mix numerator and
+    # denominator from different runs (same form as the e2e/serving extras)
     n_iters = int(os.environ.get("BENCH_ITERS", 3))
+    if n_iters < 1:
+        raise SystemExit("BENCH_ITERS must be >= 1 (0 would emit NaN JSON)")
+    ratios, walls = [], []
     for i in range(n_iters):
         t0 = time.perf_counter()
         wav, code_lens = pipeline(jax.random.PRNGKey(2 + i))
         wav.block_until_ready()
-        times.append(time.perf_counter() - t0)
+        w = time.perf_counter() - t0
+        total_codes = int(np.asarray(code_lens).sum())
+        ratios.append((total_codes * SAMPLES_PER_CODE / SAMPLE_RATE) / w)
+        walls.append(w)
 
     _mark("headline measured")
-    wall = float(np.median(times))
-    # audio duration actually produced this iteration
-    total_codes = int(np.asarray(code_lens).sum())
-    audio_sec = total_codes * SAMPLES_PER_CODE / SAMPLE_RATE
-    rtf_inv = audio_sec / wall  # audio-seconds per wall-second per chip
+    wall = float(np.median(walls))
+    rtf_inv = float(np.median(ratios))  # audio-seconds per wall-second per chip
+    audio_sec = rtf_inv * wall  # representative audio/iter for the JSON extras
 
     # time-to-first-audio: conditioning + 25-token decode + 1-chunk vocoder.
     # Needs one extra decode compile (minutes on this platform), so it is
@@ -382,10 +388,17 @@ def main():
     # SIGKILL, which would lose the headline too — so margins widen when the
     # persistent cache looks cold
     cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_bench_cache")
-    try:
-        cache_warm = len(os.listdir(cache_dir)) > 30
-    except OSError:
-        cache_warm = False
+
+    def _cache_warm():
+        try:
+            return len(os.listdir(cache_dir)) > 30
+        except OSError:
+            return False
+
+    # margins are sized from the snapshot BEFORE the headline compile; the
+    # iteration-count decisions below re-evaluate, because on a first-ever
+    # run the headline/verify compiles themselves warm the cache
+    cache_warm = _cache_warm()
     margin = (
         {"verify": 100, "ttfa": 90, "beam": 120, "beam_default": 150, "quant_kv": 130, "serve": 130, "b16": 120, "b32": 100, "stream": 60}
         if cache_warm
@@ -407,7 +420,6 @@ def main():
     if bench_start is not None and elapsed < budget_s - margin["ttfa"]:
         try:
             _mark("ttfa start")
-            conds = cond_fn(gpt_params, cond_mel, jnp.asarray([COND_FRAMES]))
             gen_s = GenerationConfig(do_sample=True, num_beams=1, top_k=30, max_new_tokens=25)
             decode_s = jax.jit(partial(generate_speech, cfg=gpt_cfg, gen=gen_s))
 
@@ -470,9 +482,17 @@ def main():
             wall_b = time.perf_counter() - t0
             audio_b = int(np.asarray(lens_b).sum()) * SAMPLES_PER_CODE / SAMPLE_RATE
             beam3_rtf_inv = round(audio_b / wall_b, 2)
-            # decode-only figure for comparison with beam3_default below
+            # conds_b also feeds the quant-beam extra below (gated on
+            # beam3_rtf_inv, so it is always defined when that block runs)
             conds = cond_fn(gpt_params, cond_mel, jnp.asarray([COND_FRAMES]))
             conds_b = jnp.broadcast_to(conds, (BATCH,) + conds.shape[1:])
+        except Exception:
+            beam3_rtf_inv = None
+    # decode-only figure for comparison with beam3_default below — its OWN
+    # try: a late failure here must not wipe the already-measured e2e beam
+    # number (which also gates the quant-beam extra)
+    if beam3_rtf_inv is not None:
+        try:
             t0 = time.perf_counter()
             codes_d, lens_d = beam_fn(
                 params=gpt_params, conds=conds_b, text_tokens=text, text_lengths=text_lens,
@@ -485,7 +505,7 @@ def main():
                 int(np.asarray(lens_d).sum()) * SAMPLES_PER_CODE / SAMPLE_RATE / wall_d, 2
             )
         except Exception:
-            beam3_rtf_inv = None
+            pass  # beam3_decode_rtf_inv stays None
     # int8-KV beam decode (the lineage attention reads the cache nb
     # times/step, so quant pays MORE here: 4.39 -> 3.69 ms/step slope-timed,
     # docs/PERF.md). Own budget gate + try: this adds a SECOND beam-graph
@@ -520,7 +540,7 @@ def main():
     # ~0.9 of the 2.53 ms/step at B8; per-column int8 halves that traffic.
     quant_kv_rtf_inv = None
     elapsed = time.perf_counter() - (bench_start or 0)
-    if bench_start is not None and elapsed < budget_s - margin.get("quant_kv", margin["beam"]):
+    if bench_start is not None and elapsed < budget_s - margin["quant_kv"]:
         try:
             _mark("quant_kv decode start")
             decode_q = jax.jit(partial(generate_speech, cfg=gpt_cfg, gen=gen, quant_kv=True))
@@ -552,7 +572,7 @@ def main():
     # fast_latents=True produce exactly this pipeline.
     serving_mode_rtf_inv = None
     elapsed = time.perf_counter() - (bench_start or 0)
-    if bench_start is not None and elapsed < budget_s - margin.get("serve", margin["quant_kv"]):
+    if bench_start is not None and elapsed < budget_s - margin["serve"]:
         try:
             _mark("serving mode (quant_kv + captured latents) start")
             decode_sv = jax.jit(partial(
@@ -574,7 +594,7 @@ def main():
 
             pipeline_serve(jax.random.PRNGKey(60))[0].block_until_ready()  # compile
             vals = []
-            for it in range(3 if cache_warm else 1):
+            for it in range(3 if _cache_warm() else 1):
                 t0 = time.perf_counter()
                 wav_s, lens_s = pipeline_serve(jax.random.PRNGKey(61 + it))
                 wav_s.block_until_ready()
@@ -592,7 +612,7 @@ def main():
     # this number meaningful — it must land near the 200-token figure.
     beam3_default_rtf_inv = None
     elapsed = time.perf_counter() - (bench_start or 0)
-    if bench_start is not None and elapsed < budget_s - margin.get("beam_default", margin["beam"]):
+    if bench_start is not None and elapsed < budget_s - margin["beam_default"]:
         try:
             _mark("beam default (segmented, 600) start")
             from indextts_tpu.models.gpt_decode import generate_speech_beam_segmented
@@ -633,7 +653,10 @@ def main():
     def e2e_at_batch(bb):
         text_b = jnp.asarray(npr.integers(2, 8000, (bb, TEXT_LEN)), jnp.int32)
         lens_b = jnp.full((bb,), TEXT_LEN, jnp.int32)
-        decode_b = jax.jit(partial(generate_speech, cfg=gpt_cfg, gen=gen))
+        # reuse the HEADLINE decode fn (jit re-specializes per batch shape):
+        # a separately-built partial would drop the BENCH_QUANT_KV flag and
+        # make the batch-scaling extras apples-to-oranges vs the headline
+        decode_b = decode_fn
 
         def pipe(key):
             conds = cond_fn(gpt_params, cond_mel, jnp.asarray([COND_FRAMES]))
@@ -653,7 +676,7 @@ def main():
         # median of 3 when the cache is warm (chip is ±10% run-to-run;
         # single-iteration extras were noticeably noisier than the headline)
         vals = []
-        for it in range(3 if cache_warm else 1):
+        for it in range(3 if _cache_warm() else 1):
             t0 = time.perf_counter()
             wav_b, lens_out = pipe(jax.random.PRNGKey(31 + bb + 100 * it))
             wav_b.block_until_ready()
