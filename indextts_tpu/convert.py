@@ -28,7 +28,14 @@ def load_torch_state_dict(path: str, key: Optional[str] = None) -> Dict[str, np.
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=True)
-    if key is not None and key in obj:
+    if key is not None:
+        if key not in obj:
+            # fail HERE, not with a far-away KeyError on some weight name
+            # after silently unwrapping the wrong nesting
+            raise KeyError(
+                f"checkpoint {path!r} has no top-level entry {key!r} "
+                f"(keys: {sorted(map(str, obj))[:10]})"
+            )
         obj = obj[key]
     elif "model" in obj and isinstance(obj.get("model"), dict):
         obj = obj["model"]
@@ -36,7 +43,12 @@ def load_torch_state_dict(path: str, key: Optional[str] = None) -> Dict[str, np.
     def to_np(v):
         if isinstance(v, dict):  # nested module state dicts (e.g. {'mpd': ..., 'mrd': ...})
             return {k: to_np(x) for k, x in v.items()}
-        return v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+        if hasattr(v, "numpy"):
+            # Tensor.numpy() rejects bf16 (re-exported/fine-tuned ckpts)
+            if str(getattr(v, "dtype", "")) == "torch.bfloat16":
+                v = v.float()
+            return v.numpy()
+        return np.asarray(v)
 
     return {k: to_np(v) for k, v in obj.items()}
 
@@ -57,18 +69,24 @@ def _conv2d_w(w: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
 
 
-def _folded_conv(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
-    """Weight-normed torch conv -> folded lax-layout conv params."""
+def _wn_folded_weight(sd: Dict[str, np.ndarray], prefix: str) -> np.ndarray:
+    """Resolve a (possibly weight-normed) torch conv weight: legacy
+    weight_v/weight_g, the parametrize-era original1/original0 pair, or a
+    plain weight. ONE resolution chain shared by the 1d and 2d folders so a
+    future key-format fix cannot silently miss one of them."""
     if f"{prefix}.weight_v" in sd:
-        w = weight_norm_fold(sd[f"{prefix}.weight_v"], sd[f"{prefix}.weight_g"])
-    elif f"{prefix}.parametrizations.weight.original1" in sd:
-        w = weight_norm_fold(
+        return weight_norm_fold(sd[f"{prefix}.weight_v"], sd[f"{prefix}.weight_g"])
+    if f"{prefix}.parametrizations.weight.original1" in sd:
+        return weight_norm_fold(
             sd[f"{prefix}.parametrizations.weight.original1"],
             sd[f"{prefix}.parametrizations.weight.original0"],
         )
-    else:
-        w = sd[f"{prefix}.weight"]
-    out = {"weight": _conv_w(w)}
+    return sd[f"{prefix}.weight"]
+
+
+def _folded_conv(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    """Weight-normed torch conv -> folded lax-layout conv params."""
+    out = {"weight": _conv_w(_wn_folded_weight(sd, prefix))}
     if f"{prefix}.bias" in sd:
         out["bias"] = sd[f"{prefix}.bias"]
     return out
@@ -416,17 +434,9 @@ def convert_dvae(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
 
 
 def _folded_conv2d(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
-    """Weight-normed torch Conv2d -> folded lax-layout conv params."""
-    if f"{prefix}.weight_v" in sd:
-        w = weight_norm_fold(sd[f"{prefix}.weight_v"], sd[f"{prefix}.weight_g"])
-    elif f"{prefix}.parametrizations.weight.original1" in sd:
-        w = weight_norm_fold(
-            sd[f"{prefix}.parametrizations.weight.original1"],
-            sd[f"{prefix}.parametrizations.weight.original0"],
-        )
-    else:
-        w = sd[f"{prefix}.weight"]
-    out = {"weight": _conv2d_w(w)}
+    """Weight-normed torch Conv2d -> folded lax-layout conv params (same
+    resolution chain as _folded_conv; only the transpose differs)."""
+    out = {"weight": _conv2d_w(_wn_folded_weight(sd, prefix))}
     if f"{prefix}.bias" in sd:
         out["bias"] = sd[f"{prefix}.bias"]
     return out
@@ -471,12 +481,25 @@ def convert_discriminator(sd: Dict[str, Any], h: BigVGANConfig) -> Dict[str, Any
 # ---------------------------------------------------------------------------
 
 
+# empty containers get an explicit marker entry: silently dropping them
+# would make the npz cache round-trip return a STRUCTURALLY different tree
+# than the cold conversion (e.g. bigvgan params['conds'] == [] when
+# cond_d_vector_in_each_upsampling_layer=False) — breaking tree_map against
+# init-shaped trees and turning [] into a KeyError on warm start
+_EMPTY_LIST_KEY = "__empty_list__"
+_EMPTY_DICT_KEY = "__empty_dict__"
+
+
 def flatten_tree(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {}
     if isinstance(tree, dict):
+        if not tree:
+            out[f"{prefix}{_EMPTY_DICT_KEY}"] = np.zeros((), np.int8)
         for k, v in tree.items():
             out.update(flatten_tree(v, f"{prefix}{k}/"))
     elif isinstance(tree, (list, tuple)):
+        if not tree:
+            out[f"{prefix}{_EMPTY_LIST_KEY}"] = np.zeros((), np.int8)
         for i, v in enumerate(tree):
             out.update(flatten_tree(v, f"{prefix}{i}/"))
     else:
@@ -497,6 +520,10 @@ def unflatten_tree(flat: Dict[str, np.ndarray]) -> Any:
         if not isinstance(node, dict):
             return node
         keys = list(node.keys())
+        if keys == [_EMPTY_LIST_KEY]:
+            return []
+        if keys == [_EMPTY_DICT_KEY]:
+            return {}
         if keys and all(k.isdigit() for k in keys):
             return [listify(node[str(i)]) for i in range(len(keys))]
         return {k: listify(v) for k, v in node.items()}

@@ -82,7 +82,13 @@ class NativeBPE:
         self._out = (ctypes.c_int32 * 65536)()
 
     def encode(self, text: str):
-        n = self.lib.bpe_encode(self.handle, text.encode("utf-8"), self._out, 65536)
+        # bpe_encode returns the TOTAL token count (snprintf convention);
+        # grow the buffer and retry instead of silently dropping the tail
+        raw = text.encode("utf-8")
+        n = self.lib.bpe_encode(self.handle, raw, self._out, len(self._out))
+        while n > len(self._out):
+            self._out = (ctypes.c_int32 * (2 * n))()
+            n = self.lib.bpe_encode(self.handle, raw, self._out, len(self._out))
         return list(self._out[:n])
 
     def __del__(self):

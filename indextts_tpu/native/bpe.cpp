@@ -26,7 +26,7 @@ struct Vocab {
   int32_t unk_id = 0;
 };
 
-constexpr uint8_t kUnknown = 2;
+constexpr uint8_t kNormal = 1;  // only NORMAL pieces merge / match raw text
 
 // split a UTF-8 string into codepoint-wise symbols
 std::vector<std::string> utf8_split(const char* text) {
@@ -63,8 +63,12 @@ void* bpe_create(const char** pieces, const float* scores, const uint8_t* types,
 void bpe_free(void* handle) { delete static_cast<Vocab*>(handle); }
 
 // Encode pre-normalized text (whitespace already escaped to U+2581 by the
-// Python caller). Returns the token count; ids written to out_ids (up to
-// max_out). Out-of-vocab symbols map to unk_id.
+// Python caller). Writes up to max_out ids but returns the TOTAL token
+// count, so the caller can detect truncation (snprintf convention) and
+// retry with a bigger buffer instead of silently dropping the tail.
+// Only NORMAL pieces participate in merges or match raw text — real
+// sentencepiece never matches CONTROL/UNKNOWN/UNUSED pieces against input,
+// so literal "<s>" in user text must NOT encode to the bos id.
 int32_t bpe_encode(void* handle, const char* text, int32_t* out_ids, int32_t max_out) {
   const Vocab& v = *static_cast<Vocab*>(handle);
   std::vector<std::string> symbols = utf8_split(text);
@@ -78,6 +82,7 @@ int32_t bpe_encode(void* handle, const char* text, int32_t* out_ids, int32_t max
       std::string cand = symbols[i] + symbols[i + 1];
       auto it = v.piece_to_id.find(cand);
       if (it == v.piece_to_id.end()) continue;
+      if (v.types[it->second] != kNormal) continue;
       float s = v.scores[it->second];
       if (!found || s > best_score) {
         best_score = s;
@@ -92,9 +97,12 @@ int32_t bpe_encode(void* handle, const char* text, int32_t* out_ids, int32_t max
 
   int32_t count = 0;
   for (const auto& s : symbols) {
-    if (count >= max_out) break;
     auto it = v.piece_to_id.find(s);
-    out_ids[count++] = (it != v.piece_to_id.end()) ? it->second : v.unk_id;
+    int32_t id = (it != v.piece_to_id.end() && v.types[it->second] == kNormal)
+                     ? it->second
+                     : v.unk_id;
+    if (count < max_out) out_ids[count] = id;
+    ++count;
   }
   return count;
 }

@@ -283,6 +283,7 @@ class SentencePieceProcessor:
             return []
         get = self.v.piece_to_id_map.get
         scores = self.v.scores
+        types = self.v.types
         while True:
             best_score = None
             best_i = -1
@@ -290,7 +291,10 @@ class SentencePieceProcessor:
             for i in range(len(symbols) - 1):
                 cand = symbols[i] + symbols[i + 1]
                 idx = get(cand)
-                if idx is None:
+                if idx is None or types[idx] != NORMAL:
+                    # real sentencepiece never merges INTO control/unknown/
+                    # unused/byte pieces from raw text — literal "<s>" in
+                    # input must not assemble into the bos id
                     continue
                 s = scores[idx]
                 if best_score is None or s > best_score:
@@ -329,7 +333,9 @@ class SentencePieceProcessor:
                 if idx is None:
                     continue
                 t = self.v.types[idx]
-                if t in (CONTROL, UNKNOWN, UNUSED):
+                if t not in (NORMAL, USER_DEFINED):
+                    # BYTE pieces too: they are reachable only through
+                    # byte_fallback, never by matching their surface in text
                     continue
                 cand = best[i] + scores[idx]
                 if cand > best[i + ln]:
@@ -345,10 +351,14 @@ class SentencePieceProcessor:
         return self._resolve_unknown(pieces)
 
     def _resolve_unknown(self, symbols: List[str]) -> List[str]:
-        """Map out-of-vocab symbols to byte pieces (byte_fallback) or <unk>."""
+        """Map out-of-vocab (or non-encodable-typed) symbols to byte pieces
+        (byte_fallback) or <unk>. Only NORMAL/USER_DEFINED pieces may be
+        emitted from text — a raw char whose surface happens to equal a
+        CONTROL piece maps to <unk>, matching real sentencepiece."""
         out: List[str] = []
         for s in symbols:
-            if s in self.v.piece_to_id_map:
+            idx = self.v.piece_to_id_map.get(s)
+            if idx is not None and self.v.types[idx] in (NORMAL, USER_DEFINED):
                 out.append(s)
             elif self.v.byte_fallback:
                 for b in s.encode("utf-8"):
@@ -358,8 +368,20 @@ class SentencePieceProcessor:
         return out
 
     # -- public API --------------------------------------------------------
+    @staticmethod
+    def _reject_kwargs(kwargs, where: str):
+        """This class is a drop-in SUBSET of sentencepiece: kwargs it does
+        not implement (add_bos/add_eos/enable_sampling/...) must fail loudly
+        rather than silently return unmodified output."""
+        if kwargs:
+            raise TypeError(f"{where}: unsupported sentencepiece kwargs {sorted(kwargs)}")
+
     def EncodeAsPieces(self, text: str) -> List[str]:
         text = self._normalize(text)
+        if self._native is not None:
+            # hot path for long-text synthesis: the C++ merge engine, mapped
+            # back to piece surfaces (identical semantics, test-pinned)
+            return [self.v.pieces[i] for i in self._native.encode(text)]
         if self.v.model_type == 1:
             return self._encode_unigram(text)
         return self._encode_bpe(text)
@@ -370,6 +392,7 @@ class SentencePieceProcessor:
         return [self.PieceToId(p) for p in self.EncodeAsPieces(text)]
 
     def Encode(self, text, out_type=int, **kwargs):
+        self._reject_kwargs(kwargs, "Encode")
         if isinstance(text, (list, tuple)):
             return [self.Encode(t, out_type=out_type) for t in text]
         if out_type is str:
@@ -398,12 +421,21 @@ class SentencePieceProcessor:
             out.append(p)
         flush_bytes()
         text = "".join(out).replace(WS, " ")
-        return text.lstrip(" ")
+        # strip exactly the ONE dummy-prefix space the encoder inserted —
+        # lstrip would also eat spaces that belong to the token content
+        if self.v.add_dummy_prefix and text.startswith(" "):
+            text = text[1:]
+        return text
 
     def Decode(self, ids, out_type=str, **kwargs):
-        if ids and isinstance(ids[0], (list, tuple)):
+        self._reject_kwargs(kwargs, "Decode")
+        if hasattr(ids, "tolist"):  # numpy array (engine code_rows are np.int32)
+            ids = ids.tolist()
+        if len(ids) and isinstance(ids[0], (list, tuple)) or (
+            len(ids) and hasattr(ids[0], "tolist") and getattr(ids[0], "ndim", 0)
+        ):
             return [self.Decode(i) for i in ids]
-        pieces = [self.v.pieces[i] if isinstance(i, int) else i for i in ids]
+        pieces = [i if isinstance(i, str) else self.v.pieces[int(i)] for i in ids]
         return self.DecodePieces(pieces)
 
 

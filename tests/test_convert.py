@@ -86,6 +86,45 @@ class TestTreeIO:
         loaded = load_params_npz(path)
         np.testing.assert_array_equal(loaded["c"]["d"]["e"], 3.0)
 
+    def test_empty_containers_survive_round_trip(self, tmp_path):
+        """The npz cache must return a STRUCTURALLY identical tree: bigvgan
+        params carry 'conds': [] when per-layer conditioning is off, and a
+        warm start that drops the key breaks tree_map against init trees."""
+        tree = {
+            "conds": [],
+            "meta": {},
+            "ups": [{"w": np.ones(2)}],
+        }
+        path = str(tmp_path / "e.npz")
+        save_params_npz(tree, path)
+        loaded = load_params_npz(path)
+        assert loaded["conds"] == [] and isinstance(loaded["conds"], list)
+        assert loaded["meta"] == {} and isinstance(loaded["meta"], dict)
+        np.testing.assert_array_equal(loaded["ups"][0]["w"], tree["ups"][0]["w"])
+        import jax
+
+        jax.tree_util.tree_map(lambda a, b: None, tree, loaded)  # same structure
+
+
+class TestTorchLoading:
+    def test_missing_explicit_key_raises(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        from indextts_tpu.convert import load_torch_state_dict
+
+        p = str(tmp_path / "c.pth")
+        torch.save({"other": {"w": torch.zeros(2)}}, p)
+        with pytest.raises(KeyError, match="generator"):
+            load_torch_state_dict(p, key="generator")
+
+    def test_bf16_tensors_convert(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        from indextts_tpu.convert import load_torch_state_dict
+
+        p = str(tmp_path / "b.pth")
+        torch.save({"w": torch.ones(3, dtype=torch.bfloat16)}, p)
+        sd = load_torch_state_dict(p)
+        np.testing.assert_array_equal(sd["w"], np.ones(3, np.float32))
+
 
 class TestFidelityLoop:
     def test_eval_fidelity_runs_on_converted_weights(self, tmp_path, capsys):

@@ -66,3 +66,79 @@ class TestNativeBPE:
         vocab.model_type = 1
         sp = SentencePieceProcessor(vocab=vocab, use_native=True)
         assert sp._native is None
+
+    def test_pieces_parity(self, lib):
+        """EncodeAsPieces rides the native engine when available; surfaces
+        must match the pure-Python merge exactly."""
+        vocab = _vocab()
+        sp_native = SentencePieceProcessor(vocab=vocab, use_native=True)
+        sp_python = SentencePieceProcessor(vocab=vocab, use_native=False)
+        for text in ("HELLO WORLD.", "你好 HELLO Z", ""):
+            assert sp_native.EncodeAsPieces(text) == sp_python.EncodeAsPieces(text), text
+
+    def test_output_buffer_growth(self, lib):
+        """Truncation is detected (snprintf-style total count) and retried —
+        the tail of a very long text must never be silently dropped."""
+        vocab = _vocab()
+        sp = SentencePieceProcessor(vocab=vocab, use_native=True)
+        assert sp._native is not None
+        sp._native._out = (__import__("ctypes").c_int32 * 4)()  # tiny buffer
+        ids = sp.EncodeAsIds("HELLO WORLD HELLO WORLD HELLO WORLD")
+        assert len(ids) > 4  # grew past the 4-slot buffer, nothing dropped
+        sp2 = SentencePieceProcessor(vocab=vocab, use_native=False)
+        assert ids == sp2.EncodeAsIds("HELLO WORLD HELLO WORLD HELLO WORLD")
+
+
+class TestPieceTypeSemantics:
+    """Real sentencepiece never matches CONTROL/UNKNOWN/UNUSED/BYTE pieces
+    against raw text: literal '<s>' in input must NOT produce the bos id."""
+
+    def _vocab_with_reachable_control(self):
+        # '<', 's', '>', '<s' are NORMAL so the merge chain toward the
+        # CONTROL piece '<s>' is reachable if types are ignored
+        return build_vocab_from_pieces(
+            [("<", -5.0), ("s", -5.0), (">", -5.0), ("<s", -1.0),
+             ("▁", -9.0), ("A", -6.0)],
+            model_type=2,
+        )
+
+    def test_control_surface_not_assembled_bpe(self):
+        vocab = self._vocab_with_reachable_control()
+        for use_native in (True, False):
+            sp = SentencePieceProcessor(vocab=vocab, use_native=use_native)
+            ids = sp.EncodeAsIds("<s> A")
+            assert 0 not in ids and 1 not in ids, (use_native, ids)
+
+    def test_control_surface_not_matched_unigram(self):
+        vocab = self._vocab_with_reachable_control()
+        vocab.model_type = 1
+        sp = SentencePieceProcessor(vocab=vocab, use_native=False)
+        ids = sp.EncodeAsIds("<s> A")
+        assert 0 not in ids and 1 not in ids, ids
+
+
+class TestDecodeAPI:
+    def test_decode_numpy_inputs(self):
+        """engine code rows are np.int32 — Decode must accept arrays and
+        numpy scalars, not crash on array truthiness."""
+        sp = SentencePieceProcessor(vocab=_vocab(), use_native=False)
+        ids = sp.EncodeAsIds("HELLO WORLD")
+        assert sp.Decode(np.asarray(ids, np.int32)) == sp.Decode(ids)
+        assert sp.Decode([np.int64(i) for i in ids]) == sp.Decode(ids)
+        # batch of arrays
+        assert sp.Decode(np.asarray([ids, ids], np.int32)) == [sp.Decode(ids)] * 2
+
+    def test_decode_strips_exactly_one_dummy_prefix_space(self):
+        """lstrip(' ') would also eat a legitimate leading-whitespace piece;
+        only the single dummy-prefix space goes (sentencepiece contract)."""
+        sp = SentencePieceProcessor(vocab=_vocab(), use_native=False)
+        # '▁' + '▁HELLO' decodes to ' HELLO': one frame space stripped, the
+        # content-bearing second space kept
+        assert sp.DecodePieces(["▁", "▁HELLO"]) == " HELLO"
+
+    def test_unsupported_kwargs_raise(self):
+        sp = SentencePieceProcessor(vocab=_vocab(), use_native=False)
+        with pytest.raises(TypeError, match="add_bos"):
+            sp.Encode("HELLO", add_bos=True)
+        with pytest.raises(TypeError, match="unsupported"):
+            sp.Decode([3], reverse=True)
