@@ -54,12 +54,16 @@ def de_tokenized_by_CJK_char(line: str, do_lower_case: bool = False) -> str:
 
     joined = []
     for chunk in masked.split():
-        m = _MARKER_RE.search(chunk)
-        if m is not None:
-            chunk = chunk.replace(m.group(0), runs[int(m.group(1))])
-            if do_lower_case:
-                chunk = chunk.lower()
-        joined.append(chunk)
+        # restore EVERY marker in the chunk: two Latin runs joined by an
+        # apostrophe ("DON'T" -> <sent_0>'<sent_1>) land in one whitespace
+        # chunk, and restoring only the first would leak a literal <sent_1>
+        # into the decoded text. (The reference's common.py has the
+        # single-restore defect; fixed here deliberately — decode output
+        # must never contain synthetic markers.)
+        restored = _MARKER_RE.sub(lambda m: runs[int(m.group(1))], chunk)
+        if restored != chunk and do_lower_case:
+            restored = restored.lower()
+        joined.append(restored)
     return "".join(joined)
 
 

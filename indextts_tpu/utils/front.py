@@ -243,15 +243,22 @@ class TextNormalizer:
         t = re.sub(r"(?<=\d)\s*\+\s*(?=\d)", "加", t)
         t = re.sub(r"(?<=\d)\s*=\s*(?=[-\d])", "等于", t)
         t = re.sub(r"±(?=\d)", "正负", t)
-        # dates: 2025年01月11日 / 2025/1/2 / 2025-01-11 (only full dates)
+        # dates: 2025年01月11日 / 2025/1/2 / 2025-01-11 (only full dates).
+        # The 年-form requires a literal 月 and the separator form requires
+        # the SAME separator twice: a mixed class would swallow year+month
+        # ranges ("2025年1-3月") as bogus full dates with a spurious 日
+        def _full_date(y, mth, d):
+            return (zh_num.zh_digits(y) + "年" + zh_num.zh_integer(mth)
+                    + "月" + zh_num.zh_integer(d) + "日")
+
         t = re.sub(
-            r"(\d{2,4})\s*[年/-]\s*(\d{1,2})\s*[月/-]\s*(\d{1,2})\s*[日号]?",
-            lambda m: zh_num.zh_digits(m.group(1))
-            + "年"
-            + zh_num.zh_integer(m.group(2))
-            + "月"
-            + zh_num.zh_integer(m.group(3))
-            + "日",
+            r"(\d{2,4})\s*年\s*(\d{1,2})\s*月\s*(\d{1,2})\s*[日号]?",
+            lambda m: _full_date(m.group(1), m.group(2), m.group(3)),
+            t,
+        )
+        t = re.sub(
+            r"(\d{2,4})\s*([/-])\s*(\d{1,2})\s*\2\s*(\d{1,2})(?![\d月])",
+            lambda m: _full_date(m.group(1), m.group(3), m.group(4)),
             t,
         )
         # years: 2002年
@@ -376,6 +383,14 @@ class TextNormalizer:
             lambda m: ("负" if m.group(1) else "") + "百分之" + zh_num.zh_number(m.group(2)),
             t,
         )
+        # ordinal ranges FIRST (第3-5名): the bare ordinal rule below would
+        # strip the left endpoint and leave "-5" to the negative rule (负五)
+        t = re.sub(
+            r"第(\d+)\s*[-~～]\s*(\d+)",
+            lambda m: "第" + zh_num.zh_integer(m.group(1)).replace("两", "二")
+            + "到" + zh_num.zh_integer(m.group(2)).replace("两", "二"),
+            t,
+        )
         # ordinals: 第3 -> 第三 (第 always selects 二, never 两)
         t = re.sub(r"第(\d+)", lambda m: "第" + zh_num.zh_integer(m.group(1)).replace("两", "二"), t)
         # currency ranges first (else the single-money rule eats the left
@@ -464,12 +479,6 @@ class TextNormalizer:
     def _normalize_en(self, text: str) -> str:
         """English ITN: numbers/times/money/percent -> words."""
         t = text
-        # thousands separators: 100,000 -> 100000 (whole-number match; see zh)
-        t = re.sub(
-            r"(?<![\d.])\d{1,3}(?:,\d{3})+(?![\d,])",
-            lambda m: m.group(0).replace(",", ""),
-            t,
-        )
         # math operators between digits: 5×3 -> 5 times 3, 1+1=2 -> plus/equals
         t = re.sub(r"(?<=\d)\s*×\s*(?=\d)", " times ", t)
         t = re.sub(r"(?<=\d)\s*\+\s*(?=\d)", " plus ", t)
@@ -502,6 +511,26 @@ class TextNormalizer:
         t = re.sub(
             r"(?<!\d)(\d+):(\d+)(?!\d)",
             lambda m: zh_num.en_number(m.group(1)) + " to " + zh_num.en_number(m.group(2)),
+            t,
+        )
+        # generic numeric ranges: rewrite the dash to " to " BEFORE unit
+        # rules consume the endpoints (1990-1995, 50%-60%, $300-$500 — the
+        # zh path rewrites ranges first for the same reason); the endpoints
+        # then verbalize through their own year/percent/money rules
+        t = re.sub(r"(?<=[\d%])\s*[-~]\s*(?=[$\d])", " to ", t)
+        # years (4-digit standalone, 1500-2099) BEFORE the comma strip:
+        # an explicitly comma-grouped "1,990" is a cardinal, and stripping
+        # its comma first would let this rule misread it as a year. Unit
+        # guards keep $1990 / 1990% / 1750°C on their own rules below.
+        t = re.sub(
+            r"(?<![$€£])\b(1[5-9]\d{2}|20\d{2})\b(?!\s*[%°℃℉])",
+            lambda m: zh_num.en_year(int(m.group(1))),
+            t,
+        )
+        # thousands separators: 100,000 -> 100000 (whole-number match; see zh)
+        t = re.sub(
+            r"(?<![\d.])\d{1,3}(?:,\d{3})+(?![\d,])",
+            lambda m: m.group(0).replace(",", ""),
             t,
         )
         # version/model suffixes: CosyVoice2 -> CosyVoice 2 (read as a word +
@@ -543,12 +572,6 @@ class TextNormalizer:
         t = re.sub(
             r"(-?)(\d+(?:\.\d+)?)\s*(?:°F|℉)",
             lambda m: ("minus " if m.group(1) else "") + zh_num.en_number(m.group(2)) + " degrees Fahrenheit",
-            t,
-        )
-        # years (4-digit standalone, 1500-2099)
-        t = re.sub(
-            r"\b(1[5-9]\d{2}|20\d{2})\b",
-            lambda m: zh_num.en_year(int(m.group(1))),
             t,
         )
         # ordinals 1st/2nd/3rd/4th...
@@ -595,12 +618,25 @@ class TextNormalizer:
             return ""
         route_zh = self.use_chinese(text)
         text = re.sub(self.ENGLISH_CONTRACTION_PATTERN, r"\1 is", text, flags=re.IGNORECASE)
+        # a verbalizer bug must degrade, never abort the request (the
+        # reference wraps both normalizer calls the same way, front.py:
+        # 128-146; it falls en back to raw text and zh to "" — degrading zh
+        # to the un-verbalized text keeps the utterance, strictly more
+        # useful than the reference's empty string)
         if not route_zh:
-            result = self._normalize_en(text)
+            try:
+                result = self._normalize_en(text)
+            except Exception as e:
+                print(f"Warning: en normalization failed ({e}); using raw text")
+                result = text
             return self._en_rep_re.sub(lambda m: self.char_rep_map[m.group()], result)
         masked, pinyins = self.save_pinyin_tones(text.rstrip())
         masked, names = self.save_names(masked)
-        result = self._normalize_zh(masked)
+        try:
+            result = self._normalize_zh(masked)
+        except Exception as e:
+            print(f"Warning: zh normalization failed ({e}); using raw text")
+            result = masked
         result = self.restore_names(result, names)
         result = self.restore_pinyin_tones(result, pinyins)
         return self._zh_rep_re.sub(lambda m: self.zh_char_rep_map[m.group()], result)

@@ -64,6 +64,11 @@ def zh_integer(num_str: str, simplify_teen: bool = True) -> str:
     while n > 0:
         groups.append(n % 10000)
         n //= 10000
+    if len(groups) > len(ZH_GROUPS):
+        # beyond 万亿 (>= 10^16) there is no standard group word: read
+        # digit-by-digit like the long-digit-string fallback, instead of
+        # IndexError-ing out of the whole normalize() call
+        return ("负" if neg else "") + zh_digits(str(int(num_str)))
     out = []
     for gi in range(len(groups) - 1, -1, -1):
         g = groups[gi]

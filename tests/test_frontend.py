@@ -284,6 +284,72 @@ class TestCJK:
         assert s == "你 好 世 界 是 HELLO WORLD 的 中 文"
         assert de_tokenized_by_CJK_char(s, do_lower_case=True) == "你好世界是hello world的中文"
 
+    def test_multiple_runs_one_chunk_no_marker_leak(self):
+        """Two Latin runs joined by an apostrophe share one whitespace chunk;
+        EVERY marker must be restored (the reference's common.py restores
+        only the first, leaking literal <sent_1> — fixed deliberately)."""
+        assert de_tokenized_by_CJK_char("DON'T") == "DON'T"
+        assert de_tokenized_by_CJK_char("你 好 DON'T 世 界") == "你好DON'T世界"
+        assert "<sent_" not in de_tokenized_by_CJK_char("A'B'C D E")
+
+
+class TestNormalizerReviewRegressions:
+    """Cases from the round-3 normalizer review, each verified by execution
+    against the pre-fix behavior quoted in the finding."""
+
+    def test_huge_number_no_crash(self, normalizer):
+        # >= 10^16 exceeds the 万/亿/万亿 group table: digit-by-digit, not
+        # IndexError out of the whole request
+        out = normalizer.normalize("第10000000000000000名")
+        assert out.startswith("第一零") and out.endswith("名")
+
+    def test_year_month_range_not_a_date(self, normalizer):
+        # was: '二零二五年一月三日月很忙' (bogus full date + dangling 月)
+        assert normalizer.normalize("2025年1-3月很忙") == "二零二五年一到三月很忙"
+
+    def test_dash_dates_still_verbalize(self, normalizer):
+        assert normalizer.normalize("2025-01-11") == "二零二五年一月十一日"
+        assert normalizer.normalize("2025/1/2") == "二零二五年一月二日"
+
+    def test_ordinal_range(self, normalizer):
+        # was: '他得了第三负五名' (left endpoint stripped, dash read as minus)
+        assert normalizer.normalize("他得了第3-5名") == "他得了第三到五名"
+
+    def test_en_year_range(self, normalizer):
+        assert normalizer.normalize("from 1990-1995 it grew") == \
+            "from nineteen ninety to nineteen ninety five it grew"
+
+    def test_en_percent_and_money_ranges(self, normalizer):
+        assert normalizer.normalize("it rose 50%-60% then") == \
+            "it rose fifty percent to sixty percent then"
+        assert normalizer.normalize("cost $300-$500 each") == \
+            "cost three hundred dollars to five hundred dollars each"
+
+    def test_en_comma_grouped_cardinal_not_a_year(self, normalizer):
+        # was: 'nineteen ninety dollars' (comma strip fed the year rule)
+        assert normalizer.normalize("he earned 1,990 dollars") == \
+            "he earned one thousand nine hundred ninety dollars"
+        # plain 4-digit years still read as years
+        assert normalizer.normalize("in 1990 it began") == "in nineteen ninety it began"
+        # unit guards: $ and % endpoints keep their own rules
+        assert normalizer.normalize("$1990 total") == \
+            "one thousand nine hundred ninety dollars total"
+        assert normalizer.normalize("it hit 1990% uptime") == \
+            "it hit one thousand nine hundred ninety percent uptime"
+
+    def test_verbalizer_exception_degrades_not_aborts(self, normalizer, monkeypatch):
+        """Reference parity (ref front.py:128-146): a rule bug degrades the
+        output instead of raising out of the request — but to raw text, not
+        the reference's empty string."""
+        monkeypatch.setattr(normalizer, "_normalize_zh",
+                            lambda t: (_ for _ in ()).throw(RuntimeError("boom")))
+        out = normalizer.normalize("你好123")
+        assert "你好" in out
+        monkeypatch.setattr(normalizer, "_normalize_en",
+                            lambda t: (_ for _ in ()).throw(RuntimeError("boom")))
+        out = normalizer.normalize("hello 123 world")
+        assert "hello" in out and "world" in out
+
 
 def _demo_sp():
     vocab = build_vocab_from_pieces(
