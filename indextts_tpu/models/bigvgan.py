@@ -22,15 +22,15 @@ import numpy as np
 from indextts_tpu.config import BigVGANConfig
 from indextts_tpu.models.ecapa import ecapa_apply, init_ecapa
 from indextts_tpu.ops.activations import leaky_relu, tanh
+import os as _os
+
 from indextts_tpu.ops.antialias import (
     anti_aliased_activation,
     anti_aliased_activation_folded,
     conv1d_same_folded,
-    downsample1d_folded,
     fold_time,
-    snake_folded,
+    folded_aa_core,
     unfold_time,
-    upsample1d_folded,
 )
 from indextts_tpu.ops.conv import conv1d, conv2d, conv_transpose1d, pad1d
 
@@ -189,9 +189,13 @@ def _activation(p_act: Params, x: jnp.ndarray, h: BigVGANConfig, use_pallas: boo
     # the Pallas config with the folded path's win)
     if not use_pallas and x.shape[-1] <= _FOLDED_MAX_CHANNELS:
         s = _stage_fold(x.shape[-1], x.shape[1])
-        return anti_aliased_activation_folded(
-            x, p_act["alpha"], p_act.get("beta"), alpha_logscale=h.snake_logscale, s=s
-        )
+        # honor _stage_fold's s=1 = "run unfolded/composed" contract: the
+        # folded form at s=1 still densifies the resamplers to [K, C, 2C]
+        # diag-dense kernels (C-times the FLOPs; measured worse, PERF.md)
+        if s > 1:
+            return anti_aliased_activation_folded(
+                x, p_act["alpha"], p_act.get("beta"), alpha_logscale=h.snake_logscale, s=s
+            )
     if _os.environ.get("INDEXTTS_WIDE_TMAJOR", "") == "1" and x.shape[-1] >= 128:
         # wide-stage attack #14: time-major blocked kernel — tap shifts are
         # major-dim register offsets and the block layout matches the graph's
@@ -202,13 +206,16 @@ def _activation(p_act: Params, x: jnp.ndarray, h: BigVGANConfig, use_pallas: boo
             x, p_act["alpha"], p_act.get("beta"), alpha_logscale=h.snake_logscale,
             interpret=jax.default_backend() == "cpu",
         )
-    if _os.environ.get("INDEXTTS_WIDE_POLY", "") == "1":
+    # the WIDE_* measurement knobs are wide-stage-only forms (>=128 lanes,
+    # measured 4.5x worse at C=24): gate on width like the branches above so
+    # narrow stages / activation_post can't silently land on them
+    if _os.environ.get("INDEXTTS_WIDE_POLY", "") == "1" and x.shape[-1] >= 128:
         from indextts_tpu.ops.antialias import anti_aliased_activation_polyphase
 
         return anti_aliased_activation_polyphase(
             x, p_act["alpha"], p_act.get("beta"), alpha_logscale=h.snake_logscale
         )
-    if _os.environ.get("INDEXTTS_WIDE_PHASE", "") in ("1", "2"):
+    if _os.environ.get("INDEXTTS_WIDE_PHASE", "") in ("1", "2") and x.shape[-1] >= 128:
         from indextts_tpu.ops.antialias import anti_aliased_activation_phase
 
         return anti_aliased_activation_phase(
@@ -224,30 +231,27 @@ def _activation(p_act: Params, x: jnp.ndarray, h: BigVGANConfig, use_pallas: boo
 # 2.9 vs 0.06 ms at s=8, 2.4 vs 1.3 at s=4, 3.5 vs 1.9 at s=2 — the per-tap
 # stacked matmuls pay ku+kd times the dense FLOPs while XLA's folded convs hit
 # the MXU directly; docs/PERF.md negative result #8). Kept opt-in for
-# measurement: INDEXTTS_FUSED_AA=1.
-import os as _os
-
-_USE_FUSED_AA = _os.environ.get("INDEXTTS_FUSED_AA", "") == "1"
+# measurement: INDEXTTS_FUSED_AA=1 (read per trace, like the other knobs).
 
 
 def _activation_folded(p_act: Params, xf: jnp.ndarray, h: BigVGANConfig, c: int, s: int) -> jnp.ndarray:
     """Anti-aliased activation with the signal already on the s-folded grid."""
-    if _USE_FUSED_AA and s > 1 and jax.default_backend() == "tpu":
+    if (_os.environ.get("INDEXTTS_FUSED_AA", "") == "1" and s > 1
+            and jax.default_backend() == "tpu"):
         from indextts_tpu.ops.pallas.antialias_folded import fused_folded_aa
 
         return fused_folded_aa(
             xf, p_act["alpha"], p_act.get("beta"), h.snake_logscale, s, c
         )
-    yf = upsample1d_folded(xf, s, c)
-    yf = snake_folded(yf, p_act["alpha"], p_act.get("beta"), h.snake_logscale, 2 * s)
-    return downsample1d_folded(yf, s, c)
+    return folded_aa_core(xf, p_act["alpha"], p_act.get("beta"), h.snake_logscale, s, c)
 
 
 def _amp_block1_folded(
-    p: Params, xf: jnp.ndarray, h: BigVGANConfig, kernel_size: int, dilations, c: int, s: int
+    p: Params, xf: jnp.ndarray, h: BigVGANConfig, dilations, c: int, s: int
 ) -> jnp.ndarray:
     """_amp_block1 on the s-folded grid — identical math, stride-1 dense convs
-    only (activations via the folded resamplers, dilated convs block-Toeplitz)."""
+    only (activations via the folded resamplers, dilated convs block-Toeplitz).
+    No kernel_size param: conv1d_same_folded derives k from the weight."""
     acts1 = p["acts"][::2]
     acts2 = p["acts"][1::2]
     for c1, c2, a1, a2, d in zip(p["convs1"], p["convs2"], acts1, acts2, dilations):
@@ -260,7 +264,7 @@ def _amp_block1_folded(
 
 
 def _amp_block2_folded(
-    p: Params, xf: jnp.ndarray, h: BigVGANConfig, kernel_size: int, dilations, c: int, s: int
+    p: Params, xf: jnp.ndarray, h: BigVGANConfig, dilations, c: int, s: int
 ) -> jnp.ndarray:
     for cv, a, d in zip(p["convs"], p["acts"], dilations):
         xt = _activation_folded(a, xf, h, c, s)
@@ -345,12 +349,11 @@ def bigvgan_apply(
             xf = fold_time(x, s)
             for j in range(num_kernels):
                 p_rb = params["resblocks"][i * num_kernels + j]
-                kk = h.resblock_kernel_sizes[j]
                 dd = h.resblock_dilation_sizes[j]
                 out = (
-                    _amp_block1_folded(p_rb, xf, h, kk, dd, c_stage, s)
+                    _amp_block1_folded(p_rb, xf, h, dd, c_stage, s)
                     if h.resblock == "1"
-                    else _amp_block2_folded(p_rb, xf, h, kk, dd, c_stage, s)
+                    else _amp_block2_folded(p_rb, xf, h, dd, c_stage, s)
                 )
                 xs = out if xs is None else xs + out
             x = unfold_time(xs / num_kernels, s)
@@ -407,7 +410,7 @@ def discriminator_p_apply(params, x: jnp.ndarray, period: int, kernel_size: int 
         t = t + n_pad
     x = x.reshape(b, t // period, period, c)
     fmap = []
-    get_pad = (5 * 1 - 1) // 2
+    get_pad = (kernel_size - 1) // 2  # honor the param; weights are built to match
     for i, conv in enumerate(params["convs"]):
         s = (stride, 1) if i < 4 else (1, 1)
         pad = (get_pad, 0) if i < 4 else (2, 0)

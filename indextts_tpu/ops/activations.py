@@ -15,7 +15,7 @@ import jax.numpy as jnp
 _NO_DIV_BY_ZERO = 1e-9
 
 # degree-9 odd minimax polynomial for sin on [-pi, pi] (least-squares fit;
-# max abs error 3.4e-5 over [-50, 50] incl. fp32 range reduction)
+# max abs error 3.64e-5 over [-50, 50] incl. fp32 range reduction)
 _SIN_C0 = 9.9999728997e-01
 _SIN_C1 = -1.6665146137e-01
 _SIN_C2 = 8.3198438631e-03
@@ -26,7 +26,7 @@ _TWO_PI = 2.0 * math.pi
 
 
 def approx_sin(u):
-    """Range-reduced polynomial sin, fp32 in/out. Max abs error 3.4e-5 —
+    """Range-reduced polynomial sin, fp32 in/out. Max abs error 3.64e-5 —
     ~100x below bf16 resolution (2^-8 ~ 3.9e-3 relative).
 
     XLA's exact sin dominates the VPU in the vocoder's anti-aliased snake
@@ -99,7 +99,10 @@ def glu(x, axis: int = -1):
     return a * jnp.reciprocal(1.0 + jnp.exp(-b.astype(jnp.float32))).astype(x.dtype)
 
 
-def leaky_relu(x, negative_slope: float = 0.1):
+def leaky_relu(x, negative_slope: float = 0.01):
+    """torch F.leaky_relu; default slope 0.01 MATCHES torch (every vocoder
+    call site passes 0.1 explicitly — a divergent default would silently
+    10x the negative slope for any future torch-parity port)."""
     return jnp.where(x >= 0, x, x * negative_slope)
 
 

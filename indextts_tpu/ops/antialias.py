@@ -307,9 +307,19 @@ def anti_aliased_activation_folded(
     [B, 2T, C], so XLA sees stride-1 dense convs at >=128-lane widths."""
     xf = fold_time(x, s)
     c = x.shape[-1]
+    return unfold_time(folded_aa_core(xf, alpha, beta, alpha_logscale, s, c), s)
+
+
+def folded_aa_core(
+    xf: jnp.ndarray, alpha: jnp.ndarray, beta, alpha_logscale: bool, s: int, c: int
+) -> jnp.ndarray:
+    """The up->snake->down anti-alias core on an ALREADY s-folded signal —
+    the ONE definition shared by anti_aliased_activation_folded and the
+    stage-folded vocoder path (models/bigvgan.py), so a tap/edge fix can
+    never apply to one site and miss the other."""
     yf = upsample1d_folded(xf, s, c)
     yf = snake_folded(yf, alpha, beta, alpha_logscale, 2 * s)
-    return unfold_time(downsample1d_folded(yf, s, c), s)
+    return downsample1d_folded(yf, s, c)
 
 
 def _shift_add_dw(xp: jnp.ndarray, taps, out_t: int) -> jnp.ndarray:
