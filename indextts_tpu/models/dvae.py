@@ -28,13 +28,7 @@ from indextts_tpu.ops.conv import conv1d
 Params = Dict[str, Any]
 
 
-def _conv_init(rng, k, cin, cout):
-    kw, kb = jax.random.split(rng)
-    bound = 1.0 / np.sqrt(cin * k)
-    return {
-        "weight": jax.random.uniform(kw, (k, cin, cout), jnp.float32, -bound, bound),
-        "bias": jax.random.uniform(kb, (cout,), jnp.float32, -bound, bound),
-    }
+from indextts_tpu.models.conformer import _conv_init_1d as _conv_init
 
 
 def _resblock_init(rng, chan):
@@ -47,20 +41,27 @@ def _resblock_init(rng, chan):
 
 
 def _arch(cfg: DVAEConfig):
+    if cfg.num_layers == 0:
+        # reference branch (xtts_dvae.py:275-279): no strided stages — the
+        # encoder is a single 1x1 conv channels->hidden_dim + act, and both
+        # innermost and the decoder output width are hidden_dim
+        return [], [], cfg.hidden_dim
     enc_chans = [cfg.hidden_dim * (2**i) for i in range(cfg.num_layers)]
     dec_chans = list(reversed(enc_chans))
     enc_chans = [cfg.channels] + enc_chans
     dec_init_chan = cfg.codebook_dim if cfg.num_resnet_blocks == 0 else dec_chans[0]
     dec_chans = [dec_init_chan] + dec_chans
-    innermost = dec_chans[0] if cfg.num_layers > 0 else cfg.hidden_dim
-    return enc_chans, dec_chans, innermost
+    return enc_chans, dec_chans, dec_chans[0]
 
 
 def init_dvae(rng: jax.Array, cfg: DVAEConfig) -> Params:
     enc_chans, dec_chans, innermost = _arch(cfg)
-    rngs = jax.random.split(rng, 4 + 2 * cfg.num_layers + 2 * cfg.num_resnet_blocks)
+    rngs = jax.random.split(rng, 6 + 2 * cfg.num_layers + 2 * cfg.num_resnet_blocks)
     ri = iter(rngs)
     params: Params = {"enc_convs": [], "enc_res": [], "dec_convs": [], "dec_res": []}
+    if cfg.num_layers == 0:
+        # the reference's layer-less encoder entry (xtts_dvae.py:276)
+        params["enc_in0"] = _conv_init(next(ri), 1, cfg.channels, cfg.hidden_dim)
     for cin, cout in zip(enc_chans[:-1], enc_chans[1:]):
         params["enc_convs"].append(_conv_init(next(ri), cfg.kernel_size, cin, cout))
     for _ in range(cfg.num_resnet_blocks):
@@ -72,13 +73,14 @@ def init_dvae(rng: jax.Array, cfg: DVAEConfig) -> Params:
             params["dec_res"].append(_resblock_init(next(ri), innermost))
     for cin, cout in zip(dec_chans[:-1], dec_chans[1:]):
         params["dec_convs"].append(_conv_init(next(ri), cfg.kernel_size, cin, cout))
-    params["dec_out"] = _conv_init(next(ri), 1, dec_chans[-1], cfg.channels)
+    dec_out_chans = dec_chans[-1] if dec_chans else innermost
+    params["dec_out"] = _conv_init(next(ri), 1, dec_out_chans, cfg.channels)
+    embed = jax.random.normal(next(ri), (cfg.codebook_dim, cfg.num_tokens), jnp.float32)
     params["codebook"] = {
-        "embed": jax.random.normal(next(ri), (cfg.codebook_dim, cfg.num_tokens), jnp.float32),
+        "embed": embed,
         "cluster_size": jnp.zeros((cfg.num_tokens,), jnp.float32),
-        "embed_avg": jnp.zeros((cfg.codebook_dim, cfg.num_tokens), jnp.float32),
+        "embed_avg": embed,  # reference: embed.clone() (xtts_dvae.py:68)
     }
-    params["codebook"]["embed_avg"] = params["codebook"]["embed"]
     return params
 
 
@@ -98,6 +100,8 @@ def dvae_encode(params: Params, cfg: DVAEConfig, mel: jnp.ndarray) -> jnp.ndarra
     """mel [B, T, channels] -> pre-quant logits [B, T/2^L, codebook_dim]."""
     pad = (cfg.kernel_size - 1) // 2
     h = mel
+    if "enc_in0" in params:  # num_layers == 0 (xtts_dvae.py:276)
+        h = _act(cfg, conv1d(h, params["enc_in0"]["weight"], params["enc_in0"]["bias"]))
     for p in params["enc_convs"]:
         h = _act(cfg, conv1d(h, p["weight"], p["bias"], stride=cfg.stride, padding=pad))
     for p in params["enc_res"]:

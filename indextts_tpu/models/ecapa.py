@@ -33,14 +33,10 @@ RES2NET_SCALE = 8
 SE_CHANNELS = 128
 
 
-def _init_conv(rng, k, cin, cout):
-    # torch Conv1d default init: kaiming_uniform(a=sqrt(5)) ~ U(-b, b)
-    bound = 1.0 / np.sqrt(cin * k)
-    kw, kb = jax.random.split(rng)
-    return {
-        "weight": jax.random.uniform(kw, (k, cin, cout), jnp.float32, -bound, bound),
-        "bias": jax.random.uniform(kb, (cout,), jnp.float32, -bound, bound),
-    }
+# torch Conv1d default init (kaiming_uniform(a=sqrt(5)) ~ U(-b, b)): ONE
+# definition lives in conformer.py — three hand-copies had already drifted
+# into existence across ecapa/dvae/conformer before round 3's dedup
+from indextts_tpu.models.conformer import _conv_init_1d as _init_conv
 
 
 def _init_bn(c):
@@ -99,8 +95,12 @@ def _length_masks(x: jnp.ndarray, lengths: Optional[jnp.ndarray]):
     b, t, _ = x.shape
     if lengths is None:
         return jnp.ones((b, t, 1), dtype=jnp.float32)
-    abs_len = jnp.round(lengths.astype(jnp.float32) * t)
-    mask = (jnp.arange(t)[None, :] < abs_len[:, None]).astype(jnp.float32)
+    # strict float < (ceil semantics), NOT round: the reference's
+    # length_to_mask compares arange < lengths*T directly, so 0.345*100
+    # keeps 35 frames — rounding would drop one and shift the SE/ASP
+    # statistics for fractional relative lengths
+    abs_len = lengths.astype(jnp.float32) * t
+    mask = (jnp.arange(t, dtype=jnp.float32)[None, :] < abs_len[:, None]).astype(jnp.float32)
     return mask[:, :, None]
 
 
@@ -132,7 +132,6 @@ def _asp(params: Params, x: jnp.ndarray, mask: jnp.ndarray, eps: float = 1e-12) 
     m = mask / total
     mean = (m * x).sum(axis=1, keepdims=True)  # [B, 1, C]
     std = jnp.sqrt(jnp.clip((m * (x - mean) ** 2).sum(axis=1, keepdims=True), eps, None))
-    t = x.shape[1]
     attn_in = jnp.concatenate(
         [x, jnp.broadcast_to(mean, x.shape), jnp.broadcast_to(std, x.shape)], axis=-1
     )

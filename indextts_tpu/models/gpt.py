@@ -19,7 +19,7 @@ TPU-first design decisions (not a port):
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -86,6 +86,18 @@ def init_unified_voice(rng: jax.Array, cfg: GPTConfig) -> Params:
         "mel_head": {"weight": _normal(r[6], (d, cfg.number_mel_codes)), "bias": jnp.zeros((cfg.number_mel_codes,))},
     }
     if cfg.condition_type in ("conformer_perceiver", "conformer_encoder"):
+        if (cfg.condition_type == "conformer_encoder"
+                and cfg.condition_module.output_size != d):
+            # without the perceiver projection the conformer latents
+            # concatenate straight into the GPT embedding stream — a
+            # mismatched width would only surface as a shape error deep in
+            # a jit trace (the reference has no working conformer_encoder
+            # path at mismatched dims either, model.py conditioning)
+            raise NotImplementedError(
+                f"condition_type='conformer_encoder' needs "
+                f"condition_module.output_size == model_dim "
+                f"({cfg.condition_module.output_size} != {d})"
+            )
         params["conditioning_encoder"] = init_conformer(r[7], cfg.condition_module, input_size=100)
         if cfg.condition_type == "conformer_perceiver":
             params["perceiver_encoder"] = init_perceiver(
@@ -189,9 +201,8 @@ def mel_encoder_apply(params: Params, mel: jnp.ndarray, channels: int) -> jnp.nd
 # ---------------------------------------------------------------------------
 
 
-class KVCache(NamedTuple):
-    k: jnp.ndarray  # [L, B, H, S_max, Dh]
-    v: jnp.ndarray  # [L, B, H, S_max, Dh]
+# (decode-time KV caches live in gpt_decode.py: head-paired k2/v2
+# [L, B, H/2, S, 2*Dh] — see its module docstring for the layout rationale)
 
 
 def _attn(q, k, v, bias):

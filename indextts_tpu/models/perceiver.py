@@ -20,20 +20,7 @@ from indextts_tpu.ops.norms import rms_norm
 Params = Dict[str, Any]
 
 
-def _linear_init(rng, din, dout, bias=True):
-    kw, kb = jax.random.split(rng)
-    bound = 1.0 / np.sqrt(din)
-    p = {"weight": jax.random.uniform(kw, (din, dout), jnp.float32, -bound, bound)}
-    if bias:
-        p["bias"] = jax.random.uniform(kb, (dout,), jnp.float32, -bound, bound)
-    return p
-
-
-def _linear(p, x):
-    out = x @ p["weight"].astype(x.dtype)
-    if "bias" in p:
-        out = out + p["bias"].astype(x.dtype)
-    return out
+from indextts_tpu.models.conformer import _linear_init, linear as _linear
 
 
 def init_perceiver(

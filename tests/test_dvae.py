@@ -106,6 +106,27 @@ class TestDVAE:
         )
 
 
+def test_num_layers_zero_supported():
+    """The reference DVAE explicitly supports num_layers=0 (xtts_dvae.py:
+    275-279: a single 1x1 conv channels->hidden encoder); init and the
+    tokenize/detokenize round-trip must work at time-resolution 1."""
+    import jax
+    import numpy as np
+
+    from indextts_tpu.config import DVAEConfig
+    from indextts_tpu.models.dvae import decode, get_codebook_indices, init_dvae
+
+    for n_res in (0, 2):
+        cfg = DVAEConfig(channels=80, num_tokens=64, codebook_dim=16,
+                         hidden_dim=16, num_layers=0, num_resnet_blocks=n_res)
+        params = init_dvae(jax.random.PRNGKey(0), cfg)
+        mel = np.random.default_rng(0).standard_normal((2, 8, 80)).astype(np.float32)
+        codes = get_codebook_indices(params, cfg, mel)
+        assert codes.shape == (2, 8)  # no striding at num_layers=0
+        rec = decode(params, cfg, codes)
+        assert rec.shape == (2, 8, 80)
+
+
 def test_discretization_loss():
     from indextts_tpu.models.dvae import discretization_loss
 
