@@ -31,7 +31,11 @@ def main(argv=None):
         help="Path to the config file. Default is 'checkpoints/config.yaml'",
     )
     parser.add_argument("--model_dir", type=str, default="checkpoints", help="Path to the model directory.")
-    parser.add_argument("--fp16", action="store_true", default=True, help="Use bf16 compute on TPU (fp32 otherwise)")
+    # BooleanOptionalAction: the reference's store_true + default=True makes
+    # --fp16 a no-op with no way to request fp32; --no-fp16 delivers the
+    # "(fp32 otherwise)" the help promises (e.g. for debugging bf16 numerics)
+    parser.add_argument("--fp16", action=argparse.BooleanOptionalAction, default=True,
+                        help="Use bf16 compute on TPU (--no-fp16 for fp32)")
     parser.add_argument("-f", "--force", action="store_true", default=False, help="Overwrite the output file if it exists")
     parser.add_argument(
         "-d", "--device", type=str, default=None,
@@ -75,12 +79,13 @@ def main(argv=None):
         sys.exit(1)
 
     output_path = args.output_path or ("gen_batch" if args.batch_file else "gen.wav")
-    if not args.batch_file and os.path.exists(output_path):
-        if not args.force:
-            print(f"ERROR: Output file {output_path} already exists. Use --force to overwrite.")
-            parser.print_help()
-            sys.exit(1)
-        os.remove(output_path)
+    if not args.batch_file and os.path.exists(output_path) and not args.force:
+        print(f"ERROR: Output file {output_path} already exists. Use --force to overwrite.")
+        parser.print_help()
+        sys.exit(1)
+    # no pre-delete under --force: a failure during model load/generation
+    # must not have already destroyed the previous result (the engine
+    # removes the old file right before writing the new one)
 
     import jax
 
@@ -97,7 +102,7 @@ def main(argv=None):
         items = []
         with open(args.batch_file, encoding="utf-8") as f:
             for ln, line in enumerate(f, 1):
-                line = line.rstrip("\n")
+                line = line.rstrip("\r\n")  # CRLF TSVs: \r must not stick to paths/text
                 if not line.strip():
                     continue
                 # first tab separates voice from text; later tabs stay in text

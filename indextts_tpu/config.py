@@ -191,12 +191,15 @@ class IndexTTSConfig:
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "IndexTTSConfig":
+        # `or {}`: a present-but-empty YAML section ("gpt:" with no body,
+        # the standard use-defaults idiom) parses to None, and .get's
+        # default only applies when the key is absent
         return cls(
-            gpt=GPTConfig.from_dict(d.get("gpt", {})),
-            bigvgan=BigVGANConfig.from_dict(d.get("bigvgan", {})),
-            dvae=DVAEConfig.from_dict(d.get("dvae", {})),
-            engine=EngineConfig.from_dict(d.get("engine", {})),
-            dataset=dict(d.get("dataset", {"bpe_model": "bpe.model"})),
+            gpt=GPTConfig.from_dict(d.get("gpt") or {}),
+            bigvgan=BigVGANConfig.from_dict(d.get("bigvgan") or {}),
+            dvae=DVAEConfig.from_dict(d.get("dvae") or {}),
+            engine=EngineConfig.from_dict(d.get("engine") or {}),
+            dataset=dict(d.get("dataset") or {"bpe_model": "bpe.model"}),
             gpt_checkpoint=d.get("gpt_checkpoint", "gpt.pth"),
             bigvgan_checkpoint=d.get("bigvgan_checkpoint", "bigvgan_generator.pth"),
             dvae_checkpoint=d.get("dvae_checkpoint", "dvae.pth"),

@@ -92,13 +92,8 @@ def conv_transpose1d(
     else:
         # grouped transposed conv (depthwise anti-alias upsampler):
         # run the lhs-dilated conv with feature groups. lax requires the
-        # kernel input-feature dim = Cin/groups; with HOI dims the kernel is
-        # [K, Cout_total? ...] — reshape to [K, Cin/groups, Cout] blocks.
         cin = x.shape[-1]
         cout_per_group = weight.shape[1]
-        # build a block-diagonal-free grouped conv via feature_group_count:
-        # kernel layout HIO with I = Cin/groups, O = Cout_total
-        w_hio = jnp.swapaxes(w, 1, 2)  # [K, Cin(=groups*Cin/g? no: Cin dim), Cout/g]
         # weight came in as [K, Cout/groups, Cin]; for grouped conv we need
         # [K, Cin/groups, Cout]. torch stores transposed-conv weight as
         # [Cin, Cout/groups, K]; the converter gives us [K, Cout/groups, Cin].
@@ -174,10 +169,11 @@ def sb_same_pad(x: jnp.ndarray, kernel_size: int, dilation: int, mode: str = "re
     return pad1d(x, (total // 2, total - total // 2), mode=mode)
 
 
-def weight_norm_fold(weight_v: jnp.ndarray, weight_g: jnp.ndarray, dim_is_out0: bool = True) -> jnp.ndarray:
+def weight_norm_fold(weight_v: jnp.ndarray, weight_g: jnp.ndarray) -> jnp.ndarray:
     """Fold torch weight_norm (g * v/||v||, norm over all dims except dim=0)
     at conversion time — the reference folds at load via remove_weight_norm()
-    (models.py:252-260, infer.py:66). Operates in torch layout [Cout, ...]."""
+    (models.py:252-260, infer.py:66). Operates in torch layout [Cout, ...].
+    dim=0 only: every reference module weight-norms the default dim."""
     import numpy as np
 
     v = np.asarray(weight_v)

@@ -152,8 +152,14 @@ def process_logits(
         lf = apply_typical(lf, typical_mass, min_tokens_to_keep=mtk)
     if do_sample:
         lf = apply_temperature(lf, temperature)
+        # HF builds its top-k/top-p warpers with min_tokens_to_keep=2 when
+        # num_beams > 1 (beam_sample needs >= 2 live candidates per beam):
+        # with repetition-penalty-peaked distributions top-p would otherwise
+        # leave a single survivor and the top-2*nb successor draw would fill
+        # the remaining slots with NEG_INF junk, collapsing beams
+        mtk = 2 if num_beams > 1 else 1
         if top_k:
-            lf = apply_top_k_top_p(lf, top_k, top_p)
+            lf = apply_top_k_top_p(lf, max(int(top_k), mtk), top_p, min_tokens_to_keep=mtk)
         else:
-            lf = apply_top_p(lf, top_p)
+            lf = apply_top_p(lf, top_p, min_tokens_to_keep=mtk)
     return lf

@@ -117,7 +117,13 @@ def decode_audio(path: str) -> Tuple[np.ndarray, int]:
             raise UnsupportedAudioFormat(
                 f"ffmpeg failed to decode the upload: {proc.stderr.decode(errors='replace')[:300]}"
             )
-        return read_wav(tmp_path)
+        try:
+            return read_wav(tmp_path)
+        except Exception as e:
+            # ffmpeg exit 0 with an unreadable/truncated wav (disk full,
+            # killed mid-write): keep the documented contract — the server
+            # answers 415, never a parse traceback
+            raise UnsupportedAudioFormat(f"transcoded wav unreadable: {e}")
     finally:
         try:
             os.remove(tmp_path)

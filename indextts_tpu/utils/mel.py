@@ -50,6 +50,10 @@ def stft_magnitude(
     x = np.asarray(audio, dtype=np.float64)
     squeeze = x.ndim == 1
     x = np.atleast_2d(x)
+    if x.ndim != 2:
+        # 3D+ would either crash in the center pad or, worse, silently
+        # fancy-index the channel axis with time indices below
+        raise ValueError(f"stft_magnitude takes [T] or [B, T] audio, got shape {x.shape}")
     if center:
         pad = n_fft // 2
         x = np.pad(x, ((0, 0), (pad, pad)), mode="reflect")

@@ -72,3 +72,17 @@ def test_convert_shapes_match_random_init(ckpt_dir):
 
     check(got_gpt, want_gpt)
     check(got_bv, want_bv)
+
+
+def test_empty_yaml_sections_use_defaults(tmp_path):
+    """A present-but-empty section ("gpt:" with no body — the standard YAML
+    use-defaults idiom) parses to None and must fall back to defaults, not
+    crash from_dict with None.items()."""
+    from indextts_tpu.config import IndexTTSConfig, load_config
+
+    p = tmp_path / "c.yaml"
+    p.write_text("gpt:\nbigvgan:\ndvae:\nengine:\ndataset:\n")
+    cfg = load_config(str(p))
+    default = IndexTTSConfig()
+    assert cfg.gpt.model_dim == default.gpt.model_dim
+    assert cfg.dataset == default.dataset

@@ -65,6 +65,49 @@ class TestCLI:
         assert eng.calls[0][0] == "infer_fast"
         assert eng.kw["fast_latents"] is True and eng.kw["quant_kv"] is True
 
+    def test_no_fp16_flag(self, stub):
+        """--no-fp16 requests fp32 (the store_true+default=True form made
+        --fp16 a no-op with no way to get the promised fp32)."""
+        tmp, cfg, voice = stub
+        cli.main(["a.", "-v", voice, "-c", cfg, "--model_dir", str(tmp),
+                  "-o", str(tmp / "f.wav"), "--no-fp16"])
+        assert StubTTS.instances[-1].kw["is_fp16"] is False
+        cli.main(["a.", "-v", voice, "-c", cfg, "--model_dir", str(tmp),
+                  "-o", str(tmp / "f2.wav")])
+        assert StubTTS.instances[-1].kw["is_fp16"] is True
+
+    def test_force_does_not_predelete(self, stub, monkeypatch):
+        """--force must not destroy the previous output before the engine
+        even loads — a failed run would lose the old audio for nothing."""
+        tmp, cfg, voice = stub
+        out = str(tmp / "keep.wav")
+        open(out, "wb").write(b"OLD")
+
+        class BoomTTS(StubTTS):
+            def __init__(self, **kw):
+                raise RuntimeError("synthetic init failure")
+
+        import indextts_tpu.engine as eng
+
+        monkeypatch.setattr(eng, "IndexTTS", BoomTTS)
+        with pytest.raises(RuntimeError):
+            cli.main(["x.", "-v", voice, "-c", cfg, "--model_dir", str(tmp),
+                      "-o", out, "-f"])
+        assert open(out, "rb").read() == b"OLD"
+
+    def test_batch_file_crlf(self, stub, tmp_path):
+        """CRLF TSVs (Windows-authored batch files) must not leave \\r stuck
+        to voice paths or text."""
+        tmp, cfg, voice = stub
+        bf = tmp_path / "b.tsv"
+        bf.write_bytes(f"{voice}\thello one.\r\nhello two.\r\n".encode())
+        outdir = str(tmp_path / "outs")
+        cli.main(["-c", cfg, "--model_dir", str(tmp), "-v", voice,
+                  "--batch-file", str(bf), "-o", outdir])
+        eng = StubTTS.instances[-1]
+        items = eng.calls[-1][1]
+        assert items[0][1] == "hello one." and items[1][1] == "hello two."
+
     def test_batch_file(self, stub, tmp_path):
         tmp, cfg, voice = stub
         voice2 = tmp / "w.wav"

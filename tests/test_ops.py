@@ -360,6 +360,23 @@ class TestFoldedAntiAlias:
 
 
 class TestSampling:
+    def test_beam_sampling_keeps_two_tokens(self):
+        """HF builds top-k/top-p warpers with min_tokens_to_keep=2 when
+        num_beams>1 (beam_sample needs >=2 live candidates per beam). A
+        rep-penalty-peaked distribution under top_p=0.5 must leave >=2
+        survivors for beams, exactly 1 for single-row sampling."""
+        from indextts_tpu.ops.sampling import process_logits
+
+        logits = jnp.asarray([[10.0, 0.0, -1.0, -2.0]])
+        for top_k in (0, 30):
+            out = np.asarray(process_logits(
+                logits, do_sample=True, top_p=jnp.float32(0.5),
+                num_beams=3, top_k=top_k))
+            assert (out > -1e29).sum() >= 2, top_k
+        out1 = np.asarray(process_logits(
+            logits, do_sample=True, top_p=jnp.float32(0.5), num_beams=1, top_k=0))
+        assert (out1 > -1e29).sum() == 1
+
     def test_top_k_matches_hf(self):
         from transformers.generation.logits_process import TopKLogitsWarper
 
