@@ -15,7 +15,7 @@ import os
 import re
 from socketserver import ThreadingMixIn
 from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
-from urllib.parse import parse_qs, unquote
+from urllib.parse import parse_qs
 from wsgiref.simple_server import WSGIRequestHandler, WSGIServer, make_server
 
 
@@ -36,6 +36,7 @@ class Request:
         self.too_large = False
         self.form: Dict[str, str] = {}
         self.files: Dict[str, Tuple[str, bytes]] = {}  # name -> (filename, data)
+        _ = self.body  # eager read: too_large must be set BEFORE dispatch
         self._parse_body()
 
     @property
@@ -69,7 +70,10 @@ class Request:
         ctype = self.environ.get("CONTENT_TYPE", "")
         if self.method in ("POST", "PUT", "DELETE") and ctype:
             if ctype.startswith("application/x-www-form-urlencoded"):
-                self.form = {k: v[0] for k, v in parse_qs(self.body.decode("utf-8")).items()}
+                # "replace", not strict: a non-UTF-8 body must yield a clean
+                # app-level error, not a UnicodeDecodeError during Request
+                # construction (multipart headers already decode this way)
+                self.form = {k: v[0] for k, v in parse_qs(self.body.decode("utf-8", "replace")).items()}
             elif ctype.startswith("multipart/form-data"):
                 m = re.search(r'boundary="?([^";]+)"?', ctype)
                 if m:
@@ -186,7 +190,15 @@ class App:
         return deco
 
     def _serve_static(self, path: str):
-        rel = unquote(path[len(self.static_url) + 1 :])
+        # PATH_INFO arrives ALREADY percent-decoded (PEP 3333; wsgiref
+        # unquotes it) as a latin-1-bytes-in-str surrogate — a second
+        # unquote() would corrupt filenames containing %XX lookalikes, and
+        # skipping the latin-1->utf-8 dance breaks non-ASCII names
+        rel = path[len(self.static_url) + 1 :]
+        try:
+            rel = rel.encode("latin-1").decode("utf-8")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            pass  # already a proper str (test clients) or not utf-8
         full = os.path.normpath(os.path.join(self.static_dir, rel))
         # trailing-separator check: a sibling dir sharing the prefix
         # (static_evil/ next to static/) must not be servable
@@ -197,8 +209,11 @@ class App:
             return Response(f.read(), content_type=ctype)
 
     def __call__(self, environ, start_response):
-        req = Request(environ)
         try:
+            # Request construction parses the body — it must sit INSIDE the
+            # try so a malformed body becomes the JSON 500/413, not
+            # wsgiref's plain-text error page
+            req = Request(environ)
             if req.too_large:
                 result = jsonify({"error": "request body too large"}, 413)
             else:
@@ -231,7 +246,9 @@ class App:
                     if isinstance(item, (dict, list)):
                         yield f"data: {json.dumps(item, ensure_ascii=False)}\n\n".encode("utf-8")
                     else:
-                        yield str(item).encode("utf-8")
+                        # strings get the same SSE framing — raw bytes would
+                        # glue onto the next event and corrupt its JSON
+                        yield f"data: {item}\n\n".encode("utf-8")
 
             return stream()
 

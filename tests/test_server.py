@@ -766,6 +766,38 @@ class TestBodyLimit:
         assert captured["status"] == 413
         assert b"too large" in body
 
+    def test_oversized_json_body_413(self, server):
+        """The cap must apply to JSON bodies too — the lazy body read used
+        to leave too_large unset for non-form content types, turning the
+        413 into a misleading 400 downstream."""
+        import indextts_tpu.server.wsgi as wsgi
+
+        client, _, app, _ = server
+
+        class Bomb:
+            def read(self, n=-1):  # pragma: no cover - must never be called
+                raise AssertionError("oversized body was read")
+
+        environ = {
+            "REQUEST_METHOD": "DELETE", "PATH_INFO": "/api/delete-audio",
+            "QUERY_STRING": "", "CONTENT_TYPE": "application/json",
+            "CONTENT_LENGTH": str(wsgi.MAX_BODY_BYTES + 1), "wsgi.input": Bomb(),
+        }
+        captured = {}
+        body = b"".join(app(environ, lambda s, h: captured.update(status=int(s.split()[0]))))
+        assert captured["status"] == 413
+
+    def test_non_utf8_urlencoded_body_is_clean_error(self, server):
+        """A non-UTF-8 urlencoded body must produce an app-level JSON error,
+        not a UnicodeDecodeError escaping to wsgiref's plain-text page."""
+        client, _, _, _ = server
+        status, headers, result = client.request(
+            "POST", "/api/synthesize", b"\xff\xfe\x00text=x",
+            "application/x-www-form-urlencoded",
+        )
+        assert status in (400, 415)
+        assert headers["Content-Type"].startswith("application/json")
+
     def test_task_status_route(self, server):
         client, engine, app, _ = server
         status, data = client.json("GET", "/api/task-status/nope")

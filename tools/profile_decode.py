@@ -100,10 +100,14 @@ def main():
             times.append(time.perf_counter() - t0)
         wall = float(np.median(times))
         ms_step = 1000 * wall / gen_tokens
-        # cache: [L, B, H, S, Dh] x2, S = prefill + gen_tokens
+        # cache: [L, B*nb, H, S, Dh] x2, S = prefill + gen_tokens; beams
+        # multiply the rows and int8 KV (QUANT_KV) halves bytes/elem — the
+        # printed floor must describe the config actually being measured
         p_len = gpt_cfg.condition_num_latent + TEXT_LEN + 2 + 1
         s_len = p_len + gen_tokens
-        cache_bytes = gpt_cfg.layers * batch * gpt_cfg.heads * s_len * (d // gpt_cfg.heads) * 2 * 2
+        bytes_per_elem = 1 if quant_kv else 2
+        cache_bytes = (gpt_cfg.layers * batch * nb * gpt_cfg.heads * s_len
+                       * (d // gpt_cfg.heads) * 2 * bytes_per_elem)
         floor_ms = 1000 * (weight_bytes + cache_bytes) / (HBM_GBS * 1e9)
         print(
             f"B={batch:3d} gen={gen_tokens:4d}: {ms_step:6.2f} ms/step "

@@ -1,5 +1,12 @@
 """Vocoder cost decomposition on the real TPU (VERDICT round-1 weak #2).
 
+STALE METHODOLOGY — numbers from this tool are NOT trustworthy on the axon
+platform: it times via block_until_ready(), which can return before remote
+execution finishes (CLAUDE.md "Timing methodology": an 815 ms graph
+"measured" 0.5 ms this way). Use tools/profile_vocoder2.py (in-graph scalar
+reduce + float() fetch) — this file is kept only as the historical artifact
+behind PERF.md's round-1 numbers.
+
 Times the BigVGAN generator at the bench configuration (batch 8, 200 codes ->
 204800 samples/row) in several ablations to locate where the ~800 ms/iter
 goes:
