@@ -13,11 +13,11 @@ torch = pytest.importorskip("torch")
 
 @pytest.fixture(scope="module")
 def ckpt_dir(tmp_path_factory):
-    import sys
-
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from make_torch_ckpt import write_checkpoints
-    from test_engine import tiny_config
+    # tests.* namespace imports: a bare `from test_engine import ...` under a
+    # sys.path insert double-imports the module under two names (state and
+    # monkeypatches in one are invisible in the other)
+    from tests.make_torch_ckpt import write_checkpoints
+    from tests.test_engine import tiny_config
 
     d = str(tmp_path_factory.mktemp("torch_ckpt"))
     write_checkpoints(tiny_config(), d)
@@ -48,7 +48,7 @@ def test_convert_shapes_match_random_init(ckpt_dir):
     )
     from indextts_tpu.models.bigvgan import init_bigvgan
     from indextts_tpu.models.gpt import init_unified_voice
-    from test_engine import tiny_config
+    from tests.test_engine import tiny_config
 
     cfg = tiny_config()
     got_gpt = convert_unified_voice(load_torch_state_dict(os.path.join(ckpt_dir, "gpt.pth")), cfg.gpt)

@@ -135,9 +135,8 @@ class TestFidelityLoop:
         import json
         import sys
 
-        sys.path.insert(0, "/root/repo/tests")
-        from make_torch_ckpt import write_checkpoints
-        from test_engine import tiny_config
+        from tests.make_torch_ckpt import write_checkpoints
+        from tests.test_engine import tiny_config
 
         out = str(tmp_path / "ckpt")
         write_checkpoints(tiny_config(), out)

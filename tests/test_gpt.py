@@ -174,15 +174,29 @@ class TestGreedyDecode:
         np.testing.assert_array_equal(np.asarray(codes_batch[1]), np.asarray(codes_1[0]))
 
     def test_stop_padding_and_lengths(self, setup):
+        """Random tiny weights rarely emit a stop, which used to make this
+        test pass VACUOUSLY — bias the mel head so token 7 wins greedy step
+        1, then the repetition penalty (10) suppresses it and stop wins step
+        2: a deterministic mixed-tokens-then-stop trajectory."""
         cfg, params, conds = setup
+        p2 = dict(params)
+        bias = np.zeros(cfg.number_mel_codes, np.float32)
+        bias[7] = 6.0
+        bias[cfg.stop_mel_token] = 5.0
+        p2["mel_head"] = {
+            "weight": jnp.zeros_like(params["mel_head"]["weight"]),
+            "bias": jnp.asarray(bias),
+        }
         gen = GenerationConfig(do_sample=False, max_new_tokens=16)
         text = jnp.asarray([[5, 6, 7, 1]], jnp.int32)
-        codes, lengths = generate_speech(params, cfg, gen, conds, text, jnp.asarray([3]), jax.random.PRNGKey(0))
+        codes, lengths = generate_speech(p2, cfg, gen, conds, text, jnp.asarray([3]),
+                                         jax.random.PRNGKey(0), repetition_penalty=10.0)
         codes = np.asarray(codes)
         ln = int(lengths[0])
-        if ln < 16:
-            assert codes[0, ln - 1] == cfg.stop_mel_token
-            assert (codes[0, ln:] == cfg.stop_mel_token).all()
+        assert ln == 2, f"expected stop at step 2, got lengths={ln}, codes={codes[0]}"
+        assert codes[0, 0] == 7
+        assert codes[0, ln - 1] == cfg.stop_mel_token
+        assert (codes[0, ln:] == cfg.stop_mel_token).all()
 
 
 class TestSampledDecode:

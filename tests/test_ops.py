@@ -106,10 +106,6 @@ class TestConv:
 
     def test_weight_norm_fold(self):
         conv = torch.nn.utils.weight_norm(torch.nn.Conv1d(8, 16, 3))
-        with torch.no_grad():
-            folded_ref = torch.nn.utils.remove_weight_norm(
-                torch.nn.utils.weight_norm(torch.nn.Conv1d(8, 16, 3))
-            )
         v = conv.weight_v.detach().numpy()
         g = conv.weight_g.detach().numpy()
         mine = weight_norm_fold(v, g)

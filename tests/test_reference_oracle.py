@@ -358,6 +358,8 @@ class TestUnifiedVoiceOracle:
             w = want[i]
             # HF pads finished rows with pad=stop; compare the live region
             n = min(len(w), int(lengths[i]))
+            # floor: a length-0 decode would make this parity check vacuous
+            assert n > 0, f"row {i}: empty live region (lengths={int(lengths[i])})"
             np.testing.assert_array_equal(
                 codes[i, :n], w[:n], err_msg=f"row {i}: ours {codes[i, :n]} vs ref {w[:n]}"
             )
@@ -412,8 +414,10 @@ def ref_bigvgan(ref):
     torch.manual_seed(1)
     g = ref.BigVGAN(AttrDict(BIGVGAN_KW))
     g.eval()
-    # the engine folds weight norm at load (infer.py:66, models.py:252-260);
-    # fold here too so the state dict matches the published layout after load
+    # NOTE: returned with weight norm INTACT (weight_g/weight_v keys — the
+    # published checkpoint layout); the converter folds at conversion time.
+    # The post-remove_weight_norm plain-.weight layout is covered separately
+    # by test_folded_layout_converts_identically below.
     return g
 
 
@@ -423,6 +427,25 @@ class TestBigVGANOracle:
         h = BigVGANConfig.from_dict(dict(BIGVGAN_KW))
         params = convert_bigvgan(sd, h)
         return sd, h, params
+
+    def test_folded_layout_converts_identically(self, ref):
+        """The engine-side load path folds weight norm in-place
+        (ref infer.py:66 -> models.py:252-260), so checkpoints re-saved
+        after remove_weight_norm carry plain .weight keys. Converting that
+        layout must produce the SAME parameter tree as converting the
+        weight-normed original."""
+        torch.manual_seed(1)
+        g = ref.BigVGAN(AttrDict(BIGVGAN_KW))
+        g.eval()
+        sd_wn = {k: v.detach().cpu().numpy() for k, v in g.state_dict().items()}
+        g.remove_weight_norm()
+        sd_folded = {k: v.detach().cpu().numpy() for k, v in g.state_dict().items()}
+        h = BigVGANConfig.from_dict(dict(BIGVGAN_KW))
+        a = flatten_tree(convert_bigvgan(sd_wn, h))
+        b = flatten_tree(convert_bigvgan(sd_folded, h))
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], atol=1e-6, err_msg=k)
 
     def test_converter_consumes_all_real_keys(self, ref_bigvgan):
         sd, h, params = self._convert(ref_bigvgan)

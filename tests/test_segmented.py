@@ -41,19 +41,28 @@ def test_matches_monolithic(setup, do_sample):
 
 
 def test_early_exit_skips_segments(setup):
-    """When every row stops in segment 0, later segment fns never compile."""
+    """When every row stops in segment 0, later segment fns never compile.
+    Random tiny weights rarely emit a stop (the old version passed its core
+    assertion vacuously) — bias the mel head so stop wins greedy step 1."""
     cfg, params, conds = setup
+    p2 = dict(params)
+    bias = np.zeros(cfg.number_mel_codes, np.float32)
+    bias[cfg.stop_mel_token] = 5.0
+    p2["mel_head"] = {
+        "weight": jnp.zeros_like(params["mel_head"]["weight"]),
+        "bias": jnp.asarray(bias),
+    }
     text = jnp.asarray([[5, 6, 7, 1, 1, 1]], jnp.int32)
     gen = GenerationConfig(do_sample=False, max_new_tokens=40)
     cache = {}
     codes, lengths = generate_speech_segmented(
-        params, cfg, gen, conds, text, jnp.asarray([3]), jax.random.PRNGKey(0),
+        p2, cfg, gen, conds, text, jnp.asarray([3]), jax.random.PRNGKey(0),
         segment=8, jit_cache=cache,
     )
     n_codes = int(lengths[0])
     compiled_segments = [k for k in cache if k[0] == "seg"]
-    if n_codes <= 8:
-        assert len(compiled_segments) == 1
+    assert n_codes <= 8, f"stop-biased row did not stop in segment 0 (n_codes={n_codes})"
+    assert len(compiled_segments) == 1
     assert (np.asarray(codes) < cfg.number_mel_codes).all()
 
 

@@ -69,21 +69,10 @@ class Client:
         return status, json.loads(data) if data else None
 
     def multipart(self, path, fields, files=None):
-        boundary = "testboundary123"
-        parts = []
-        for k, v in fields.items():
-            parts.append(
-                f'--{boundary}\r\nContent-Disposition: form-data; name="{k}"\r\n\r\n{v}\r\n'.encode()
-            )
-        for k, (fname, data) in (files or {}).items():
-            parts.append(
-                f'--{boundary}\r\nContent-Disposition: form-data; name="{k}"; filename="{fname}"\r\n'
-                f"Content-Type: application/octet-stream\r\n\r\n".encode() + data + b"\r\n"
-            )
-        body = b"".join(parts) + f"--{boundary}--\r\n".encode()
-        status, headers, result = self.request(
-            "POST", path, body, f"multipart/form-data; boundary={boundary}"
-        )
+        # ONE encoder (_multipart_body) for every test — two copies would
+        # silently diverge on boundary/framing details
+        body, ctype = _multipart_body(fields, files)
+        status, headers, result = self.request("POST", path, body, ctype)
         data = b"".join(result)
         return status, json.loads(data) if data else None
 
@@ -95,12 +84,26 @@ def server(tmp_path):
     return Client(app), engine, app, str(tmp_path)
 
 
+_WAV_CACHE = {}
+
+
 def _wav_bytes():
-    buf_path = "/tmp/_test_prompt.wav"
-    t = np.linspace(0, 0.2, 4800, endpoint=False)
-    write_wav(buf_path, (0.3 * np.sin(2 * np.pi * 220 * t) * 32767)[None, :], 24000)
-    with open(buf_path, "rb") as f:
-        return f.read()
+    # per-process unique temp path (a fixed /tmp name races under
+    # pytest-xdist: a reader can pick up a partially-written file), cached
+    # so the encode runs once
+    if "wav" not in _WAV_CACHE:
+        import tempfile
+
+        fd, buf_path = tempfile.mkstemp(suffix=".wav")
+        os.close(fd)
+        try:
+            t = np.linspace(0, 0.2, 4800, endpoint=False)
+            write_wav(buf_path, (0.3 * np.sin(2 * np.pi * 220 * t) * 32767)[None, :], 24000)
+            with open(buf_path, "rb") as f:
+                _WAV_CACHE["wav"] = f.read()
+        finally:
+            os.remove(buf_path)
+    return _WAV_CACHE["wav"]
 
 
 class TestHelpers:
