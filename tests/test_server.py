@@ -667,6 +667,80 @@ class TestWSGIProtocol:
         assert os.listdir(temp_dir) == []
 
 
+class TestMultipartFuzz:
+    def test_round_trip_random_bytes(self):
+        """Property: any (field, file) combination the test encoder can
+        build must parse back byte-exact — file payloads drawn to include
+        CR/LF/boundary-ish bytes at the edges (the framing hazard class)."""
+        import random
+
+        from indextts_tpu.server.wsgi import Request
+
+        rng = random.Random(7)
+        edge = [b"", b"\r", b"\n", b"\r\n", b"\n\r", b"\r\n\r\n", b"--", b"--test"]
+        for trial in range(40):
+            fields = {f"f{i}": f"v{i}-{rng.randint(0, 999)}" for i in range(rng.randint(0, 3))}
+            files = {}
+            for i in range(rng.randint(0, 2)):
+                core = bytes(rng.getrandbits(8) for _ in range(rng.randint(0, 64)))
+                data = rng.choice(edge) + core + rng.choice(edge)
+                files[f"u{i}"] = (f"n{i}.bin", data)
+            body, ctype = _multipart_body(fields, files)
+            environ = {
+                "REQUEST_METHOD": "POST", "PATH_INFO": "/x", "QUERY_STRING": "",
+                "CONTENT_TYPE": ctype, "CONTENT_LENGTH": str(len(body)),
+                "wsgi.input": io.BytesIO(body),
+            }
+            req = Request(environ)
+            assert req.form == fields, (trial, req.form, fields)
+            for k, (fname, data) in files.items():
+                assert req.files.get(k) == (fname, data), (trial, k)
+
+
+class TestConcurrentTraffic:
+    def test_mixed_concurrent_requests_no_500s(self, server):
+        """ThreadingWSGIServer semantics: synthesize / history / rulesets /
+        delete hammered concurrently must never 500 (races between listdir
+        and delete, task-status reaping, ruleset CRUD)."""
+        client, engine, app, _ = server
+        errors = []
+
+        def worker(i):
+            try:
+                for j in range(4):
+                    status, data = client.multipart(
+                        "/api/synthesize", {"text": f"thread {i} item {j}."},
+                        files={"referenceAudioFile": ("p.wav", _wav_bytes())},
+                    )
+                    if status != 200:
+                        errors.append(("synthesize", status, data))
+                    client.json("GET", "/api/history-audios")
+                    client.json("POST", "/api/rulesets",
+                                {"name": f"r{i}", "rules": [{"original": "a", "replacement": "b"}]})
+                    client.json("GET", "/api/rulesets")
+                    client.json("DELETE", f"/api/rulesets/r{i}")
+                    st, items = client.json("GET", "/api/history-audios")
+                    for item in (items or [])[:1]:
+                        client.json("DELETE", "/api/delete-audio", {"filename": item["name"]})
+            except Exception as e:  # any traceback is a failure
+                errors.append(("exception", repr(e)))
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert not errors, errors[:5]
+        # every submitted task reaches a terminal state
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            states = {v.get("status") for v in app._tasks_status.values()}
+            if states <= {"completed", "failed"}:
+                break
+            time.sleep(0.05)
+        assert {v.get("status") for v in app._tasks_status.values()} <= {"completed", "failed"}
+
+
 class TestTaskLifecycle:
     def test_queued_tasks_survive_ttl_reap(self, server):
         """A task still waiting on a deep backlog ('queued' for > ttl_any)
