@@ -42,6 +42,9 @@ cat = TestNormalizerWextCategories):
   date ranges 5日-7日 etc  | date-range continuation     | cat (会议/旺季)
   versions/IPs 16.4.1      | dotted-sequence rule        | cat (iOS/IP)
   temp ranges -5~3℃       | temperature-range rule      | cat (温度在)
+  year+month ranges        | same-separator date form    | review-regr (2025年1-3月)
+  ordinal ranges 第3-5     | 第-range rule               | review-regr (第3-5名)
+  huge ints >= 10^16       | digit-by-digit fallback     | review-regr (第10^16名)
   math ×÷+=±               | operator pass               | cat (5×3, 1+1=2)
   thousands seps 100,000   | comma strip                 | cat (人参加)
   unit glyphs ㎡/km²/㎏    | glyph replace               | cat (面积/占地)
