@@ -426,9 +426,14 @@ def create_app(engine=None, base_dir: Optional[str] = None,
                 crop_end = form.get("cropEnd")
                 if crop_start is not None or crop_end is not None:
                     try:
+                        # OverflowError too: int(float("1e999")) -> inf -> raises
                         start = int(float(crop_start) * target_sr) if crop_start else 0
                         end = int(float(crop_end) * target_sr) if crop_end else waveform.shape[1]
-                    except (ValueError, TypeError):
+                        if start < 0 or end < 0:
+                            # negative indices would silently slice from the
+                            # tail of the recording
+                            raise ValueError("negative crop")
+                    except (ValueError, TypeError, OverflowError):
                         # malformed crop values are a client error (400), not
                         # a 500; clean the temp upload like the empty-text path
                         for fpath in files_to_delete:

@@ -521,10 +521,34 @@ class TextNormalizer:
         # zh path rewrites ranges first for the same reason); the endpoints
         # then verbalize through their own year/percent/money rules
         t = re.sub(r"(?<=[\d%])\s*[-~]\s*(?=[$\d])", " to ", t)
+
+        # money BEFORE the year rule: a one-char lookbehind on the year rule
+        # cannot guard "$ 1999" (the money regexes accept \s*), so dollar
+        # amounts must be consumed first. Comma-aware ("$1,990") because the
+        # generic comma strip runs only after the year rule.
+        _MONEY_NUM = r"(\d{1,3}(?:,\d{3})+|\d+(?:\.\d+)?)"
+
+        def _dollars_cents(m):
+            d, c = int(m.group(1).replace(",", "")), int(m.group(2))
+            cents = zh_num.en_integer(c) + (" cent" if c == 1 else " cents")
+            if d == 0:
+                return cents
+            dollars = zh_num.en_integer(d) + (" dollar" if d == 1 else " dollars")
+            return f"{dollars} and {cents}"
+
+        t = re.sub(r"\$\s*(\d{1,3}(?:,\d{3})+|\d+)\.(\d{2})(?!\d)", _dollars_cents, t)
+
+        def _dollars(m):
+            num = m.group(1).replace(",", "")
+            word = zh_num.en_number(num)
+            unit = "dollar" if num in ("1", "1.0") else "dollars"
+            return f"{word} {unit}"
+
+        t = re.sub(r"\$\s*" + _MONEY_NUM, _dollars, t)
         # years (4-digit standalone, 1500-2099) BEFORE the comma strip:
         # an explicitly comma-grouped "1,990" is a cardinal, and stripping
         # its comma first would let this rule misread it as a year. Unit
-        # guards keep $1990 / 1990% / 1750°C on their own rules below.
+        # guards keep 1990% / 1750°C on their own rules below.
         t = re.sub(
             r"(?<![$€£])\b(1[5-9]\d{2}|20\d{2})\b(?!\s*[%°℃℉])",
             lambda m: zh_num.en_year(int(m.group(1))),
@@ -547,25 +571,7 @@ class TextNormalizer:
             lambda m: zh_num.en_number(m.group(1)) + " percent",
             t,
         )
-        # money with explicit cents: $12.50 -> twelve dollars and fifty cents
-        def _dollars_cents(m):
-            d, c = int(m.group(1)), int(m.group(2))
-            cents = zh_num.en_integer(c) + (" cent" if c == 1 else " cents")
-            if d == 0:
-                return cents
-            dollars = zh_num.en_integer(d) + (" dollar" if d == 1 else " dollars")
-            return f"{dollars} and {cents}"
-
-        t = re.sub(r"\$\s*(\d+)\.(\d{2})(?!\d)", _dollars_cents, t)
-
-        # money
-        def _dollars(m):
-            num = m.group(1)
-            word = zh_num.en_number(num)
-            unit = "dollar" if num in ("1", "1.0") else "dollars"
-            return f"{word} {unit}"
-
-        t = re.sub(r"\$\s*(\d+(?:\.\d+)?)", _dollars, t)
+        # (money rules run earlier, before the year rule — see above)
         # temperatures: 25°C -> twenty five degrees Celsius
         t = re.sub(
             r"(-?)(\d+(?:\.\d+)?)\s*(?:°C|℃)",

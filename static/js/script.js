@@ -391,6 +391,10 @@ $("synthesize-btn").onclick = async () => {
   if (mode === "流式") {
     try {
       const blob = await synthesizeStreaming(form);
+      // revoke the previous streamed result or its WAV blob stays pinned in
+      // memory for the page lifetime (same leak class as reference-preview)
+      const prevResult = $("result-audio").src;
+      if (prevResult && prevResult.startsWith("blob:")) URL.revokeObjectURL(prevResult);
       const url = URL.createObjectURL(blob);
       $("result").classList.remove("hidden");
       $("result-audio").src = url;
@@ -427,6 +431,8 @@ function watchTask(taskId, fromUpload) {
       es.close();
       $("synthesize-btn").disabled = false;
       $("result").classList.remove("hidden");
+      const prevResult = $("result-audio").src;
+      if (prevResult && prevResult.startsWith("blob:")) URL.revokeObjectURL(prevResult);
       $("result-audio").src = `${info.audio_url}?t=${Date.now()}`;
       $("result-download").href = info.audio_url;
       $("result-download").download = info.download_filename || "synthesis.wav";

@@ -325,6 +325,17 @@ class TestNormalizerReviewRegressions:
         assert normalizer.normalize("cost $300-$500 each") == \
             "cost three hundred dollars to five hundred dollars each"
 
+    def test_en_spaced_and_comma_money(self, normalizer):
+        """Money must win over the year rule even with a space after '$'
+        (the money regexes accept \\$\\s*; a one-char lookbehind on the year
+        rule cannot guard that), and comma-grouped amounts parse."""
+        assert normalizer.normalize("$ 1999 total") == \
+            "one thousand nine hundred ninety nine dollars total"
+        assert normalizer.normalize("$1,990 total") == \
+            "one thousand nine hundred ninety dollars total"
+        assert normalizer.normalize("$12.50 each") == "twelve dollars and fifty cents each"
+        assert normalizer.normalize("$1 only") == "one dollar only"
+
     def test_en_comma_grouped_cardinal_not_a_year(self, normalizer):
         # was: 'nineteen ninety dollars' (comma strip fed the year rule)
         assert normalizer.normalize("he earned 1,990 dollars") == \

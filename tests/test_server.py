@@ -657,14 +657,16 @@ class TestWSGIProtocol:
 
     def test_invalid_crop_values_400(self, server, tmp_path):
         client, _, app, base = server
-        status, data = client.multipart(
-            "/api/synthesize", {"text": "hello", "cropStart": "abc"},
-            files={"referenceAudioFile": ("p.wav", _wav_bytes())},
-        )
-        assert status == 400 and "crop" in data["error"]
-        # temp upload cleaned up on the early return
         temp_dir = os.path.join(base, "static", "temp_audio")
-        assert os.listdir(temp_dir) == []
+        # "abc" (ValueError), "1e999" (OverflowError at int(inf)), and
+        # negative values must all 400 with the temp upload cleaned up
+        for bad in ("abc", "1e999", "-5"):
+            status, data = client.multipart(
+                "/api/synthesize", {"text": "hello", "cropStart": bad},
+                files={"referenceAudioFile": ("p.wav", _wav_bytes())},
+            )
+            assert status == 400 and "crop" in data["error"], bad
+            assert os.listdir(temp_dir) == [], bad
 
 
 class TestMultipartFuzz:
