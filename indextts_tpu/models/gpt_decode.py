@@ -44,19 +44,89 @@ from indextts_tpu.config import GPTConfig
 from indextts_tpu.models.gpt import gpt2_apply
 from indextts_tpu.ops.activations import gelu_new
 from indextts_tpu.ops.norms import layer_norm
-from indextts_tpu.ops.sampling import greedy_token, process_logits, sample_token
+from indextts_tpu.ops.sampling import (
+    apply_repetition_penalty,
+    apply_temperature,
+    apply_top_k_top_p,
+    apply_top_p,
+    apply_typical,
+    greedy_token,
+    process_logits,
+    sample_token,
+)
 
 Params = Dict[str, Any]
 NEG_INF = jnp.finfo(jnp.float32).min
 
 
-def _lp_col(length_penalty):
-    """length_penalty as f32 scalar () or column [b, 1], so per-row penalties
-    (continuous batching: requests with different length_penalty sharing one
-    beam batch) broadcast against the [b, 2nb] candidate scores. The [b]-row
-    form works as-is in the [b]-shaped cond/live score math."""
-    a = jnp.asarray(length_penalty, jnp.float32)
-    return a[:, None] if a.ndim == 1 else a
+# length_penalty as f32 scalar () or column [b, 1], so per-row penalties
+# (continuous batching) broadcast against [b, 2nb] candidate scores — the
+# SAME normalization ops/sampling uses for its per-row knobs (one
+# definition; a drift in dtype/ndim handling must reach both)
+from indextts_tpu.ops.sampling import _colp as _lp_col
+
+
+def _beam_joint_scores(logits, seen, beam_scores, gen: "GenerationConfig",
+                       temperature, top_p, repetition_penalty, typical_mass):
+    """Joint successor scores with HF beam semantics (transformers-4.36
+    beam_search/beam_sample, the stack the reference drives via
+    model.py:698-703): PROCESSORS (repetition penalty, typical) run on the
+    LOG-SOFTMAXED per-beam scores, the cumulative beam scores are added,
+    and — beam_sample only — the WARPERS (temperature, top-k/top-p with
+    min_tokens_to_keep=2) run on the JOINT scores. This ordering matters:
+    log-probs are always <= 0, so HF's repetition penalty always MULTIPLIES
+    by the penalty (strong suppression) — applying it to raw logits (the
+    non-beam sampling order) divides positive logits instead, a much weaker
+    penalty with a different token ranking. ONE definition for the dense /
+    split / segmented drivers AND the test oracle.
+
+    logits/seen: [bb, V]; beam_scores: [bb]. Returns [bb, V] f32."""
+    lf = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    lf = apply_repetition_penalty(lf, seen, repetition_penalty)
+    if gen.typical_sampling:
+        lf = apply_typical(lf, typical_mass, min_tokens_to_keep=2)
+    joint = lf + beam_scores[:, None]
+    if gen.do_sample:
+        joint = apply_temperature(joint, temperature)
+        if gen.top_k:
+            joint = apply_top_k_top_p(joint, max(int(gen.top_k), 2), top_p,
+                                      min_tokens_to_keep=2)
+        else:
+            joint = apply_top_p(joint, top_p, min_tokens_to_keep=2)
+    return joint
+
+
+def _select_successors(logp_joint, key, step, gen: "GenerationConfig", nb: int):
+    """[b, nb*V] joint scores -> (vals, idx) of the 2*nb successors per row.
+    Sampling uses Gumbel top-k (== HF beam_sample's multinomial without
+    replacement over softmax(joint)) with the post-sample sort by true
+    score; greedy is plain top-k. ONE definition for all three drivers."""
+    k = 2 * nb
+    if gen.do_sample:
+        g = -jnp.log(-jnp.log(
+            jax.random.uniform(jax.random.fold_in(key, step), logp_joint.shape) + 1e-20
+        ) + 1e-20)
+        _, idx = jax.lax.top_k(logp_joint + g, k)
+        vals = jnp.take_along_axis(logp_joint, idx, axis=1)
+        order = jnp.argsort(-vals, axis=1)
+        return jnp.take_along_axis(vals, order, axis=1), jnp.take_along_axis(idx, order, axis=1)
+    return jax.lax.top_k(logp_joint, k)
+
+
+def _beam_stop_bound_base(length_penalty, prefill_len: int, max_new: int, i):
+    """Optimistic (ADMISSIBLE) hypothesis-length base for the early-stop
+    score bound: hypothesis scores divide by (prefill+len)**lp, so the
+    best-case finish length is max_new when lp > 0 (bigger denominator
+    helps a negative score) but the NEXT step when lp < 0 — using max_new
+    for negative lp would stop before a strictly better short hypothesis
+    was reachable (HF's BeamHypotheses.is_done switches to cur_len for
+    lp <= 0 for the same reason). Returns () or [b] f32."""
+    lpv = jnp.asarray(length_penalty, jnp.float32)
+    return jnp.where(
+        lpv > 0,
+        jnp.float32(prefill_len + max_new),
+        jnp.asarray(prefill_len + i + 1, jnp.float32),
+    )
 
 
 @dataclass(frozen=True)
@@ -721,6 +791,14 @@ def inference_speech(
                 input_tokens, conds.shape[0] // input_tokens.shape[0], axis=0
             )
     max_new = max_generate_length if max_generate_length is not None else cfg.max_mel_tokens - 1
+    # cap at the mel positional table even WITHOUT a prefix: decode position
+    # i+2 for i < max_new needs max_new+1 <= max_mel_tokens+1 table rows;
+    # past that the on-device position gather clamps silently (every late
+    # token reuses the last positional row — degraded audio, no error),
+    # where the torch reference errors out of the embedding lookup. The
+    # engine clamps requests upstream (_clamp_mel_tokens); this guards
+    # direct callers of this wrapper.
+    max_new = min(int(max_new), cfg.max_mel_tokens)
     if input_tokens is not None:
         # a forced prefix of s0 codes shifts every decode mel position by s0;
         # cap max_new so s0 + max_new stays inside the positional table
@@ -784,9 +862,11 @@ def _generate_speech_beam_dense(
     `_reorder_cache`, model.py:194-207). Superseded as the default by
     `generate_speech_beam` (split-cache), which it oracles in tests.
 
-    With do_sample=True this is HF's beam_sample (warped logits, stochastic
-    successor draw); otherwise deterministic beam search. Length penalty per
-    HF: score = logprob_sum / (len ** length_penalty).
+    With do_sample=True this is HF's beam_sample (warpers on the JOINT
+    scores, stochastic successor draw); otherwise deterministic beam search.
+    Processor/warper ordering and the length-penalty base follow HF exactly
+    — see _beam_joint_scores / _beam_step (score = logprob_sum /
+    ((prefill_len + generated_len) ** length_penalty)).
 
     Returns (codes [B, max_new], lengths [B]) for the best finished beam.
     """
@@ -813,20 +893,12 @@ def _generate_speech_beam_dense(
     cache_positions = jnp.arange(s_max)[None, :]
     prefill_valid = jnp.pad(prefill_mask, ((0, 0), (0, s_max - p)))
 
-    def warp(logits, seen, key, step):
-        lf = process_logits(
-            logits,
-            seen_mask=seen,
-            repetition_penalty=repetition_penalty,
-            typical_sampling=gen.typical_sampling,
-            typical_mass=typical_mass,
-            temperature=temperature,
-            top_k=gen.top_k if gen.do_sample else 0,
-            top_p=top_p,
-            do_sample=gen.do_sample,
-            num_beams=nb,
-        )
-        return jax.nn.log_softmax(lf, axis=-1)
+    def joint_fn(logits, seen, beam_scores):
+        return _beam_joint_scores(logits, seen, beam_scores, gen,
+                                  temperature, top_p, repetition_penalty, typical_mass)
+
+    def select(cand, key, step):
+        return _select_successors(cand, key, step, gen, nb)
 
     # beam state
     beam_scores0 = jnp.tile(jnp.array([0.0] + [NEG_INF] * (nb - 1), jnp.float32), (b,))  # [bb]
@@ -837,57 +909,10 @@ def _generate_speech_beam_dense(
     best_codes0 = jnp.full((b, max_new), cfg.stop_mel_token, jnp.int32)
     best_len0 = jnp.zeros((b,), jnp.int32)
 
-    def select_successors(logp_joint, key, step):
-        """logp_joint: [b, nb*v] joint scores. Pick 2*nb successors per row."""
-        k = 2 * nb
-        if gen.do_sample:
-            # HF beam_sample: sample k without replacement via Gumbel top-k
-            g = -jnp.log(-jnp.log(jax.random.uniform(jax.random.fold_in(key, step), logp_joint.shape) + 1e-20) + 1e-20)
-            perturbed = logp_joint + g
-            _, idx = jax.lax.top_k(perturbed, k)
-            vals = jnp.take_along_axis(logp_joint, idx, axis=1)
-            # sort selected by true score, matching HF's post-sample sort
-            order = jnp.argsort(-vals, axis=1)
-            return jnp.take_along_axis(vals, order, axis=1), jnp.take_along_axis(idx, order, axis=1)
-        return jax.lax.top_k(logp_joint, k)
-
     def step_beams(i, logits, state):
         codes, beam_scores, seen, done_best = state
-        best_score, best_codes, best_len = done_best
-        logp = warp(logits, seen, rng, i)  # [bb, v]
-        cand = beam_scores[:, None] + logp  # [bb, v]
-        cand = cand.reshape(b, nb * v)
-        vals, idx = select_successors(cand, rng, i)  # [b, 2nb]
-        src_beam = idx // v  # [b, 2nb] in [0, nb)
-        tok = (idx % v).astype(jnp.int32)
-
-        is_eos = tok == cfg.stop_mel_token
-        cur_len = jnp.asarray(i + 1, jnp.float32)
-        lp = jnp.where(cur_len > 0, cur_len**_lp_col(length_penalty), 1.0)
-        finished_scores = jnp.where(is_eos, vals / lp, NEG_INF)  # [b, 2nb]
-        # best finished candidate this step
-        fbest = jnp.max(finished_scores, axis=1)
-        fargmax = jnp.argmax(finished_scores, axis=1)
-        improve = fbest > best_score
-        # gather codes of the finishing beam and append eos
-        fin_beam = jnp.take_along_axis(src_beam, fargmax[:, None], axis=1)[:, 0]  # [b]
-        fin_tok = jnp.take_along_axis(tok, fargmax[:, None], axis=1)[:, 0]
-        flat_fin = jnp.arange(b) * nb + fin_beam
-        fin_codes = codes[flat_fin].at[:, i].set(fin_tok)
-        best_codes = jnp.where(improve[:, None], fin_codes, best_codes)
-        best_len = jnp.where(improve, i + 1, best_len)
-        best_score = jnp.where(improve, fbest, best_score)
-
-        # continue with the top nb non-eos candidates
-        cont_scores = jnp.where(is_eos, NEG_INF, vals)
-        cont_vals, cont_pick = jax.lax.top_k(cont_scores, nb)  # [b, nb]
-        new_beam = jnp.take_along_axis(src_beam, cont_pick, axis=1)  # [b, nb]
-        new_tok = jnp.take_along_axis(tok, cont_pick, axis=1).astype(jnp.int32)
-        flat_src = (jnp.arange(b)[:, None] * nb + new_beam).reshape(-1)  # [bb]
-        codes = codes[flat_src].at[:, i].set(new_tok.reshape(-1))
-        seen = seen[flat_src].at[jnp.arange(bb), new_tok.reshape(-1)].set(True)
-        beam_scores = cont_vals.reshape(-1)
-        return codes, beam_scores, seen, (best_score, best_codes, best_len), flat_src, new_tok.reshape(-1)
+        return _beam_step(cfg, gen, i, logits, codes, beam_scores, seen, done_best,
+                          joint_fn, select, rng, b, nb, length_penalty, prefill_len=p)
 
     # first step from prefill logits
     codes, beam_scores, seen, done_best, flat_src, cur = step_beams(
@@ -899,10 +924,9 @@ def _generate_speech_beam_dense(
         i, codes, beam_scores, cache, seen, cur, (best_score, _, _) = state
         if not gen.early_stopping:
             return i < max_new - 1
-        # worst-case continuing score cannot beat best finished -> stop
-        max_len = jnp.asarray(max_new, jnp.float32)
-        lp = max_len**length_penalty
-        best_possible = jnp.max(beam_scores.reshape(b, nb), axis=1) / lp
+        # optimistic continuing score cannot beat best finished -> stop
+        base = _beam_stop_bound_base(length_penalty, p, max_new, i)
+        best_possible = jnp.max(beam_scores.reshape(b, nb), axis=1) / base**jnp.asarray(length_penalty, jnp.float32)
         return jnp.logical_and(i < max_new - 1, jnp.any(best_possible > best_score))
 
     def body_fn(state):
@@ -1149,24 +1173,12 @@ def generate_speech_beam(
     bias_p = jnp.where(prefill_mask, 0.0, NEG_INF).astype(jnp.float32)  # [B, P]
     gen_positions = jnp.arange(max_new)[None, :]
 
-    def warp(logits, seen):
-        lf = process_logits(
-            logits, seen_mask=seen, repetition_penalty=repetition_penalty,
-            typical_sampling=gen.typical_sampling, typical_mass=typical_mass,
-            temperature=temperature, top_k=gen.top_k if gen.do_sample else 0,
-            top_p=top_p, do_sample=gen.do_sample, num_beams=nb,
-        )
-        return jax.nn.log_softmax(lf, axis=-1)
+    def joint_fn(logits, seen, beam_scores):
+        return _beam_joint_scores(logits, seen, beam_scores, gen,
+                                  temperature, top_p, repetition_penalty, typical_mass)
 
-    def select_successors(logp_joint, key, step):
-        k = 2 * nb
-        if gen.do_sample:
-            g = -jnp.log(-jnp.log(jax.random.uniform(jax.random.fold_in(key, step), logp_joint.shape) + 1e-20) + 1e-20)
-            _, idx = jax.lax.top_k(logp_joint + g, k)
-            vals = jnp.take_along_axis(logp_joint, idx, axis=1)
-            order = jnp.argsort(-vals, axis=1)
-            return jnp.take_along_axis(vals, order, axis=1), jnp.take_along_axis(idx, order, axis=1)
-        return jax.lax.top_k(logp_joint, k)
+    def select(cand, key, step):
+        return _select_successors(cand, key, step, gen, nb)
 
     beam_scores0 = jnp.tile(jnp.array([0.0] + [NEG_INF] * (nb - 1), jnp.float32), (b,))
     codes0 = jnp.full((bb, max_new), cfg.stop_mel_token, jnp.int32)
@@ -1174,11 +1186,11 @@ def generate_speech_beam(
              jnp.zeros((b,), jnp.int32))
 
     def step_beams(si, logits, codes, beam_scores, seen, done_best):
-        # the shared successor-selection step (one definition for this, the
-        # dense oracle's driver, and the segmented driver — _beam_step)
+        # the shared successor-selection step (one definition for every beam
+        # driver — _beam_step with the shared joint/select helpers)
         return _beam_step(
-            cfg, gen, si, logits, codes, beam_scores, seen, done_best, warp,
-            select_successors, rng, b, nb, length_penalty,
+            cfg, gen, si, logits, codes, beam_scores, seen, done_best, joint_fn,
+            select, rng, b, nb, length_penalty, prefill_len=p,
         )
 
     codes, beam_scores, seen, done_best, flat_src, cur = step_beams(
@@ -1192,8 +1204,8 @@ def generate_speech_beam(
         i, codes, beam_scores, kvg, lin, seen, cur, (best_score, _, _) = state
         if not gen.early_stopping:
             return i < max_new - 1
-        lp = jnp.asarray(max_new, jnp.float32) ** length_penalty
-        best_possible = jnp.max(beam_scores.reshape(b, nb), axis=1) / lp
+        base = _beam_stop_bound_base(length_penalty, p, max_new, i)
+        best_possible = jnp.max(beam_scores.reshape(b, nb), axis=1) / base**jnp.asarray(length_penalty, jnp.float32)
         return jnp.logical_and(i < max_new - 1, jnp.any(best_possible > best_score))
 
     def body_fn(state):
@@ -1310,12 +1322,16 @@ def generate_speech_beam_segmented(
     args = (f32(temperature), f32(top_p), f32(repetition_penalty),
             f32(length_penalty), f32(typical_mass))
     state, aux_arrays = seg_fn(0)(params, conds, text_tokens, text_lengths, rng, *args)
+    p_len = int(aux_arrays[1].shape[1])  # bias_p [B, P] -> prefill length
     for k_seg in range(1, n_segments):
         i, codes, beam_scores, kvg, lin, seen, cur, (best_score, _, _) = state
         # host-side early exit mirroring the device cond (length_penalty may
-        # be per-row [b] under continuous batching)
-        lp = float(max_new) ** np.asarray(length_penalty, np.float32)
-        bp = np.max(np.asarray(beam_scores).reshape(b, nb), axis=1) / lp
+        # be per-row [b] under continuous batching); same ADMISSIBLE base as
+        # _beam_stop_bound_base — shortest reachable finish for lp <= 0
+        lpv = np.asarray(length_penalty, np.float32)
+        base = np.where(lpv > 0, np.float32(p_len + max_new),
+                        np.float32(p_len + int(i) + 1))
+        bp = np.max(np.asarray(beam_scores).reshape(b, nb), axis=1) / base**lpv
         if gen.early_stopping and not bool((bp > np.asarray(best_score)).any()):
             break
         if int(i) >= max_new - 1:
@@ -1344,24 +1360,12 @@ def _beam_segment_run(params, cfg, gen, conds, text_tokens, text_lengths, rng,
     layers = cfg.layers
     v = cfg.number_mel_codes
 
-    def warp(logits, seen):
-        lf = process_logits(
-            logits, seen_mask=seen, repetition_penalty=repetition_penalty,
-            typical_sampling=gen.typical_sampling, typical_mass=typical_mass,
-            temperature=temperature, top_k=gen.top_k if gen.do_sample else 0,
-            top_p=top_p, do_sample=gen.do_sample, num_beams=nb,
-        )
-        return jax.nn.log_softmax(lf, axis=-1)
+    def joint_fn(logits, seen, beam_scores):
+        return _beam_joint_scores(logits, seen, beam_scores, gen,
+                                  temperature, top_p, repetition_penalty, typical_mass)
 
-    def select_successors(logp_joint, key, step, b):
-        k = 2 * nb
-        if gen.do_sample:
-            g = -jnp.log(-jnp.log(jax.random.uniform(jax.random.fold_in(key, step), logp_joint.shape) + 1e-20) + 1e-20)
-            _, idx = jax.lax.top_k(logp_joint + g, k)
-            vals = jnp.take_along_axis(logp_joint, idx, axis=1)
-            order = jnp.argsort(-vals, axis=1)
-            return jnp.take_along_axis(vals, order, axis=1), jnp.take_along_axis(idx, order, axis=1)
-        return jax.lax.top_k(logp_joint, k)
+    def select(cand, key, step):
+        return _select_successors(cand, key, step, gen, nb)
 
     if init:
         b = text_tokens.shape[0]
@@ -1379,8 +1383,8 @@ def _beam_segment_run(params, cfg, gen, conds, text_tokens, text_lengths, rng,
                  jnp.full((b, max_new), cfg.stop_mel_token, jnp.int32),
                  jnp.zeros((b,), jnp.int32))
         codes, beam_scores, seen, done_best, flat_src, cur = _beam_step(
-            cfg, gen, 0, logits0, codes0, beam_scores0, seen0, best0, warp,
-            lambda lj, key, s: select_successors(lj, key, s, b), rng, b, nb, length_penalty,
+            cfg, gen, 0, logits0, codes0, beam_scores0, seen0, best0, joint_fn,
+            select, rng, b, nb, length_penalty, prefill_len=p,
         )
         # nothing written to kg/vg yet -> the lineage map starts empty; it is
         # NOT permuted by step 0's flat_src (all cache rows are still empty)
@@ -1401,11 +1405,11 @@ def _beam_segment_run(params, cfg, gen, conds, text_tokens, text_lengths, rng,
         # until written, so their lineage value (0) is irrelevant
         lin = jnp.pad(lin, ((0, 0), (0, extra)))
         st = (i, codes, beam_scores, kvg, lin, seen, cur, done_best)
-        kvp, bias_p = aux
         bb = kvg[0].shape[1]
         b = bb // nb
 
     kvp, bias_p = aux
+    p_len = bias_p.shape[1]  # prefill length, for the HF length-penalty base
     gen_positions = jnp.arange(cache_len)[None, :]
     start_i = st[0]
     own_local = (jnp.arange(bb) % nb).astype(jnp.int32)
@@ -1414,11 +1418,11 @@ def _beam_segment_run(params, cfg, gen, conds, text_tokens, text_lengths, rng,
     def cond_fn(s):
         i, codes, beam_scores, kvg, lin, seen, cur, (best_score, _, _) = s
         bound = jnp.logical_and(i < max_new - 1, i < start_i + n_steps)
-        bound = jnp.logical_and(bound, i < cache_len - 0)  # cache capacity
+        bound = jnp.logical_and(bound, i < cache_len)  # cache capacity
         if not gen.early_stopping:
             return bound
-        lp = jnp.asarray(max_new, jnp.float32) ** length_penalty
-        best_possible = jnp.max(beam_scores.reshape(b, nb), axis=1) / lp
+        base = _beam_stop_bound_base(length_penalty, p_len, max_new, i)
+        best_possible = jnp.max(beam_scores.reshape(b, nb), axis=1) / base**jnp.asarray(length_penalty, jnp.float32)
         return jnp.logical_and(bound, jnp.any(best_possible > best_score))
 
     def body_fn(s):
@@ -1445,8 +1449,8 @@ def _beam_segment_run(params, cfg, gen, conds, text_tokens, text_lengths, rng,
         x = layer_norm(x, params["gpt"]["ln_f"]["weight"], params["gpt"]["ln_f"]["bias"])
         logits = _mel_logits(params, x)
         codes, beam_scores, seen, done_best, flat_src, nxt = _beam_step(
-            cfg, gen, i + 1, logits, codes, beam_scores, seen, done_best, warp,
-            lambda lj, key, s_: select_successors(lj, key, s_, b), rng, b, nb, length_penalty,
+            cfg, gen, i + 1, logits, codes, beam_scores, seen, done_best, joint_fn,
+            select, rng, b, nb, length_penalty, prefill_len=p_len,
         )
         # no cache reorder: position i was just written by each beam's own
         # physical row; compose that into the lineage, then permute the SMALL
@@ -1458,19 +1462,24 @@ def _beam_segment_run(params, cfg, gen, conds, text_tokens, text_lengths, rng,
     return st, (kvp, bias_p)
 
 
-def _beam_step(cfg, gen, si, logits, codes, beam_scores, seen, done_best, warp, select, rng, b, nb, length_penalty=0.0):
-    """One beam-successor selection step (shared by split/segmented drivers)."""
+def _beam_step(cfg, gen, si, logits, codes, beam_scores, seen, done_best, joint_fn, select, rng, b, nb, length_penalty=0.0, prefill_len=0):
+    """One beam-successor selection step (shared by ALL beam drivers).
+    joint_fn(logits, seen, beam_scores) -> [bb, V] joint scores (HF order,
+    _beam_joint_scores); prefill_len: prompt length for the HF
+    length-penalty base (BeamHypotheses.add normalizes by the FULL
+    hypothesis length including the prompt, not generated count alone)."""
     bb = b * nb
     v = cfg.number_mel_codes
     best_score, best_codes, best_len = done_best
-    logp = warp(logits, seen)
-    cand = (beam_scores[:, None] + logp).reshape(b, nb * v)
+    cand = joint_fn(logits, seen, beam_scores).reshape(b, nb * v)
     vals, idx = select(cand, rng, si)
     src_beam = idx // v
     tok = (idx % v).astype(jnp.int32)
     is_eos = tok == cfg.stop_mel_token
-    cur_len = jnp.asarray(si + 1, jnp.float32)
-    lp = jnp.where(cur_len > 0, cur_len**_lp_col(length_penalty), 1.0)
+    # HF base: input_ids rows hold prefill_len + si tokens when the eos
+    # candidate is scored (the eos itself is not appended before add())
+    base = jnp.asarray(prefill_len + si, jnp.float32)
+    lp = jnp.where(base > 0, base**_lp_col(length_penalty), 1.0)
     finished_scores = jnp.where(is_eos, vals / lp, NEG_INF)
     fbest = jnp.max(finished_scores, axis=1)
     fargmax = jnp.argmax(finished_scores, axis=1)

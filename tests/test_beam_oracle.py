@@ -39,7 +39,13 @@ def oracle_beam(params, cfg, conds, text, lens, nb, max_new, length_penalty=0.0,
     stop = cfg.stop_mel_token
     v = cfg.number_mel_codes
 
+    p_len = emb0.shape[1]
+
     def logits_for(seq):
+        """HF beam order (transformers-4.36 beam_search): LOG-SOFTMAX first,
+        THEN the repetition-penalty processor on log-probs (always <= 0, so
+        the penalty always multiplies — the drivers share this exact order
+        via gpt_decode._beam_joint_scores)."""
         embs = [emb0]
         if seq:
             toks = jnp.asarray(np.asarray(seq, np.int32)[None, :])
@@ -53,11 +59,12 @@ def oracle_beam(params, cfg, conds, text, lens, nb, max_new, length_penalty=0.0,
         seen[1] = True
         seen[cfg.start_mel_token] = True
         seen[np.asarray(seq, np.int64)] = True
+        logp = np.asarray(jax.nn.log_softmax(jnp.asarray(lg)))
         if rep_pen != 1.0:
-            lg = np.asarray(
-                apply_repetition_penalty(jnp.asarray(lg[None]), jnp.asarray(seen[None]), rep_pen)
+            logp = np.asarray(
+                apply_repetition_penalty(jnp.asarray(logp[None]), jnp.asarray(seen[None]), rep_pen)
             )[0]
-        return np.asarray(jax.nn.log_softmax(jnp.asarray(lg)))
+        return logp
 
     beams = [([], 0.0)] + [([], NEG)] * (nb - 1)
     best = (NEG, None)
@@ -70,7 +77,9 @@ def oracle_beam(params, cfg, conds, text, lens, nb, max_new, length_penalty=0.0,
                 cand.append((joint[tok], bi, int(tok)))
         cand.sort(key=lambda x: -x[0])
         cand = cand[: 2 * nb]
-        lp = (step + 1) ** length_penalty if step + 1 > 0 else 1.0
+        # HF BeamHypotheses.add base: FULL hypothesis length incl. the
+        # prompt, excluding the eos being scored (prefill + step)
+        lp = (p_len + step) ** length_penalty
         cont = []
         for score, bi, tok in cand:
             if tok == stop:
@@ -82,14 +91,59 @@ def oracle_beam(params, cfg, conds, text, lens, nb, max_new, length_penalty=0.0,
         while len(cont) < nb:
             cont.append(([], NEG))
         beams = cont
-        # early stop: best live can't beat best finished
+        # early stop: best live can't beat best finished (admissible base:
+        # longest finish helps when lp > 0, the NEXT step when lp <= 0)
         live_best = max(s for _, s in beams)
-        if best[1] is not None and live_best / (max_new**length_penalty) <= best[0]:
+        opt_base = (p_len + max_new) if length_penalty > 0 else (p_len + step + 1)
+        if best[1] is not None and live_best / (opt_base**length_penalty) <= best[0]:
             break
     if best[1] is None:
         seq = max(beams, key=lambda x: x[1])[0]
         return seq, len(seq)
     return best[1], len(best[1])
+
+
+class TestHFProcessorOrdering:
+    def test_rep_penalty_applies_to_log_probs(self):
+        """HF beam_search order: log_softmax FIRST, then the repetition
+        penalty on log-probs (<= 0, always multiplied). The raw-logits order
+        (divide a positive logit) ranks tokens differently — pin the HF one."""
+        import jax.nn
+
+        from indextts_tpu.models.gpt_decode import GenerationConfig, _beam_joint_scores
+
+        gen = GenerationConfig(do_sample=False, num_beams=2, max_new_tokens=4)
+        logits = jnp.asarray([[4.0, 3.0, 0.0, -1.0]])
+        seen = jnp.asarray([[True, False, False, False]])
+        beam_scores = jnp.asarray([0.0], jnp.float32)
+        out = np.asarray(_beam_joint_scores(
+            logits, seen, beam_scores, gen, jnp.float32(1.0), jnp.float32(1.0),
+            jnp.float32(10.0), jnp.float32(0.9)))
+        lf = np.asarray(jax.nn.log_softmax(logits.astype(jnp.float32)))
+        # seen token: log-prob multiplied by the penalty (HF), NOT the raw
+        # logit divided by it
+        np.testing.assert_allclose(out[0, 0], lf[0, 0] * 10.0, rtol=1e-6)
+        np.testing.assert_allclose(out[0, 1], lf[0, 1], rtol=1e-6)
+        # under the multiply rule the seen top token falls below the runner-up
+        # (raw-logit division would have kept it on top: 4/10=0.4 vs 3.0 -> ranked
+        # by 0.4 - logsumexp, still above a 10x-multiplied log-prob ordering flip)
+        assert out[0, 0] < out[0, 1]
+
+    def test_beam_sample_warpers_on_joint_scores(self):
+        """beam_sample: temperature/top-p run AFTER beam scores are added
+        (HF warps the joint scores — a dead beam's NEG_INF row must never
+        out-rank a live beam after warping)."""
+        from indextts_tpu.models.gpt_decode import GenerationConfig, _beam_joint_scores
+
+        gen = GenerationConfig(do_sample=True, num_beams=2, top_k=0, max_new_tokens=4)
+        logits = jnp.asarray([[1.0, 0.5, 0.0, -0.5], [9.0, 0.0, 0.0, 0.0]])
+        seen = jnp.zeros((2, 4), bool)
+        beam_scores = jnp.asarray([0.0, -1e30], jnp.float32)  # beam 1 dead
+        out = np.asarray(_beam_joint_scores(
+            logits, seen, beam_scores, gen, jnp.float32(0.7), jnp.float32(0.8),
+            jnp.float32(1.0), jnp.float32(0.9)))
+        assert out[1].max() < out[0].min()  # dead beam stays dead post-warp
+        assert (out[0] > -1e29).sum() >= 2  # min_tokens_to_keep=2 for beams
 
 
 class TestBeamOracle:
