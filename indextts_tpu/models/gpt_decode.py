@@ -662,6 +662,13 @@ def generate_speech_segmented(
     max_new_tokens. Worth it when max_new_tokens >> typical generation
     length; each (segment index) compiles once per shape bucket.
     `capture_latents`/`pos_off` as in generate_speech.
+
+    ALWAYS pass `jit_cache` for repeated calls (the engine passes its
+    per-engine dict): the default None builds a FRESH dict per call, so
+    every per-segment closure re-traces — minutes of remote compile per
+    segment on this platform. It cannot default to a module-level dict:
+    the keys carry shapes/gen but NOT the model config, so two models with
+    equal shapes would collide.
     """
     b, l = text_tokens.shape
     max_new = gen.max_new_tokens
@@ -1275,7 +1282,10 @@ def generate_speech_beam_segmented(
     lineage-resolved attention (no physical cache reorder) against a
     generated cache that only holds the slots writable so far. Host-driven
     like generate_speech_segmented; identical sampling state machine to
-    generate_speech_beam (which it matches bit-exactly — see tests)."""
+    generate_speech_beam (which it matches bit-exactly — see tests).
+    ALWAYS pass `jit_cache` for repeated calls (see
+    generate_speech_segmented's docstring — a fresh default dict re-traces
+    every per-segment closure on every call)."""
     nb = gen.num_beams
     b, l = text_tokens.shape
     bb = b * nb
