@@ -957,15 +957,8 @@ def _generate_speech_beam_dense(
         cond_fn, body_fn, state
     )
 
-    # if no beam finished, fall back to the best live beam (unfinished).
-    # The fallback selects by RAW cumulative score (all live beams share
-    # length max_new, so the length penalty cannot change the argmax).
-    live_best = jnp.argmax(beam_scores.reshape(b, nb), axis=1)
-    live_flat = jnp.arange(b) * nb + live_best
-    has_finished = best_score > NEG_INF / 2
-    final_codes = jnp.where(has_finished[:, None], best_codes, codes[live_flat])
-    final_len = jnp.where(has_finished, best_len, max_new)
-    return final_codes, final_len
+    return _beam_finalize(codes, beam_scores, (best_score, best_codes, best_len),
+                          b, nb, max_new, length_penalty, p)
 
 
 def _roll_beams(t: jnp.ndarray, delta: int, nb: int) -> jnp.ndarray:
@@ -1253,12 +1246,8 @@ def generate_speech_beam(
         cond_fn, body_fn, state
     )
 
-    live_best = jnp.argmax(beam_scores.reshape(b, nb), axis=1)
-    live_flat = jnp.arange(b) * nb + live_best
-    has_finished = best_score > NEG_INF / 2
-    final_codes = jnp.where(has_finished[:, None], best_codes, codes[live_flat])
-    final_len = jnp.where(has_finished, best_len, max_new)
-    return final_codes, final_len
+    return _beam_finalize(codes, beam_scores, (best_score, best_codes, best_len),
+                          b, nb, max_new, length_penalty, p)
 
 
 def generate_speech_beam_segmented(
@@ -1349,12 +1338,8 @@ def generate_speech_beam_segmented(
         state, aux_arrays = seg_fn(k_seg)(params, state, aux_arrays, rng, *args)
 
     i, codes, beam_scores, kvg, lin, seen, cur, (best_score, best_codes, best_len) = state
-    live_best = jnp.argmax(beam_scores.reshape(b, nb), axis=1)
-    live_flat = jnp.arange(b) * nb + live_best
-    has_finished = best_score > NEG_INF / 2
-    final_codes = jnp.where(has_finished[:, None], best_codes, codes[live_flat])
-    final_len = jnp.where(has_finished, best_len, max_new)
-    return final_codes, final_len
+    return _beam_finalize(codes, beam_scores, (best_score, best_codes, best_len),
+                          b, nb, max_new, length_penalty, p_len)
 
 
 def _beam_segment_run(params, cfg, gen, conds, text_tokens, text_lengths, rng,
@@ -1472,6 +1457,27 @@ def _beam_segment_run(params, cfg, gen, conds, text_tokens, text_lengths, rng,
     return st, (kvp, bias_p)
 
 
+def _beam_finalize(codes, beam_scores, done_best, b, nb, max_new, length_penalty, prefill_len):
+    """HF finalize semantics: the live beams join the hypothesis pool
+    (normalized by the FULL final length like BeamHypotheses.add) and
+    compete with the finished hypotheses — a live beam whose normalized
+    score beats every finished one wins, not just when nothing finished.
+    Consistent with the early-stop bound: when the bound fired, no live
+    beam can beat the best finished one, so the pick is unchanged there."""
+    best_score, best_codes, best_len = done_best
+    lpv = jnp.asarray(length_penalty, jnp.float32)
+    base = jnp.float32(prefill_len + max_new)
+    denom = base ** (lpv[:, None] if lpv.ndim == 1 else lpv)
+    live = beam_scores.reshape(b, nb) / denom
+    live_val = jnp.max(live, axis=1)
+    live_idx = jnp.argmax(live, axis=1)
+    live_flat = jnp.arange(b) * nb + live_idx
+    pick_live = live_val > best_score
+    final_codes = jnp.where(pick_live[:, None], codes[live_flat], best_codes)
+    final_len = jnp.where(pick_live, max_new, best_len)
+    return final_codes, final_len
+
+
 def _beam_step(cfg, gen, si, logits, codes, beam_scores, seen, done_best, joint_fn, select, rng, b, nb, length_penalty=0.0, prefill_len=0):
     """One beam-successor selection step (shared by ALL beam drivers).
     joint_fn(logits, seen, beam_scores) -> [bb, V] joint scores (HF order,
@@ -1490,7 +1496,12 @@ def _beam_step(cfg, gen, si, logits, codes, beam_scores, seen, done_best, joint_
     # candidate is scored (the eos itself is not appended before add())
     base = jnp.asarray(prefill_len + si, jnp.float32)
     lp = jnp.where(base > 0, base**_lp_col(length_penalty), 1.0)
-    finished_scores = jnp.where(is_eos, vals / lp, NEG_INF)
+    # HF rank filter (BeamSearchScorer.process): only eos candidates among
+    # the TOP nb ranks become finished hypotheses; lower-ranked eos
+    # candidates are discarded entirely. vals is rank-sorted (descending
+    # true score) by _select_successors in both modes.
+    ranks = jnp.arange(2 * nb)[None, :]
+    finished_scores = jnp.where(is_eos & (ranks < nb), vals / lp, NEG_INF)
     fbest = jnp.max(finished_scores, axis=1)
     fargmax = jnp.argmax(finished_scores, axis=1)
     improve = fbest > best_score

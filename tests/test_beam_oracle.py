@@ -81,9 +81,10 @@ def oracle_beam(params, cfg, conds, text, lens, nb, max_new, length_penalty=0.0,
         # prompt, excluding the eos being scored (prefill + step)
         lp = (p_len + step) ** length_penalty
         cont = []
-        for score, bi, tok in cand:
+        for rank, (score, bi, tok) in enumerate(cand):
             if tok == stop:
-                if score / lp > best[0]:
+                # HF rank filter: only top-nb-ranked eos candidates finish
+                if rank < nb and score / lp > best[0]:
                     best = (score / lp, beams[bi][0] + [tok])
             else:
                 cont.append((beams[bi][0] + [tok], score))
@@ -97,9 +98,10 @@ def oracle_beam(params, cfg, conds, text, lens, nb, max_new, length_penalty=0.0,
         opt_base = (p_len + max_new) if length_penalty > 0 else (p_len + step + 1)
         if best[1] is not None and live_best / (opt_base**length_penalty) <= best[0]:
             break
-    if best[1] is None:
-        seq = max(beams, key=lambda x: x[1])[0]
-        return seq, len(seq)
+    # HF finalize: live beams join the pool, normalized by the FULL length
+    live_seq, live_score = max(beams, key=lambda x: x[1])
+    if best[1] is None or live_score / ((p_len + max_new) ** length_penalty) > best[0]:
+        return live_seq, len(live_seq)
     return best[1], len(best[1])
 
 

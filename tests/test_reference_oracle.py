@@ -364,6 +364,118 @@ class TestUnifiedVoiceOracle:
                 codes[i, :n], w[:n], err_msg=f"row {i}: ours {codes[i, :n]} vs ref {w[:n]}"
             )
 
+    @staticmethod
+    def _ref_beam_decode(uv, input_ids, inputs_embeds, attention_mask, max_new,
+                         nb, rep_penalty, length_penalty=0.0):
+        """Deterministic beam_search over the reference's GPT2InferenceModel
+        with transformers-4.36 semantics, implemented manually (generate()
+        itself mis-trims the prompt under the installed transformers — see
+        _ref_greedy_decode): log_softmax FIRST, repetition penalty on
+        log-probs over the full input_ids row, beam scores added, top-2nb,
+        eos candidates finish ONLY from the top-nb ranks
+        (BeamSearchScorer.process), hypothesis score normalized by the FULL
+        input_ids length (BeamHypotheses.add), live beams join the pool at
+        the end (finalize). B=1."""
+        stop = uv.stop_mel_token
+        v = None
+        input_ids = input_ids.repeat_interleave(nb, 0)
+        inputs_embeds = inputs_embeds.repeat_interleave(nb, 0)
+        attention_mask = attention_mask.repeat_interleave(nb, 0)
+        uv.inference_model.store_mel_emb(inputs_embeds)
+        out = uv.inference_model(
+            input_ids=input_ids, attention_mask=attention_mask,
+            use_cache=True, return_dict=True,
+        )
+        past = out.past_key_values
+        logits = out.logits[:, -1]
+        p_len = input_ids.shape[1]
+        beam_scores = torch.tensor([0.0] + [-1e30] * (nb - 1))
+        seqs = input_ids.clone()
+        gen_tokens = [[] for _ in range(nb)]
+        best = (float("-inf"), None)  # (normalized score, generated tokens incl. eos)
+        for step in range(max_new):
+            scores = torch.log_softmax(logits.float(), dim=-1)  # [nb, V]
+            v = scores.shape[-1]
+            for i in range(nb):
+                ids = torch.unique(seqs[i])
+                sel = scores[i, ids]
+                scores[i, ids] = torch.where(sel > 0, sel / rep_penalty, sel * rep_penalty)
+            joint = (beam_scores[:, None] + scores).reshape(-1)
+            vals, idx = torch.topk(joint, 2 * nb)
+            srcs = (idx // v).tolist()
+            toks = (idx % v).tolist()
+            lp = (p_len + step) ** length_penalty
+            cont = []
+            for rank in range(2 * nb):
+                if toks[rank] == stop:
+                    if rank < nb and vals[rank].item() / lp > best[0]:
+                        best = (vals[rank].item() / lp, gen_tokens[srcs[rank]] + [stop])
+                elif len(cont) < nb:
+                    cont.append((srcs[rank], toks[rank], vals[rank].item()))
+            sel_idx = torch.tensor([c[0] for c in cont])
+            new_toks = torch.tensor([c[1] for c in cont])
+            beam_scores = torch.tensor([c[2] for c in cont])
+            past = tuple(
+                tuple(t.index_select(0, sel_idx) for t in layer) for layer in past
+            )
+            seqs = torch.cat([seqs[sel_idx], new_toks[:, None]], dim=1)
+            gen_tokens = [gen_tokens[c[0]] + [c[1]] for c in cont]
+            attention_mask = torch.cat(
+                [attention_mask, torch.ones_like(attention_mask[:, :1])], dim=1
+            )
+            out = uv.inference_model(
+                input_ids=new_toks[:, None], attention_mask=attention_mask,
+                past_key_values=past, use_cache=True, return_dict=True,
+            )
+            past = out.past_key_values
+            logits = out.logits[:, -1]
+        # finalize: live beams join the pool (full-length normalization)
+        live_lp = (p_len + max_new) ** length_penalty
+        li = int(torch.argmax(beam_scores))
+        if beam_scores[li].item() / live_lp > best[0]:
+            return gen_tokens[li]
+        return best[1]
+
+    def test_beam_search_token_parity(self, ref_uv, gpt_pair):
+        """Deterministic beam-3 decode must match a manual transformers-4.36
+        beam_search over the reference's own inference model token-for-token
+        — pinning the HF processor ordering (log-softmax before repetition
+        penalty), the eos rank filter, the full-length penalty base, and the
+        finalize live-vs-finished competition on REAL torch logits."""
+        params, cfg = gpt_pair
+        ref_uv.post_init_gpt2_config(use_deepspeed=False, kv_cache=True, half=False)
+        rng = np.random.default_rng(11)
+        mel = _rand_mel(rng, 1, 48)
+        mel_lens = np.asarray([48], np.int64)
+        text = rng.integers(2, 60, (1, 12)).astype(np.int64)
+        text_lens = np.asarray([12], np.int64)
+        max_new = 16
+        with torch.no_grad():
+            conds_t = ref_uv.get_conditioning(
+                torch.from_numpy(mel.transpose(0, 2, 1)), torch.from_numpy(mel_lens)
+            )
+            input_ids, inputs_embeds, attention_mask = ref_uv.prepare_gpt_inputs(
+                conds_t, torch.from_numpy(text)
+            )
+            want = self._ref_beam_decode(
+                ref_uv, input_ids, inputs_embeds, attention_mask, max_new,
+                nb=3, rep_penalty=10.0,
+            )
+        from indextts_tpu.models.gpt_decode import inference_speech
+
+        codes, lengths = inference_speech(
+            params, cfg, jnp.asarray(mel), jnp.asarray(text), jnp.asarray(text_lens),
+            cond_mel_lengths=jnp.asarray(mel_lens), max_generate_length=max_new,
+            do_sample=False, num_beams=3, repetition_penalty=10.0,
+        )
+        n = int(np.asarray(lengths)[0])
+        assert n > 0
+        assert n == len(want), (n, want)
+        np.testing.assert_array_equal(
+            np.asarray(codes)[0, :n], np.asarray(want),
+            err_msg=f"ours {np.asarray(codes)[0, :n]} vs HF-ref {want}",
+        )
+
 
 # ---------------------------------------------------------------------------
 # BigVGAN + ECAPA
