@@ -436,12 +436,14 @@ class TestUnifiedVoiceOracle:
             return gen_tokens[li]
         return best[1]
 
-    def test_beam_search_token_parity(self, ref_uv, gpt_pair):
-        """Deterministic beam-3 decode must match a manual transformers-4.36
+    @pytest.mark.parametrize("nb,length_penalty", [(3, 0.0), (2, 0.0), (3, 1.0)])
+    def test_beam_search_token_parity(self, ref_uv, gpt_pair, nb, length_penalty):
+        """Deterministic beam decode must match a manual transformers-4.36
         beam_search over the reference's own inference model token-for-token
         — pinning the HF processor ordering (log-softmax before repetition
-        penalty), the eos rank filter, the full-length penalty base, and the
-        finalize live-vs-finished competition on REAL torch logits."""
+        penalty), the eos rank filter, the FULL-length penalty base
+        (length_penalty=1.0 case), and the finalize live-vs-finished
+        competition on REAL torch logits."""
         params, cfg = gpt_pair
         ref_uv.post_init_gpt2_config(use_deepspeed=False, kv_cache=True, half=False)
         rng = np.random.default_rng(11)
@@ -459,14 +461,15 @@ class TestUnifiedVoiceOracle:
             )
             want = self._ref_beam_decode(
                 ref_uv, input_ids, inputs_embeds, attention_mask, max_new,
-                nb=3, rep_penalty=10.0,
+                nb=nb, rep_penalty=10.0, length_penalty=length_penalty,
             )
         from indextts_tpu.models.gpt_decode import inference_speech
 
         codes, lengths = inference_speech(
             params, cfg, jnp.asarray(mel), jnp.asarray(text), jnp.asarray(text_lens),
             cond_mel_lengths=jnp.asarray(mel_lens), max_generate_length=max_new,
-            do_sample=False, num_beams=3, repetition_penalty=10.0,
+            do_sample=False, num_beams=nb, repetition_penalty=10.0,
+            length_penalty=length_penalty,
         )
         n = int(np.asarray(lengths)[0])
         assert n > 0
