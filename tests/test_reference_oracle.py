@@ -365,8 +365,26 @@ class TestUnifiedVoiceOracle:
             )
 
     @staticmethod
-    def _ref_beam_decode(uv, input_ids, inputs_embeds, attention_mask, max_new,
-                         nb, rep_penalty, length_penalty=0.0):
+    def _typical_warp_torch(scores, mass, min_tokens_to_keep):
+        """The reference's TypicalLogitsWarper (typical_sampling.py:4-30),
+        re-implemented for the manual beam loop (HF semantics)."""
+        normalized = torch.log_softmax(scores, dim=-1)
+        p = normalized.exp()
+        ent = -(normalized * p).nansum(-1, keepdim=True)
+        shifted = (-normalized - ent).abs()
+        sorted_shifted, sorted_idx = torch.sort(shifted, descending=False)
+        sorted_logits = scores.gather(-1, sorted_idx)
+        cum = sorted_logits.softmax(dim=-1).cumsum(dim=-1)
+        last_ind = (cum < mass).sum(dim=1)
+        last_ind.clamp_(max=scores.shape[-1] - 1)
+        sorted_remove = sorted_shifted > sorted_shifted.gather(1, last_ind.view(-1, 1))
+        sorted_remove[..., :min_tokens_to_keep] = 0
+        remove = sorted_remove.scatter(1, sorted_idx, sorted_remove)
+        return scores.masked_fill(remove, -float("inf"))
+
+    @classmethod
+    def _ref_beam_decode(cls, uv, input_ids, inputs_embeds, attention_mask, max_new,
+                         nb, rep_penalty, length_penalty=0.0, typical_mass=None):
         """Deterministic beam_search over the reference's GPT2InferenceModel
         with transformers-4.36 semantics, implemented manually (generate()
         itself mis-trims the prompt under the installed transformers — see
@@ -400,6 +418,10 @@ class TestUnifiedVoiceOracle:
                 ids = torch.unique(seqs[i])
                 sel = scores[i, ids]
                 scores[i, ids] = torch.where(sel > 0, sel / rep_penalty, sel * rep_penalty)
+            if typical_mass is not None:
+                # reference: typical runs as a processor AFTER the built-in
+                # repetition penalty, mtk=2 under beams (model.py:695-696)
+                scores = cls._typical_warp_torch(scores, typical_mass, min_tokens_to_keep=2)
             joint = (beam_scores[:, None] + scores).reshape(-1)
             vals, idx = torch.topk(joint, 2 * nb)
             srcs = (idx // v).tolist()
@@ -436,8 +458,9 @@ class TestUnifiedVoiceOracle:
             return gen_tokens[li]
         return best[1]
 
-    @pytest.mark.parametrize("nb,length_penalty", [(3, 0.0), (2, 0.0), (3, 1.0)])
-    def test_beam_search_token_parity(self, ref_uv, gpt_pair, nb, length_penalty):
+    @pytest.mark.parametrize("nb,length_penalty,typical",
+                             [(3, 0.0, None), (2, 0.0, None), (3, 1.0, None), (3, 0.0, 0.8)])
+    def test_beam_search_token_parity(self, ref_uv, gpt_pair, nb, length_penalty, typical):
         """Deterministic beam decode must match a manual transformers-4.36
         beam_search over the reference's own inference model token-for-token
         — pinning the HF processor ordering (log-softmax before repetition
@@ -462,6 +485,7 @@ class TestUnifiedVoiceOracle:
             want = self._ref_beam_decode(
                 ref_uv, input_ids, inputs_embeds, attention_mask, max_new,
                 nb=nb, rep_penalty=10.0, length_penalty=length_penalty,
+                typical_mass=typical,
             )
         from indextts_tpu.models.gpt_decode import inference_speech
 
@@ -470,6 +494,7 @@ class TestUnifiedVoiceOracle:
             cond_mel_lengths=jnp.asarray(mel_lens), max_generate_length=max_new,
             do_sample=False, num_beams=nb, repetition_penalty=10.0,
             length_penalty=length_penalty,
+            typical_sampling=typical is not None, typical_mass=typical or 0.9,
         )
         n = int(np.asarray(lengths)[0])
         assert n > 0
