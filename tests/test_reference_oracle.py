@@ -364,6 +364,52 @@ class TestUnifiedVoiceOracle:
                 codes[i, :n], w[:n], err_msg=f"row {i}: ours {codes[i, :n]} vs ref {w[:n]}"
             )
 
+    def test_greedy_prefix_token_parity(self, ref_uv, gpt_pair):
+        """Forced input_tokens prefixes shift every decode mel position by s0
+        and enter the repetition-penalty seen set (ref model.py:672-689
+        appends them to the fake input ids before generate). Pin greedy
+        decode with a 4-token prefix token-for-token against the reference's
+        own inference model."""
+        params, cfg = gpt_pair
+        ref_uv.post_init_gpt2_config(use_deepspeed=False, kv_cache=True, half=False)
+        rng = np.random.default_rng(13)
+        mel = _rand_mel(rng, 1, 48)
+        mel_lens = np.asarray([48], np.int64)
+        text = rng.integers(2, 60, (1, 10)).astype(np.int64)
+        text_lens = np.asarray([10], np.int64)
+        prefix = rng.integers(2, 60, (1, 4)).astype(np.int64)
+        max_new = 12
+        with torch.no_grad():
+            conds_t = ref_uv.get_conditioning(
+                torch.from_numpy(mel.transpose(0, 2, 1)), torch.from_numpy(mel_lens)
+            )
+            input_ids, inputs_embeds, attention_mask = ref_uv.prepare_gpt_inputs(
+                conds_t, torch.from_numpy(text)
+            )
+            # the reference concatenates the prefix AFTER the start token and
+            # pads the attention mask (model.py:686-688)
+            inputs = torch.cat([input_ids, torch.from_numpy(prefix)], dim=1)
+            attention_mask = torch.nn.functional.pad(
+                attention_mask, (0, prefix.shape[1]), value=1
+            )
+            want = self._ref_greedy_decode(
+                ref_uv, inputs, inputs_embeds, attention_mask, max_new
+            ).numpy()
+        from indextts_tpu.models.gpt_decode import inference_speech
+
+        codes, lengths = inference_speech(
+            params, cfg, jnp.asarray(mel), jnp.asarray(text), jnp.asarray(text_lens),
+            cond_mel_lengths=jnp.asarray(mel_lens), max_generate_length=max_new,
+            do_sample=False, num_beams=1, repetition_penalty=10.0,
+            input_tokens=jnp.asarray(prefix.astype(np.int32)),
+        )
+        n = min(len(want[0]), int(np.asarray(lengths)[0]))
+        assert n > 0
+        np.testing.assert_array_equal(
+            np.asarray(codes)[0, :n], want[0][:n],
+            err_msg=f"ours {np.asarray(codes)[0, :n]} vs ref {want[0][:n]}",
+        )
+
     @staticmethod
     def _typical_warp_torch(scores, mass, min_tokens_to_keep):
         """The reference's TypicalLogitsWarper (typical_sampling.py:4-30),
