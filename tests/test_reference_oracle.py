@@ -364,6 +364,49 @@ class TestUnifiedVoiceOracle:
                 codes[i, :n], w[:n], err_msg=f"row {i}: ours {codes[i, :n]} vs ref {w[:n]}"
             )
 
+    def test_beam_batched_token_parity(self, ref_uv, gpt_pair):
+        """Batched beam decode must equal per-row reference runs: beams of
+        different batch rows never interact (HF keeps one BeamHypotheses per
+        row), and the padded short row must decode as if alone — batch
+        isolation + padding invariance pinned on real torch logits."""
+        params, cfg = gpt_pair
+        ref_uv.post_init_gpt2_config(use_deepspeed=False, kv_cache=True, half=False)
+        rng = np.random.default_rng(17)
+        mel = _rand_mel(rng, 2, 48)
+        mel_lens = np.asarray([48, 48], np.int64)
+        text = rng.integers(2, 60, (2, 12)).astype(np.int64)
+        text_lens = np.asarray([12, 8], np.int64)
+        text[1, 8:] = cfg.stop_text_token
+        max_new, nb = 14, 3
+        wants = []
+        with torch.no_grad():
+            for r in range(2):
+                conds_t = ref_uv.get_conditioning(
+                    torch.from_numpy(mel[r : r + 1].transpose(0, 2, 1)),
+                    torch.from_numpy(mel_lens[r : r + 1]),
+                )
+                input_ids, inputs_embeds, attention_mask = ref_uv.prepare_gpt_inputs(
+                    conds_t, torch.from_numpy(text[r : r + 1])
+                )
+                wants.append(self._ref_beam_decode(
+                    ref_uv, input_ids, inputs_embeds, attention_mask, max_new,
+                    nb=nb, rep_penalty=10.0,
+                ))
+        from indextts_tpu.models.gpt_decode import inference_speech
+
+        codes, lengths = inference_speech(
+            params, cfg, jnp.asarray(mel), jnp.asarray(text), jnp.asarray(text_lens),
+            cond_mel_lengths=jnp.asarray(mel_lens), max_generate_length=max_new,
+            do_sample=False, num_beams=nb, repetition_penalty=10.0,
+        )
+        for r in range(2):
+            n = int(np.asarray(lengths)[r])
+            assert n > 0 and n == len(wants[r]), (r, n, wants[r])
+            np.testing.assert_array_equal(
+                np.asarray(codes)[r, :n], np.asarray(wants[r]),
+                err_msg=f"row {r}: ours {np.asarray(codes)[r, :n]} vs HF-ref {wants[r]}",
+            )
+
     def test_greedy_prefix_token_parity(self, ref_uv, gpt_pair):
         """Forced input_tokens prefixes shift every decode mel position by s0
         and enter the repetition-penalty seen set (ref model.py:672-689
