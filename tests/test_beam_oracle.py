@@ -148,6 +148,37 @@ class TestHFProcessorOrdering:
         assert (out[0] > -1e29).sum() >= 2  # min_tokens_to_keep=2 for beams
 
 
+class TestBeamFinalize:
+    def test_live_beam_beats_finished_hypothesis(self):
+        """HF finalize: a live beam whose full-length-normalized score beats
+        the best finished hypothesis WINS (the pre-fix code always returned
+        the finished one)."""
+        from indextts_tpu.models.gpt_decode import _beam_finalize
+
+        b, nb, max_new, p = 1, 2, 4, 10
+        codes = jnp.asarray([[7, 8, 9, 9], [5, 5, 5, 5]], jnp.int32)  # [bb, max_new]
+        beam_scores = jnp.asarray([-3.0, -20.0], jnp.float32)
+        done_best = (jnp.asarray([-50.0], jnp.float32),          # finished, worse
+                     jnp.asarray([[1, 2, 3, 4]], jnp.int32),
+                     jnp.asarray([2], jnp.int32))
+        fc, fl = _beam_finalize(codes, beam_scores, done_best, b, nb, max_new, 0.0, p)
+        np.testing.assert_array_equal(np.asarray(fc)[0], [7, 8, 9, 9])
+        assert int(fl[0]) == max_new
+
+    def test_finished_still_wins_when_better(self):
+        from indextts_tpu.models.gpt_decode import _beam_finalize
+
+        b, nb, max_new, p = 1, 2, 4, 10
+        codes = jnp.asarray([[7, 8, 9, 9], [5, 5, 5, 5]], jnp.int32)
+        beam_scores = jnp.asarray([-30.0, -40.0], jnp.float32)
+        done_best = (jnp.asarray([-5.0], jnp.float32),
+                     jnp.asarray([[1, 2, 3, 4]], jnp.int32),
+                     jnp.asarray([2], jnp.int32))
+        fc, fl = _beam_finalize(codes, beam_scores, done_best, b, nb, max_new, 0.0, p)
+        np.testing.assert_array_equal(np.asarray(fc)[0], [1, 2, 3, 4])
+        assert int(fl[0]) == 2
+
+
 class TestBeamOracle:
     @pytest.mark.parametrize("nb", [2, 3])
     def test_dense_matches_oracle(self, setup, nb):
