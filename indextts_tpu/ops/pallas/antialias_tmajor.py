@@ -1,13 +1,23 @@
 """Fused anti-aliased snake activation, TIME-MAJOR Pallas formulation.
 
 Round-3 wide-stage attacks #14 (VPU taps) and #15 (MXU banded matmuls).
-MEASURED NEGATIVE — kept opt-in (`INDEXTTS_WIDE_TMAJOR=1`) as an artifact:
-slope-timed at [8, 12800, 384], composed 1.15-1.26 ms/op vs tmajor 3.21
-(taps) / 3.50 (mxu=True). The loss is invariant to where the arithmetic
-runs (VPU tap MACs vs MXU band matmuls), which localizes the overhead to
-the Pallas block DMA / layout path rather than compute — consistent with
-every other fused-activation kernel measured in rounds 1-3
-(docs/PERF.md #8, #12). Design rationale preserved below.
+MEASURED NEGATIVE — kept opt-in (`INDEXTTS_WIDE_TMAJOR=1`) as an artifact.
+
+Attribution CORRECTED by the late-round-3 decomposition probe
+(tools/profile_wide_act.py `tmajor_wrapper`/`tmajor_ident` variants): the
+original conclusion blamed "the Pallas block pipeline", but at
+[8, 12800, 384] the wrapper costs only 0.34 ms/op and wrapper+full-DMA
+passthrough 0.96 — the 3.2-3.7 ms/op total was ~2.7 ms of KERNEL BODY
+arithmetic: exact f32 jnp.sin at the 2x rate (~1.2 ms; the composed path's
+bf16 snake uses the cheap approx_sin polynomial) plus 24 VPU tap MACs
+(~1.5 ms; composed rides the MXU through conv ops). With poly_sin=True
+(now the bf16 default, matching composed semantics) the VPU body drops to
+2.49 and the MXU-banded body to 1.69 ms/op — still ~1.7-2.6x the composed
+path in the same run (0.66), because the ident floor (0.96: a Pallas
+copy at ~253 GB/s effective vs XLA's fused convs that never materialize a
+standalone pass) plus any body cost cannot beat XLA's conv fusion here.
+Final verdict unchanged — composed wins — but for the right reason now.
+Design rationale preserved below.
 
 The reference fuses 2x-upsample -> snake -> 2x-downsample in one CUDA
 kernel (anti_alias_activation_cuda.cu:35-41); our first TPU kernel
@@ -81,13 +91,17 @@ def _bands(tile_t: int):
     return E, O, Ye, Yo
 
 
-def _kernel_mxu(x_ref, h_ref, alpha_ref, beta_ref, eo_ref, y_ref, out_ref, *, tile_t: int):
+def _kernel_mxu(x_ref, h_ref, alpha_ref, beta_ref, eo_ref, y_ref, out_ref, *, tile_t: int,
+                poly_sin: bool = False):
     """MXU variant: resampler taps as banded matmuls (f32 accumulation in the
     input dtype's matmul — bf16 serving pays bf16 tap rounding, exactly like
     the composed path's bf16 convs); snake stays on the VPU. eo_ref stacks
     [E; O] ([2, l, Ts]), y_ref stacks [Ye; Yo] ([2, Tt, l])."""
     import jax.lax as lax
 
+    from indextts_tpu.ops.activations import approx_sin
+
+    sin_fn = approx_sin if poly_sin else jnp.sin
     s = jnp.concatenate([x_ref[...], h_ref[0]], axis=0)  # [Ts, B, Ct], input dtype
     dt = s.dtype
     dn = (((1,), (0,)), ((), ()))
@@ -98,18 +112,21 @@ def _kernel_mxu(x_ref, h_ref, alpha_ref, beta_ref, eo_ref, y_ref, out_ref, *, ti
     alpha = alpha_ref[0].astype(jnp.float32)
     beta = beta_ref[0].astype(jnp.float32)
     inv_beta = 1.0 / (beta + 1e-9)
-    se = (ue + inv_beta * jnp.sin(ue * alpha) ** 2).astype(dt)
-    so = (uo + inv_beta * jnp.sin(uo * alpha) ** 2).astype(dt)
+    se = (ue + inv_beta * sin_fn(ue * alpha) ** 2).astype(dt)
+    so = (uo + inv_beta * sin_fn(uo * alpha) ** 2).astype(dt)
 
     y = lax.dot_general(y_ref[0], se, dn, preferred_element_type=jnp.float32)
     y = y + lax.dot_general(y_ref[1], so, dn, preferred_element_type=jnp.float32)
     out_ref[...] = y.astype(out_ref.dtype)
 
 
-def _kernel(x_ref, h_ref, alpha_ref, beta_ref, out_ref, *, tile_t: int):
+def _kernel(x_ref, h_ref, alpha_ref, beta_ref, out_ref, *, tile_t: int, poly_sin: bool = False):
     """x_ref: [Tt, B, Ct] rows ti*Tt..(ti+1)*Tt of the padded input;
     h_ref: [1, 2*PAD, B, Ct] halo (the next 32 rows). All T shifts below are
     major-dim slices — free register renumbering, no lane/sublane shuffles."""
+    from indextts_tpu.ops.activations import approx_sin
+
+    sin_fn = approx_sin if poly_sin else jnp.sin
     tap_e, tap_o, tap_ye, tap_yo = _taps()
     s = jnp.concatenate([x_ref[...], h_ref[0]], axis=0).astype(jnp.float32)
     l = tile_t + 8  # phase-array length
@@ -126,8 +143,8 @@ def _kernel(x_ref, h_ref, alpha_ref, beta_ref, out_ref, *, tile_t: int):
     beta = beta_ref[0].astype(jnp.float32)
     inv_beta = 1.0 / (beta + 1e-9)
 
-    se = ue + inv_beta * jnp.sin(ue * alpha) ** 2
-    so = uo + inv_beta * jnp.sin(uo * alpha) ** 2
+    se = ue + inv_beta * sin_fn(ue * alpha) ** 2
+    so = uo + inv_beta * sin_fn(uo * alpha) ** 2
 
     y = tap_ye[0] * se[2 : 2 + tile_t] + tap_yo[0] * so[1 : 1 + tile_t]
     for j in range(1, 6):
@@ -135,8 +152,18 @@ def _kernel(x_ref, h_ref, alpha_ref, beta_ref, out_ref, *, tile_t: int):
     out_ref[...] = y.astype(out_ref.dtype)
 
 
+def _kernel_ident(x_ref, h_ref, alpha_ref, beta_ref, out_ref, *, tile_t: int):
+    """Probe body: pass the center block through untouched. Same operands,
+    same BlockSpec DMA pipeline as _kernel, zero arithmetic — isolates the
+    block-pipeline + wrapper cost from the tap/snake compute
+    (tools/profile_wide_act.py `tmajor_ident`)."""
+    del h_ref, alpha_ref, beta_ref
+    out_ref[...] = x_ref[...].astype(out_ref.dtype)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("alpha_logscale", "tile_t", "tile_c", "interpret", "exact_edges", "mxu")
+    jax.jit,
+    static_argnames=("alpha_logscale", "tile_t", "tile_c", "interpret", "exact_edges", "mxu", "probe", "poly_sin"),
 )
 def fused_anti_alias_snake_tmajor(
     x: jnp.ndarray,
@@ -148,6 +175,8 @@ def fused_anti_alias_snake_tmajor(
     interpret: bool = False,
     exact_edges: bool = True,
     mxu: bool = False,
+    probe: Optional[str] = None,
+    poly_sin: Optional[bool] = None,
 ) -> jnp.ndarray:
     """x: [B, T, C]; per-channel alpha (and beta for SnakeBeta). Returns
     [B, T, C] — numerically the composed upsample2x -> snake -> downsample2x
@@ -203,14 +232,30 @@ def fused_anti_alias_snake_tmajor(
             pl.BlockSpec((2, tile_t, l), lambda ti, ci: (0, 0, 0), memory_space=pltpu.VMEM),
         ]
         operands += [eo, yb]
-    out = pl.pallas_call(
-        functools.partial(_kernel_mxu if mxu else _kernel, tile_t=tile_t),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((tile_t, b, tile_c), lambda ti, ci: (ti, 0, ci), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tb * tile_t, b, cp), x.dtype),
-        interpret=interpret,
-    )(*operands)
+    if probe == "wrapper":
+        # wrapper-only probe: every host-graph step around the kernel runs
+        # (transpose, edge pad, halo stack, output slice, transpose back) but
+        # the pallas_call is replaced by a passthrough of the center rows.
+        # The tiny halo consumption keeps the stack from being DCE'd.
+        out = xc + (1e-30 * jnp.sum(halo.astype(jnp.float32))).astype(xc.dtype)
+    else:
+        # follow the composed path's convention (ops/activations._sin_for):
+        # the polynomial sin iff bf16, where its 3.6e-5 error is ~100x below
+        # output quantization. Forceable for measurement.
+        ps = (x.dtype == jnp.bfloat16) if poly_sin is None else poly_sin
+        body = (
+            functools.partial(_kernel_ident, tile_t=tile_t)
+            if probe == "ident"
+            else functools.partial(_kernel_mxu if mxu else _kernel, tile_t=tile_t, poly_sin=ps)
+        )
+        out = pl.pallas_call(
+            body,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((tile_t, b, tile_c), lambda ti, ci: (ti, 0, ci), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_tb * tile_t, b, cp), x.dtype),
+            interpret=interpret,
+        )(*operands)
     out = jnp.transpose(out[:t, :, :c], (1, 0, 2))  # back to [B, T, C]
 
     if exact_edges:

@@ -162,6 +162,27 @@ def test_tmajor_bigvgan_routing(monkeypatch):
     np.testing.assert_allclose(mine, gold, atol=5e-5)
 
 
+@pytest.mark.parametrize("mxu", [False, True])
+def test_tmajor_poly_sin_matches_composed(mxu):
+    """poly_sin=True (the bf16 default since the round-3 decomposition probe;
+    same approx_sin as the composed path's bf16 snake) stays within the
+    polynomial's 3.64e-5 sin error of the exact-sin oracle in fp32."""
+    b, t, c = 2, 300, 24
+    x = rng.standard_normal((b, t, c)).astype(np.float32)
+    alpha = (rng.standard_normal(c) * 0.3).astype(np.float32)
+    beta = (rng.standard_normal(c) * 0.3).astype(np.float32)
+    gold = np.asarray(
+        anti_aliased_activation(jnp.asarray(x), jnp.asarray(alpha), jnp.asarray(beta), alpha_logscale=True)
+    )
+    mine = np.asarray(
+        fused_anti_alias_snake_tmajor(
+            jnp.asarray(x), jnp.asarray(alpha), jnp.asarray(beta),
+            alpha_logscale=True, tile_t=128, interpret=True, mxu=mxu, poly_sin=True,
+        )
+    )
+    np.testing.assert_allclose(mine, gold, atol=5e-4)
+
+
 @pytest.mark.parametrize("b,t,c,tile_t", [(2, 300, 24, 128), (8, 512, 256, 256)])
 def test_tmajor_mxu_matches_composed(b, t, c, tile_t):
     """mxu=True (banded-matmul taps) is numerically identical in fp32."""

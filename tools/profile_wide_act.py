@@ -82,6 +82,26 @@ def main():
         variants["tmajor_mxu"] = lambda y, aa, bb: fused_anti_alias_snake_tmajor(
             y, aa, bb, alpha_logscale=True, exact_edges=False, mxu=True
         )
+        # poly-sin bodies (the composed path's bf16 default; the original
+        # kernels always paid exact f32 jnp.sin — the decomposition probes
+        # below showed the body arithmetic IS the 3.2 ms/op, not the pipeline)
+        variants["tmajor_poly"] = lambda y, aa, bb: fused_anti_alias_snake_tmajor(
+            y, aa, bb, alpha_logscale=True, exact_edges=False, poly_sin=True
+        )
+        variants["tmajor_mxu_poly"] = lambda y, aa, bb: fused_anti_alias_snake_tmajor(
+            y, aa, bb, alpha_logscale=True, exact_edges=False, mxu=True, poly_sin=True
+        )
+        # decomposition probes: is the 3.2 ms/op tmajor cost the kernel's
+        # block pipeline (PERF.md #14's conclusion) or the WRAPPER's full-
+        # tensor passes (transpose, edge pad, 50-slice halo stack, output
+        # slice+transpose)? wrapper = everything but the kernel; ident =
+        # wrapper + full BlockSpec DMA pipeline with a passthrough body.
+        variants["tmajor_wrapper"] = lambda y, aa, bb: fused_anti_alias_snake_tmajor(
+            y, aa, bb, alpha_logscale=True, exact_edges=False, probe="wrapper"
+        )
+        variants["tmajor_ident"] = lambda y, aa, bb: fused_anti_alias_snake_tmajor(
+            y, aa, bb, alpha_logscale=True, exact_edges=False, probe="ident"
+        )
         if os.environ.get("PHASE_ONLY", "") == "1":
             variants = {k: v for k, v in variants.items() if k in ("composed", "phase")}
         only = os.environ.get("VARIANTS", "")
