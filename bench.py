@@ -571,6 +571,7 @@ def main():
     # tests/test_capture_latents.py). The engine flags quant_kv=True,
     # fast_latents=True produce exactly this pipeline.
     serving_mode_rtf_inv = None
+    serving_b32_rtf_inv = None
     elapsed = time.perf_counter() - (bench_start or 0)
     if bench_start is not None and elapsed < budget_s - margin["serve"]:
         try:
@@ -580,28 +581,37 @@ def main():
                 capture_latents=True, pos_off=1,
             ))
 
-            def pipeline_serve(key):
-                conds = cond_fn(gpt_params, cond_mel, jnp.asarray([COND_FRAMES]))
-                cb = jnp.broadcast_to(conds, (BATCH,) + conds.shape[1:])
-                codes, code_lens, lat = decode_sv(
-                    params=gpt_params, conds=cb, text_tokens=text, text_lengths=text_lens,
-                    rng=key, temperature=jnp.float32(1.0), top_p=jnp.float32(0.8),
-                    repetition_penalty=jnp.float32(10.0),
-                )
-                wav = voc_fn(bv_params, lat.astype(dtype),
-                             jnp.broadcast_to(cond_mel, (BATCH,) + cond_mel.shape[1:]))
-                return wav, code_lens
+            def serve_at_batch(bb, key_base):
+                if bb == BATCH:
+                    text_b, lens_b = text, text_lens
+                else:
+                    text_b = jnp.asarray(npr.integers(2, 8000, (bb, TEXT_LEN)), jnp.int32)
+                    lens_b = jnp.full((bb,), TEXT_LEN, jnp.int32)
 
-            pipeline_serve(jax.random.PRNGKey(60))[0].block_until_ready()  # compile
-            vals = []
-            for it in range(3 if _cache_warm() else 1):
-                t0 = time.perf_counter()
-                wav_s, lens_s = pipeline_serve(jax.random.PRNGKey(61 + it))
-                wav_s.block_until_ready()
-                wall_s = time.perf_counter() - t0
-                audio_s = int(np.asarray(lens_s).sum()) * SAMPLES_PER_CODE / SAMPLE_RATE
-                vals.append(audio_s / wall_s)
-            serving_mode_rtf_inv = round(float(np.median(vals)), 2)
+                def pipe(key):
+                    conds = cond_fn(gpt_params, cond_mel, jnp.asarray([COND_FRAMES]))
+                    cb = jnp.broadcast_to(conds, (bb,) + conds.shape[1:])
+                    codes, code_lens, lat = decode_sv(
+                        params=gpt_params, conds=cb, text_tokens=text_b, text_lengths=lens_b,
+                        rng=key, temperature=jnp.float32(1.0), top_p=jnp.float32(0.8),
+                        repetition_penalty=jnp.float32(10.0),
+                    )
+                    wav = voc_fn(bv_params, lat.astype(dtype),
+                                 jnp.broadcast_to(cond_mel, (bb,) + cond_mel.shape[1:]))
+                    return wav, code_lens
+
+                pipe(jax.random.PRNGKey(key_base))[0].block_until_ready()  # compile
+                vals = []
+                for it in range(3 if _cache_warm() else 1):
+                    t0 = time.perf_counter()
+                    wav_s, lens_s = pipe(jax.random.PRNGKey(key_base + 1 + it))
+                    wav_s.block_until_ready()
+                    wall_s = time.perf_counter() - t0
+                    audio_s = int(np.asarray(lens_s).sum()) * SAMPLES_PER_CODE / SAMPLE_RATE
+                    vals.append(audio_s / wall_s)
+                return round(float(np.median(vals)), 2)
+
+            serving_mode_rtf_inv = serve_at_batch(BATCH, 60)
         except Exception:
             serving_mode_rtf_inv = None
 
@@ -700,6 +710,19 @@ def main():
         else:
             b32 = val
 
+    # serving mode at the recommended throughput batch (B=32; docs/SERVING.md
+    # "serve at 32") — quant_kv + captured latents at the batch the plain b32
+    # extra showed scales best. Runs after the legacy extras so it can only
+    # starve itself; needs the serve block above to have built serve_at_batch.
+    elapsed = time.perf_counter() - (bench_start or 0)
+    if (serving_mode_rtf_inv is not None and bench_start is not None
+            and elapsed < budget_s - margin["serve"]):
+        try:
+            _mark("serving mode at batch 32 start")
+            serving_b32_rtf_inv = serve_at_batch(32, 70)
+        except Exception:
+            serving_b32_rtf_inv = None
+
     # streaming TTFA: time-to-first-audio-chunk through engine.infer_stream —
     # the actual path /api/synthesize-stream serves (VERDICT round-1 weak #7).
     # Needs its own compiles (prefill + 24-code chunk + latent + vocoder
@@ -775,6 +798,7 @@ def main():
             "beam3_quant_decode_audio_s_per_s": beam3_quant_decode_rtf_inv,
             "quant_kv_decode_audio_s_per_s": quant_kv_rtf_inv,
             "serving_mode_audio_s_per_s": serving_mode_rtf_inv,
+            "serving_b32_audio_s_per_s": serving_b32_rtf_inv,
             "beam3_default_audio_s_per_s": beam3_default_rtf_inv,
             "b16_audio_s_per_s": b16,
             "b32_audio_s_per_s": b32,
