@@ -243,6 +243,36 @@ def run_verify(jax, jnp):
         out["verify_beam_codes_match"] = bool(np.array_equal(bc_t, bc_c) and np.array_equal(bl_t, bl_c))
         out["verify_beam_len_tpu"] = [int(x) for x in bl_t]
         out["verify_beam_len_cpu"] = [int(x) for x in bl_c]
+
+        # segmented beam driver — the ENGINE DEFAULT decode path
+        # (max_mel_tokens=600 routes through generate_speech_beam_segmented).
+        # The in-repo contract is bit-exact equality with the non-segmented
+        # beam (tests/test_segmented.py pins it on CPU); this checks the SAME
+        # contract on the production TPU backend, where the segment-growing
+        # cache and lineage attention lower through entirely different
+        # executables.
+        from indextts_tpu.models.gpt_decode import generate_speech_beam_segmented
+
+        def run_beam_seg(device):
+            put = lambda tree: jax.tree_util.tree_map(lambda x: jax.device_put(x, device), tree)
+            conds2 = jnp.broadcast_to(
+                get_conditioning(put(gpt_np), gpt_cfg, jax.device_put(mel_np, device),
+                                 jax.device_put(np.asarray([40]), device)), (2, 8, 64))
+            codes, lens = generate_speech_beam_segmented(
+                put(gpt_np), gpt_cfg, gen_b, conds2.astype(bf16),
+                jax.device_put(text_np, device),
+                jax.device_put(np.asarray([12, 12], np.int32), device),
+                jax.random.PRNGKey(0),
+                temperature=jnp.float32(1.0), top_p=jnp.float32(0.8),
+                repetition_penalty=jnp.float32(2.0), segment=4, jit_cache={},
+            )
+            return np.asarray(codes), np.asarray(lens)
+
+        sc_t, sl_t = run_beam_seg(jax.devices()[0])
+        _mark("verify-ext: tpu segmented beam done")
+        out["verify_beam_segmented_match_tpu"] = bool(
+            np.array_equal(sc_t, bc_t) and np.array_equal(sl_t, bl_t)
+        )
     return out
 
 
