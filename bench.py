@@ -740,18 +740,26 @@ def main():
         else:
             b32 = val
 
-    # serving mode at the recommended throughput batch (B=32; docs/SERVING.md
-    # "serve at 32") — quant_kv + captured latents at the batch the plain b32
-    # extra showed scales best. Runs after the legacy extras so it can only
-    # starve itself; needs the serve block above to have built serve_at_batch.
-    elapsed = time.perf_counter() - (bench_start or 0)
-    if (serving_mode_rtf_inv is not None and bench_start is not None
-            and elapsed < budget_s - margin["serve"]):
+    # serving mode at the recommended throughput batches (docs/SERVING.md):
+    # quant_kv + captured latents at B=32 (the plain-extra comparison point)
+    # and B=64 (measured best: ~119 audio-s/s, +8% over B=32). Runs after
+    # the legacy extras so it can only starve itself; needs the serve block
+    # above to have built serve_at_batch.
+    serving_b64_rtf_inv = None
+    for bb in (32, 64):
+        elapsed = time.perf_counter() - (bench_start or 0)
+        if (serving_mode_rtf_inv is None or bench_start is None
+                or elapsed >= budget_s - margin["serve"]):
+            break
         try:
-            _mark("serving mode at batch 32 start")
-            serving_b32_rtf_inv = serve_at_batch(32, 70)
+            _mark(f"serving mode at batch {bb} start")
+            val = serve_at_batch(bb, 70 + bb)
         except Exception:
-            serving_b32_rtf_inv = None
+            break
+        if bb == 32:
+            serving_b32_rtf_inv = val
+        else:
+            serving_b64_rtf_inv = val
 
     # streaming TTFA: time-to-first-audio-chunk through engine.infer_stream —
     # the actual path /api/synthesize-stream serves (VERDICT round-1 weak #7).
@@ -829,6 +837,7 @@ def main():
             "quant_kv_decode_audio_s_per_s": quant_kv_rtf_inv,
             "serving_mode_audio_s_per_s": serving_mode_rtf_inv,
             "serving_b32_audio_s_per_s": serving_b32_rtf_inv,
+            "serving_b64_audio_s_per_s": serving_b64_rtf_inv,
             "beam3_default_audio_s_per_s": beam3_default_rtf_inv,
             "b16_audio_s_per_s": b16,
             "b32_audio_s_per_s": b32,
