@@ -409,15 +409,19 @@ class IndexTTS:
             self._latent_cache[key] = fn
         return self._latent_cache[key]
 
-    def _vocoder_fn(self, b: int, m: int, frames: int):
-        key = ("voc", b, m, frames)
+    def _vocoder_fn(self, b: int, m: int, frames: int, int16_out: bool = False):
+        key = ("voc", b, m, frames, int16_out)
         if key not in self._vocoder_cache:
             h = self.cfg.bigvgan
             use_pallas = self.use_pallas_kernel
 
             @jax.jit
             def fn(params, latent, mel_ref, lens):
-                return bigvgan_apply(params, h, latent, mel_ref, lens=lens, use_pallas=use_pallas)
+                wav = bigvgan_apply(params, h, latent, mel_ref, lens=lens, use_pallas=use_pallas)
+                if int16_out:
+                    # the int16 WAV cast, on-device: halves device->host bytes
+                    wav = jnp.clip(wav.astype(jnp.float32) * 32767.0, -32767.0, 32767.0).astype(jnp.int16)
+                return wav
 
             self._vocoder_cache[key] = fn
         return self._vocoder_cache[key]
@@ -595,6 +599,71 @@ class IndexTTS:
         wav = fn(self.bigvgan_params, latent.astype(self.dtype), mel_ref, lens)
         wav = np.asarray(wav[..., 0], np.float32)  # [B, T]
         return wav[:, : n_valid * self._samples_per_code()]
+
+    def _vocode_many(self, chunks):
+        """Cross-request BATCHED vocoder execution.
+
+        chunks: list of (latent [1, Tc, D] device array, n_valid codes,
+        prompt_mel np [1, 100, frames]); returns a list of np INT16 wavs
+        [1, n_valid*spc] in input order (scaled+clipped on device — the
+        int16 WAV cast the host would otherwise do after a 2x-bigger fetch).
+
+        infer_batch's decode stage batches rows across requests, but the
+        reference-shaped vocode stage (infer.py:485-503 chunks latents per
+        request) ran one request at a time: at 32 single-sentence requests
+        that is 32 batch-1 vocoder calls + 32 tunneled wav fetches —
+        measured ~6 s of an 11 s batch (tools/profile_engine_e2e.py). Here
+        chunks from DIFFERENT requests share vocoder batches: group by
+        (latent frame bucket, mel frame bucket), pad the group's batch to
+        {1,2,4,8,...} so jit shapes stay bounded, and let per-row ECAPA
+        relative-length masking keep different prompts exact (the same
+        mechanism _vocode uses for its own zero-padded prompt frames)."""
+        spc = self._samples_per_code()
+        # group by prompt-mel frame bucket; WITHIN a group, sort chunks by
+        # latent length and batch neighbors, padding to the sub-batch max
+        # rounded to 32 frames — generated lengths vary per row, so exact-
+        # length grouping would leave most batches at 1
+        groups: Dict[int, List[int]] = {}
+        for i, (_lat, _nv, mel) in enumerate(chunks):
+            fb = max(_round_up(mel.shape[-1], 100), 100)
+            groups.setdefault(fb, []).append(i)
+        out: List[Optional[np.ndarray]] = [None] * len(chunks)
+        bucket_max = 16
+        for fb, idxs in sorted(groups.items()):
+            idxs.sort(key=lambda i: chunks[i][0].shape[1])
+            for k in range(0, len(idxs), bucket_max):
+                part = idxs[k : k + bucket_max]
+                # 32-frame quantization of the sub-batch max: coarse enough
+                # that jit keys recur across calls, fine enough that padding
+                # waste stays ~5% (64-frame rounding measured a net LOSS —
+                # uniform-length workloads pad every row to the next class)
+                m = max(_round_up(max(chunks[i][0].shape[1] for i in part), 32), 32)
+                b0 = len(part)
+                b = 1 << (b0 - 1).bit_length()  # pad batch to 1/2/4/8
+                lat_rows = [
+                    jnp.pad(chunks[i][0], ((0, 0), (0, m - chunks[i][0].shape[1]), (0, 0)))
+                    for i in part
+                ]
+                if b != b0:
+                    lat_rows.append(jnp.zeros((b - b0, m, lat_rows[0].shape[2]), lat_rows[0].dtype))
+                lat_b = jnp.concatenate(lat_rows, axis=0)
+                n_mels = chunks[part[0]][2].shape[1]
+                mel_b = np.zeros((b, fb, n_mels), np.float32)
+                rel = np.full((b,), 1.0, np.float32)
+                for j, i in enumerate(part):
+                    mel = chunks[i][2]
+                    mel_b[j, : mel.shape[-1]] = np.transpose(mel[0], (1, 0))
+                    rel[j] = mel.shape[-1] / fb
+                fn = self._vocoder_fn(b, m, fb, int16_out=True)
+                wav = fn(self.bigvgan_params, lat_b.astype(self.dtype),
+                         jnp.asarray(mel_b, self.dtype), jnp.asarray(rel, jnp.float32))
+                # int16 crosses the (slow) device->host link at half the
+                # bytes of f32 — and int16 IS the output WAV format, so the
+                # on-device scale+clip+cast loses nothing vs the host cast
+                wav_np = np.asarray(wav[:b0, :, 0])  # [b0, T] int16
+                for j, i in enumerate(part):
+                    out[i] = wav_np[j : j + 1, : chunks[i][1] * spc]
+        return out
 
     # ------------------------------------------------------------------
     # public synthesis API
@@ -1264,23 +1333,31 @@ class IndexTTS:
                 row_latents[it["idx"]] = (latent[:, : codes.shape[1]], int(code_lens[0]))
 
         # vocode + assemble per request (rows back in sentence order; latent
-        # chunks concatenated time-wise against the request's own prompt)
+        # chunks concatenated time-wise against the request's own prompt).
+        # Chunk pairing WITHIN a request matches infer_fast (reference
+        # infer.py:485-503); chunk EXECUTION is batched across requests
+        # (_vocode_many — the reference vocodes per request, which left the
+        # accelerator at batch 1 for single-sentence requests).
         results = []
         chunk_size = 2
         per_req_rows: List[List[int]] = [[] for _ in items]
         for gidx, r in enumerate(flat_req):
             per_req_rows[r].append(gidx)
-        audio_s = 0.0
         self._set_gr_progress(0.75, "bigvgan decode...")
+        chunk_list = []  # (latent, n_valid, prompt_mel)
+        chunk_req: List[int] = []
         for r in range(len(items)):
-            wavs = []
             rows = [row_latents[g] for g in per_req_rows[r]]
             for k in range(0, len(rows), chunk_size):
                 part = rows[k : k + chunk_size]
                 latent = jnp.concatenate([l for l, _ in part], axis=1)
                 n_valid = sum(n for _, n in part)
-                wav = self._vocode(latent, n_valid, req_mels[r])
-                wavs.append(np.clip(32767 * wav, -32767.0, 32767.0))
+                chunk_list.append((latent, n_valid, req_mels[r]))
+                chunk_req.append(r)
+        chunk_wavs = self._vocode_many(chunk_list)  # int16, already scaled+clipped
+        audio_s = 0.0
+        for r in range(len(items)):
+            wavs = [w for w, cr in zip(chunk_wavs, chunk_req) if cr == r]
             wav = np.concatenate(wavs, axis=1)
             audio_s += wav.shape[-1] / sampling_rate
             results.append(
