@@ -556,6 +556,55 @@ class IndexTTS:
         )
         return latent  # [B, lc, D]
 
+    def _gpt_latent_many(self, rows):
+        """Batched teacher-forced latent passes across rows (exact mode).
+
+        rows: list of (conds [1, C, D], text_tokens [1, Lt] np,
+        codes [1, Lc] np, code_lens np [1]); returns per-row latents
+        [1, Lc_row, D] (device-resident), input order.
+
+        The reference re-encodes generated codes one sequence at a time
+        (infer.py:446-477), and with fast_latents OFF the engine mirrored
+        that — at 32 single-sentence requests that is 32 serialized
+        (47 ms + dispatch) calls. Rows batch by (text bucket, code bucket):
+        the latent forward is per-row independent and stop-token bucket
+        padding is the pinned contract (tests/test_gpt.py bucket-padded
+        oracle), so batched == per-row."""
+        groups: Dict[Tuple[int, int], List[int]] = {}
+        for i, (_cds, tt, cd, _cl) in enumerate(rows):
+            lt = min(max(_round_up(tt.shape[1], 8), 8),
+                     max(self.cfg.gpt.max_text_tokens, tt.shape[1]))
+            lc = min(max(_round_up(cd.shape[1], 16), 16),
+                     max(self.cfg.gpt.max_mel_tokens, cd.shape[1]))
+            groups.setdefault((lt, lc), []).append(i)
+        out: List[Optional[jnp.ndarray]] = [None] * len(rows)
+        bucket_max = 16
+        for (lt, lc), idxs in sorted(groups.items()):
+            for k in range(0, len(idxs), bucket_max):
+                part = idxs[k : k + bucket_max]
+                b0 = len(part)
+                b = 1 << (b0 - 1).bit_length()  # stable jit keys: 1/2/4/8/16
+                text = np.full((b, lt), self.cfg.gpt.stop_text_token, np.int32)
+                tlens = np.ones((b,), np.int32)
+                codes_p = np.full((b, lc), self.stop_mel_token, np.int32)
+                clens = np.ones((b,), np.int64)
+                conds_rows = []
+                for j, i in enumerate(part):
+                    cds, tt, cd, cl = rows[i]
+                    text[j, : tt.shape[1]] = tt[0]
+                    tlens[j] = tt.shape[1]
+                    codes_p[j, : cd.shape[1]] = cd[0]
+                    clens[j] = int(np.asarray(cl).reshape(-1)[0])
+                    conds_rows.append(cds)
+                if b != b0:
+                    conds_rows.append(jnp.zeros(
+                        (b - b0,) + tuple(conds_rows[0].shape[1:]), conds_rows[0].dtype))
+                conds_b = jnp.concatenate(conds_rows, axis=0)
+                lat = self._gpt_latent(conds_b, text, codes_p, clens, text_lengths=tlens)
+                for j, i in enumerate(part):
+                    out[i] = lat[j : j + 1, : rows[i][2].shape[1]]
+        return out
+
     def _samples_per_code(self) -> int:
         """Waveform samples per mel code — the ONE definition used by both
         one-shot wav trimming and streaming chunk accounting (two diverging
@@ -923,6 +972,7 @@ class IndexTTS:
         self._set_gr_progress(0.5, "gpt inference latents...")
         all_idxs = []
         all_latents = []
+        pending_latents = []
         has_warned = False
         for batch_codes, batch_lens, batch_lat, batch_tokens, bucket in zip(
             all_batch_codes, all_batch_lens, all_batch_lats, all_text_tokens, all_sentences
@@ -940,11 +990,19 @@ class IndexTTS:
                 all_idxs.append(bucket[i]["idx"])
                 m_start = time.perf_counter()
                 if batch_lat is not None and np.array_equal(codes, code_row[:, : codes.shape[1]]):
-                    latent = batch_lat[i : i + 1]
+                    all_latents.append((batch_lat[i : i + 1][:, : codes.shape[1]], int(code_lens[0])))
                 else:
-                    latent = self._gpt_latent(conds, text_tokens, codes, code_lens)
+                    # defer: teacher-forced latent rows batch across buckets
+                    pending_latents.append((len(all_latents), text_tokens, codes, code_lens))
+                    all_latents.append(None)
                 gpt_forward_time += time.perf_counter() - m_start
-                all_latents.append((latent[:, : codes.shape[1]], int(code_lens[0])))
+
+        if pending_latents:
+            m_start = time.perf_counter()
+            lats = self._gpt_latent_many([(conds, t, cd, cl) for _, t, cd, cl in pending_latents])
+            for (pos, _t, cd, cl), lat in zip(pending_latents, lats):
+                all_latents[pos] = (lat, int(np.asarray(cl).reshape(-1)[0]))
+            gpt_forward_time += time.perf_counter() - m_start
 
         # restore original order (argsort, not a quadratic list.index scan —
         # a long document can split into thousands of sentences)
@@ -954,13 +1012,17 @@ class IndexTTS:
         chunk_length = len(chunk_latents)
 
         self._set_gr_progress(0.7, "bigvgan decode...")
+        # chunk pairing matches the reference (infer.py:485-503); execution
+        # is BATCHED across chunks (_vocode_many — the reference runs one
+        # batch-1 vocoder call per chunk, serializing a long document's tail)
+        chunk_args = []
         for items in chunk_latents:
             latent = jnp.concatenate([l for l, _ in items], axis=1)
             n_valid = sum(n for _, n in items)
-            m_start = time.perf_counter()
-            wav = self._vocode(latent, n_valid, prompt_mel)
-            bigvgan_time += time.perf_counter() - m_start
-            wavs.append(np.clip(32767 * wav, -32767.0, 32767.0))
+            chunk_args.append((latent, n_valid, prompt_mel))
+        m_start = time.perf_counter()
+        wavs = self._vocode_many(chunk_args)  # int16, scaled+clipped on device
+        bigvgan_time += time.perf_counter() - m_start
 
         end_time = time.perf_counter()
         self._set_gr_progress(0.9, "save audio...")
@@ -1280,6 +1342,7 @@ class IndexTTS:
         self._set_gr_progress(0.1, "text processing...")
         buckets = self.bucket_sentences(flat_sents, bucket_max_size=sentences_bucket_max_size)
         row_latents: Dict[int, Tuple[jnp.ndarray, int]] = {}
+        pending_latents: List[Tuple[int, Any, np.ndarray, np.ndarray, np.ndarray]] = []
         processed = 0
         has_warned = False
         for bucket in buckets:
@@ -1326,11 +1389,18 @@ class IndexTTS:
                 )
                 if cap_lat is not None and np.array_equal(codes, code_row[:, : codes.shape[1]]):
                     latent = cap_lat[i : i + 1]
+                    row_latents[it["idx"]] = (latent[:, : codes.shape[1]], int(code_lens[0]))
                 else:
-                    latent = self._gpt_latent(
-                        req_conds[flat_req[it["idx"]]], item_tokens[i], codes, code_lens
+                    # defer: teacher-forced latent rows are batched across
+                    # the whole request set after the decode loop
+                    pending_latents.append(
+                        (it["idx"], req_conds[flat_req[it["idx"]]], item_tokens[i], codes, code_lens)
                     )
-                row_latents[it["idx"]] = (latent[:, : codes.shape[1]], int(code_lens[0]))
+
+        if pending_latents:
+            lats = self._gpt_latent_many([(c, t, cd, cl) for _, c, t, cd, cl in pending_latents])
+            for (gidx, _c, _t, cd, cl), lat in zip(pending_latents, lats):
+                row_latents[gidx] = (lat, int(np.asarray(cl).reshape(-1)[0]))
 
         # vocode + assemble per request (rows back in sentence order; latent
         # chunks concatenated time-wise against the request's own prompt).
