@@ -143,3 +143,58 @@ class TestPerRequestParams:
                 per_request_kwargs=[{"num_beams": 1}, {}],
                 **GREEDY,
             )
+
+
+class TestBatchedHelpers:
+    """Direct parity pins for the cross-row batching helpers.
+
+    Both helpers exist purely as execution-shape optimizations: the
+    reference runs the latent re-encode one sequence at a time
+    (infer.py:446-477) and the vocoder one chunk at a time
+    (infer.py:485-503). Batched == per-row is the contract that makes the
+    batched forms legal."""
+
+    def test_gpt_latent_many_matches_per_row(self, engine):
+        """Rows spanning several (text, code) buckets + a non-pow2 group."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(7)
+        g = engine.cfg.gpt
+        rows = []
+        for i, (lt, lc) in enumerate([(5, 6), (9, 6), (5, 20), (12, 18), (3, 3)]):
+            conds = engine._conds_for(_prompt(engine, 30 + i))
+            tt = rng.integers(0, g.number_text_tokens - 1, (1, lt)).astype(np.int32)
+            cd = rng.integers(0, g.start_mel_token, (1, lc)).astype(np.int32)
+            rows.append((conds, tt, cd, np.array([lc], np.int64)))
+        many = engine._gpt_latent_many(rows)
+        assert len(many) == len(rows)
+        for (conds, tt, cd, cl), lat in zip(rows, many):
+            assert lat.shape == (1, cd.shape[1], g.model_dim)
+            solo = engine._gpt_latent(conds, tt, cd, cl)[:, : cd.shape[1]]
+            np.testing.assert_allclose(
+                np.asarray(lat, np.float32), np.asarray(solo, np.float32),
+                rtol=2e-5, atol=2e-5,
+            )
+
+    def test_vocode_many_matches_per_chunk(self, engine):
+        """Chunks with differing latent lengths and prompt frame counts;
+        expected = per-chunk _vocode + the host-side int16 WAV cast."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(8)
+        d = engine.cfg.gpt.model_dim
+        chunks = []
+        for i, (tc, nv, fr) in enumerate([(6, 5, 40), (9, 9, 40), (6, 6, 52), (17, 16, 40)]):
+            lat = jnp.asarray(rng.standard_normal((1, tc, d)).astype(np.float32) * 0.1)
+            chunks.append((lat, nv, _prompt(engine, 40 + i, frames=fr)))
+        many = engine._vocode_many(chunks)
+        assert len(many) == len(chunks)
+        spc = engine._samples_per_code()
+        for (lat, nv, mel), wav in zip(chunks, many):
+            assert wav.dtype == np.int16
+            assert wav.shape == (1, nv * spc)
+            solo = engine._vocode(lat, nv, mel)
+            expected = np.clip(32767.0 * solo, -32767.0, 32767.0).astype(np.int16)
+            np.testing.assert_allclose(
+                wav.astype(np.float32), expected.astype(np.float32), atol=2.0
+            )
