@@ -115,12 +115,14 @@ class IndexTTS:
         re-encodes the codes with CORRECT positions in a second teacher-
         forced pass to get vocoder latents (infer.py:196-200) — it is
         internally inconsistent, and the second pass is the cost. With this
-        flag, num_beams==1 decodes run with consistent positions and emit
-        the final_norm'd hiddens directly (tests/test_capture_latents.py
-        pins captured == teacher-forced under these positions); the stage-2
-        pass is skipped whenever remove_long_silence left the codes
-        untouched. Generated tokens deviate slightly from reference
-        generate() (positions differ); OFF by default for parity."""
+        flag, decodes run with consistent positions and emit the
+        final_norm'd hiddens directly — sampling paths from the step loop,
+        beam paths via one lineage gather of the winner's per-step hiddens
+        at finalize (tests/test_capture_latents.py pins captured ==
+        teacher-forced under these positions for both); the stage-2 pass is
+        skipped whenever remove_long_silence left the codes untouched.
+        Generated tokens deviate slightly from reference generate()
+        (positions differ); OFF by default for parity."""
         self.device = jax.devices()[0].platform
         self.is_fp16 = bool(is_fp16) and self.device != "cpu"
         self.dtype = jnp.bfloat16 if self.is_fp16 else jnp.float32
@@ -381,6 +383,8 @@ class IndexTTS:
 
             if gen.num_beams > 1:
                 jitted = jax.jit(partial(generate_speech_beam, cfg=cfg, gen=gen,
+                                         capture_latents=capture,
+                                         pos_off=1 if capture else 2,
                                          quant_kv=self.quant_kv))
             else:
                 jitted = jax.jit(partial(
@@ -432,8 +436,9 @@ class IndexTTS:
 
         Returns (codes, lengths, latents_or_None): latents [B, max_new, D]
         (device-resident) when the engine's fast_latents mode captured them
-        during decode (num_beams==1 only)."""
-        capture = self.fast_latents and gen.num_beams == 1
+        during decode (sampling AND beam paths — beams resolve the winner's
+        latents by one lineage gather at finalize, _gather_beam_latents)."""
+        capture = self.fast_latents
         b, l0 = text_tokens.shape
         # bucket-round, but never past the text positional table
         # (max_text_tokens+2 rows; sentences are already split to capacity,
@@ -498,11 +503,10 @@ class IndexTTS:
             )
 
             seg_fn = generate_speech_beam_segmented if gen.num_beams > 1 else generate_speech_segmented
+            extra = {"capture_latents": capture, "pos_off": 1 if capture else 2,
+                     "quant_kv": self.quant_kv}
             if gen.num_beams > 1:
-                extra = {"length_penalty": length_penalty, "quant_kv": self.quant_kv}
-            else:
-                extra = {"capture_latents": capture, "pos_off": 1 if capture else 2,
-                         "quant_kv": self.quant_kv}
+                extra["length_penalty"] = length_penalty
             out = seg_fn(
                 self.gpt_params, self.cfg.gpt, gen,
                 conds_b.astype(self.dtype), jnp.asarray(padded), jnp.asarray(text_lengths), sub,

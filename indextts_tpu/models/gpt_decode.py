@@ -1135,6 +1135,8 @@ def generate_speech_beam(
     length_penalty=0.0,
     typical_mass=0.9,
     quant_kv: bool = False,
+    capture_latents: bool = False,
+    pos_off: int = 2,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Beam decode with a split, NEVER-REORDERED KV cache: the prefill runs
     once per batch row (not per beam) and is shared read-only across beams;
@@ -1148,7 +1150,16 @@ def generate_speech_beam(
     identical to `_generate_speech_beam_dense` (the oracle in
     tests/test_beam_oracle.py).
 
-    Returns (codes [B, max_new], lengths [B]) for the best finished beam.
+    `capture_latents`/`pos_off` as in generate_speech: with capture the
+    per-step final_norm'd hiddens stay in their PHYSICAL rows (the latent
+    buffer is never reordered, same rule as the cache) and the winner's
+    latents are resolved by ONE lineage gather at finalize
+    (_gather_beam_latents) — the serving mode that skips the engine's
+    teacher-forced latent pass for beams too (pos_off=1 for two-pass
+    latent parity; ref infer.py:196-200).
+
+    Returns (codes [B, max_new], lengths [B]) for the best finished beam,
+    plus latents [B, max_new, D] under capture_latents.
     """
     nb = gen.num_beams
     b, l = text_tokens.shape
@@ -1164,7 +1175,11 @@ def generate_speech_beam(
     p = emb.shape[1]
     # prefill on B rows only; packed cache stays [L, B, H, P, 2*Dh]
     # (int8 + per-column scales under quant_kv)
-    logits0_b, kvp = _prefill(params, cfg, emb, prefill_mask, p, quant_kv=quant_kv)
+    if capture_latents:
+        logits0_b, kvp, h0 = _prefill(params, cfg, emb, prefill_mask, p,
+                                      return_hidden=True, quant_kv=quant_kv)
+    else:
+        logits0_b, kvp = _prefill(params, cfg, emb, prefill_mask, p, quant_kv=quant_kv)
     logits0 = jnp.repeat(logits0_b, nb, axis=0)  # [bb, V]
 
     kvg = _empty_beam_cache(layers, bb, heads // 2, max_new, 2 * dh, emb.dtype, quant_kv)
@@ -1184,24 +1199,27 @@ def generate_speech_beam(
     codes0 = jnp.full((bb, max_new), cfg.stop_mel_token, jnp.int32)
     best0 = (jnp.full((b,), NEG_INF, jnp.float32), jnp.full((b, max_new), cfg.stop_mel_token, jnp.int32),
              jnp.zeros((b,), jnp.int32))
+    # nothing written to kg/vg yet -> the lineage map starts empty (zeros)
+    lin0 = jnp.zeros((bb, max_new), jnp.int32)
+    if capture_latents:
+        best0 = best0 + (jnp.zeros((b, max_new), jnp.int32),)
 
-    def step_beams(si, logits, codes, beam_scores, seen, done_best):
+    def step_beams(si, logits, codes, beam_scores, seen, done_best, lin_c=None):
         # the shared successor-selection step (one definition for every beam
         # driver — _beam_step with the shared joint/select helpers)
         return _beam_step(
             cfg, gen, si, logits, codes, beam_scores, seen, done_best, joint_fn,
-            select, rng, b, nb, length_penalty, prefill_len=p,
+            select, rng, b, nb, length_penalty, prefill_len=p, lin_c=lin_c,
         )
 
     codes, beam_scores, seen, done_best, flat_src, cur = step_beams(
-        0, logits0, codes0, beam_scores0, seen0, best0
+        0, logits0, codes0, beam_scores0, seen0, best0,
+        lin_c=lin0 if capture_latents else None,
     )
-    # nothing written to kg/vg yet -> the lineage map starts empty (zeros)
-    lin0 = jnp.zeros((bb, max_new), jnp.int32)
     own_local = (jnp.arange(bb) % nb).astype(jnp.int32)
 
     def cond_fn(state):
-        i, codes, beam_scores, kvg, lin, seen, cur, (best_score, _, _) = state
+        i, beam_scores, best_score = state[0], state[2], state[7][0]
         if not gen.early_stopping:
             return i < max_new - 1
         base = _beam_stop_bound_base(length_penalty, p, max_new, i)
@@ -1209,8 +1227,8 @@ def generate_speech_beam(
         return jnp.logical_and(i < max_new - 1, jnp.any(best_possible > best_score))
 
     def body_fn(state):
-        i, codes, beam_scores, kvg, lin, seen, cur, done_best = state
-        x = params["mel_embedding"][cur] + params["mel_pos_embedding"][i + 2]
+        i, codes, beam_scores, kvg, lin, seen, cur, done_best, *lat_s = state
+        x = params["mel_embedding"][cur] + params["mel_pos_embedding"][i + pos_off]
         bias_g = jnp.where(gen_positions < i, 0.0, NEG_INF).astype(jnp.float32)  # [1, N]
         # lin_masks[delta][r, 1, s]: 1 iff query row r = (b, m) takes
         # position s from the sibling cache row with beam (m - delta) % nb
@@ -1231,22 +1249,44 @@ def generate_speech_beam(
         x, kv_news = jax.lax.scan(scan_body, x, (params["gpt"]["blocks"], kvg, kvp))
         kvg2 = _write_beam_cache(kvg, kv_news, i)
         x = layer_norm(x, params["gpt"]["ln_f"]["weight"], params["gpt"]["ln_f"]["bias"])
-        logits = _mel_logits(params, x)
+        # compose this step's write into the lineage BEFORE successor
+        # selection so a finishing hypothesis snapshots its full ancestry
+        lin_c = jax.lax.dynamic_update_slice(lin, own_local[:, None], (0, i))
+        if lat_s:
+            # PHYSICAL-row latent store (never reordered, like the cache);
+            # the latent is the final_norm'd hidden (the same normed tensor
+            # _mel_logits feeds the mel head — greedy capture convention)
+            logits, hnorm = _mel_logits(params, x, return_normed=True)
+            lat = jax.lax.dynamic_update_slice(
+                lat_s[0], hnorm[:, None, :].astype(lat_s[0].dtype), (0, i, 0)
+            )
+        else:
+            logits = _mel_logits(params, x)
         codes, beam_scores, seen, done_best, flat_src, nxt = step_beams(
-            i + 1, logits, codes, beam_scores, seen, done_best
+            i + 1, logits, codes, beam_scores, seen, done_best,
+            lin_c=lin_c if lat_s else None,
         )
         # no cache reorder: position i was just written by each beam's own
-        # physical row; compose that into the lineage, then permute the SMALL
-        # per-position map (bb x max_new int32) by the successor choice
-        lin2 = jax.lax.dynamic_update_slice(lin, own_local[:, None], (0, i))[flat_src]
-        return (i + 1, codes, beam_scores, kvg2, lin2, seen, nxt, done_best)
+        # physical row; permute only the SMALL per-position map
+        # (bb x max_new int32) by the successor choice
+        lin2 = lin_c[flat_src]
+        out = (i + 1, codes, beam_scores, kvg2, lin2, seen, nxt, done_best)
+        return out + (lat,) if lat_s else out
 
     state = (jnp.asarray(0), codes, beam_scores, kvg, lin0, seen, cur, done_best)
-    i, codes, beam_scores, kvg, lin, seen, cur, (best_score, best_codes, best_len) = jax.lax.while_loop(
-        cond_fn, body_fn, state
-    )
+    if capture_latents:
+        state = state + (jnp.zeros((bb, max_new, emb.shape[-1]), emb.dtype),)
+    state = jax.lax.while_loop(cond_fn, body_fn, state)
+    codes, beam_scores, lin, done_best = state[1], state[2], state[4], state[7]
 
-    return _beam_finalize(codes, beam_scores, (best_score, best_codes, best_len),
+    if capture_latents:
+        final_codes, final_len, final_lin = _beam_finalize(
+            codes, beam_scores, done_best, b, nb, max_new, length_penalty, p,
+            lin_live=lin,
+        )
+        lat_sel = _gather_beam_latents(state[8], h0, final_lin, nb, max_new)
+        return final_codes, final_len, lat_sel
+    return _beam_finalize(codes, beam_scores, done_best,
                           b, nb, max_new, length_penalty, p)
 
 
@@ -1266,12 +1306,16 @@ def generate_speech_beam_segmented(
     segment: int = 160,
     jit_cache: Optional[Dict[Any, Any]] = None,
     quant_kv: bool = False,
+    capture_latents: bool = False,
+    pos_off: int = 2,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Split-cache beam decode with segment-growing generated cache:
     lineage-resolved attention (no physical cache reorder) against a
     generated cache that only holds the slots writable so far. Host-driven
     like generate_speech_segmented; identical sampling state machine to
     generate_speech_beam (which it matches bit-exactly — see tests).
+    `capture_latents`/`pos_off` as in generate_speech_beam (the latent
+    buffer grows with the cache; one lineage gather at finalize).
     ALWAYS pass `jit_cache` for repeated calls (see
     generate_speech_segmented's docstring — a fresh default dict re-traces
     every per-segment closure on every call)."""
@@ -1283,7 +1327,7 @@ def generate_speech_beam_segmented(
     cache = jit_cache if jit_cache is not None else {}
 
     def seg_fn(seg_idx: int):
-        key = ("bseg", b, l, gen, segment, seg_idx, quant_kv)
+        key = ("bseg", b, l, gen, segment, seg_idx, quant_kv, capture_latents, pos_off)
         if key in cache:
             return cache[key]
         cache_len = min(segment * (seg_idx + 1), max_new)
@@ -1296,7 +1340,7 @@ def generate_speech_beam_segmented(
                     params, cfg, gen, conds, text_tokens, text_lengths, rng,
                     temperature, top_p, repetition_penalty, length_penalty, typical_mass,
                     cache_len=cache_len, n_steps=n_steps, init=True, state=None,
-                    quant_kv=quant_kv,
+                    quant_kv=quant_kv, capture_latents=capture_latents, pos_off=pos_off,
                 )
 
             cache[key] = first_fn
@@ -1310,6 +1354,7 @@ def generate_speech_beam_segmented(
                     temperature, top_p, repetition_penalty, length_penalty, typical_mass,
                     cache_len=cache_len, n_steps=n_steps, init=False,
                     state=(state, aux_arrays),
+                    capture_latents=capture_latents, pos_off=pos_off,
                 )
 
             cache[key] = step_fn
@@ -1323,7 +1368,7 @@ def generate_speech_beam_segmented(
     state, aux_arrays = seg_fn(0)(params, conds, text_tokens, text_lengths, rng, *args)
     p_len = int(aux_arrays[1].shape[1])  # bias_p [B, P] -> prefill length
     for k_seg in range(1, n_segments):
-        i, codes, beam_scores, kvg, lin, seen, cur, (best_score, _, _) = state
+        i, beam_scores, best_score = state[0], state[2], state[7][0]
         # host-side early exit mirroring the device cond (length_penalty may
         # be per-row [b] under continuous batching); same ADMISSIBLE base as
         # _beam_stop_bound_base — shortest reachable finish for lp <= 0
@@ -1337,16 +1382,27 @@ def generate_speech_beam_segmented(
             break
         state, aux_arrays = seg_fn(k_seg)(params, state, aux_arrays, rng, *args)
 
-    i, codes, beam_scores, kvg, lin, seen, cur, (best_score, best_codes, best_len) = state
-    return _beam_finalize(codes, beam_scores, (best_score, best_codes, best_len),
+    codes, beam_scores, lin, done_best = state[1], state[2], state[4], state[7]
+    if capture_latents:
+        final_codes, final_len, final_lin = _beam_finalize(
+            codes, beam_scores, done_best, b, nb, max_new, length_penalty, p_len,
+            lin_live=lin,
+        )
+        lat_sel = _gather_beam_latents(state[8], aux_arrays[2], final_lin, nb, max_new)
+        return final_codes, final_len, lat_sel
+    return _beam_finalize(codes, beam_scores, done_best,
                           b, nb, max_new, length_penalty, p_len)
 
 
 def _beam_segment_run(params, cfg, gen, conds, text_tokens, text_lengths, rng,
                       temperature, top_p, repetition_penalty, length_penalty, typical_mass, *,
-                      cache_len, n_steps, init, state, quant_kv=False):
+                      cache_len, n_steps, init, state, quant_kv=False,
+                      capture_latents=False, pos_off=2):
     """One jitted beam segment: optionally prefill+first-token, then up to
-    n_steps decode iterations against a generated cache of size cache_len."""
+    n_steps decode iterations against a generated cache of size cache_len.
+    With `capture_latents` the state gains a physical-row latent buffer
+    [bb, cache_len, D] (grows with the cache) and aux gains the prefill
+    hidden h0 [B, D]; done_best gains the finished-winner lineage row."""
     nb = gen.num_beams
     max_new = gen.max_new_tokens
     heads = cfg.heads
@@ -1367,7 +1423,11 @@ def _beam_segment_run(params, cfg, gen, conds, text_tokens, text_lengths, rng,
         bb = b * nb
         emb, prefill_mask = prepare_gpt_inputs(params, cfg, conds, text_tokens, text_lengths)
         p = emb.shape[1]
-        logits0_b, kvp = _prefill(params, cfg, emb, prefill_mask, p, quant_kv=quant_kv)
+        if capture_latents:
+            logits0_b, kvp, h0 = _prefill(params, cfg, emb, prefill_mask, p,
+                                          return_hidden=True, quant_kv=quant_kv)
+        else:
+            logits0_b, kvp = _prefill(params, cfg, emb, prefill_mask, p, quant_kv=quant_kv)
         logits0 = jnp.repeat(logits0_b, nb, axis=0)
         kvg = _empty_beam_cache(layers, bb, heads // 2, cache_len, 2 * dh, emb.dtype, quant_kv)
         seen0 = jnp.zeros((bb, v), bool).at[:, 1].set(True).at[:, cfg.start_mel_token].set(True)
@@ -1377,18 +1437,25 @@ def _beam_segment_run(params, cfg, gen, conds, text_tokens, text_lengths, rng,
         best0 = (jnp.full((b,), NEG_INF, jnp.float32),
                  jnp.full((b, max_new), cfg.stop_mel_token, jnp.int32),
                  jnp.zeros((b,), jnp.int32))
-        codes, beam_scores, seen, done_best, flat_src, cur = _beam_step(
-            cfg, gen, 0, logits0, codes0, beam_scores0, seen0, best0, joint_fn,
-            select, rng, b, nb, length_penalty, prefill_len=p,
-        )
         # nothing written to kg/vg yet -> the lineage map starts empty; it is
         # NOT permuted by step 0's flat_src (all cache rows are still empty)
         lin = jnp.zeros((bb, cache_len), jnp.int32)
+        if capture_latents:
+            best0 = best0 + (jnp.zeros((b, max_new), jnp.int32),)
+        codes, beam_scores, seen, done_best, flat_src, cur = _beam_step(
+            cfg, gen, 0, logits0, codes0, beam_scores0, seen0, best0, joint_fn,
+            select, rng, b, nb, length_penalty, prefill_len=p,
+            lin_c=lin if capture_latents else None,
+        )
         st = (jnp.asarray(0), codes, beam_scores, kvg, lin, seen, cur, done_best)
-        aux = (kvp, bias_p)
+        if capture_latents:
+            st = st + (jnp.zeros((bb, cache_len, d), emb.dtype),)
+            aux = (kvp, bias_p, h0)
+        else:
+            aux = (kvp, bias_p)
     else:
         st, aux = state
-        i, codes, beam_scores, kvg, lin, seen, cur, done_best = st
+        i, codes, beam_scores, kvg, lin, seen, cur, done_best, *lat_s = st
         extra = cache_len - kvg[0].shape[3]
         # axis 3 is the position axis for k8/v8 (rank 5) AND the scale
         # tensors (rank 4, position-minor) under quant_kv
@@ -1400,10 +1467,12 @@ def _beam_segment_run(params, cfg, gen, conds, text_tokens, text_lengths, rng,
         # until written, so their lineage value (0) is irrelevant
         lin = jnp.pad(lin, ((0, 0), (0, extra)))
         st = (i, codes, beam_scores, kvg, lin, seen, cur, done_best)
+        if lat_s:
+            st = st + (jnp.pad(lat_s[0], ((0, 0), (0, extra), (0, 0))),)
         bb = kvg[0].shape[1]
         b = bb // nb
 
-    kvp, bias_p = aux
+    kvp, bias_p = aux[0], aux[1]
     p_len = bias_p.shape[1]  # prefill length, for the HF length-penalty base
     gen_positions = jnp.arange(cache_len)[None, :]
     start_i = st[0]
@@ -1411,7 +1480,7 @@ def _beam_segment_run(params, cfg, gen, conds, text_tokens, text_lengths, rng,
     m_idx = (jnp.arange(bb, dtype=jnp.int32) % nb)[:, None]  # [bb, 1]
 
     def cond_fn(s):
-        i, codes, beam_scores, kvg, lin, seen, cur, (best_score, _, _) = s
+        i, beam_scores, best_score = s[0], s[2], s[7][0]
         bound = jnp.logical_and(i < max_new - 1, i < start_i + n_steps)
         bound = jnp.logical_and(bound, i < cache_len)  # cache capacity
         if not gen.early_stopping:
@@ -1421,8 +1490,8 @@ def _beam_segment_run(params, cfg, gen, conds, text_tokens, text_lengths, rng,
         return jnp.logical_and(bound, jnp.any(best_possible > best_score))
 
     def body_fn(s):
-        i, codes, beam_scores, kvg, lin, seen, cur, done_best = s
-        x = params["mel_embedding"][cur] + params["mel_pos_embedding"][i + 2]
+        i, codes, beam_scores, kvg, lin, seen, cur, done_best, *lat_s = s
+        x = params["mel_embedding"][cur] + params["mel_pos_embedding"][i + pos_off]
         bias_g = jnp.where(gen_positions < i, 0.0, NEG_INF).astype(jnp.float32)
         # lineage-resolved attention (same machinery as generate_speech_beam):
         # the generated cache is NEVER physically reordered — beam ancestry is
@@ -1442,29 +1511,48 @@ def _beam_segment_run(params, cfg, gen, conds, text_tokens, text_lengths, rng,
         x, kv_news = jax.lax.scan(scan_body, x, (params["gpt"]["blocks"], kvg, kvp))
         kvg2 = _write_beam_cache(kvg, kv_news, i)
         x = layer_norm(x, params["gpt"]["ln_f"]["weight"], params["gpt"]["ln_f"]["bias"])
-        logits = _mel_logits(params, x)
+        # compose this step's write into the lineage BEFORE successor
+        # selection (finishing hypotheses snapshot their full ancestry)
+        lin_c = jax.lax.dynamic_update_slice(lin, own_local[:, None], (0, i))
+        if lat_s:
+            # final_norm'd hidden — the greedy capture convention
+            logits, hnorm = _mel_logits(params, x, return_normed=True)
+            lat = jax.lax.dynamic_update_slice(
+                lat_s[0], hnorm[:, None, :].astype(lat_s[0].dtype), (0, i, 0)
+            )
+        else:
+            logits = _mel_logits(params, x)
         codes, beam_scores, seen, done_best, flat_src, nxt = _beam_step(
             cfg, gen, i + 1, logits, codes, beam_scores, seen, done_best, joint_fn,
             select, rng, b, nb, length_penalty, prefill_len=p_len,
+            lin_c=lin_c if lat_s else None,
         )
         # no cache reorder: position i was just written by each beam's own
-        # physical row; compose that into the lineage, then permute the SMALL
-        # per-position map by the successor choice
-        lin2 = jax.lax.dynamic_update_slice(lin, own_local[:, None], (0, i))[flat_src]
-        return (i + 1, codes, beam_scores, kvg2, lin2, seen, nxt, done_best)
+        # physical row; permute only the SMALL per-position map
+        lin2 = lin_c[flat_src]
+        out = (i + 1, codes, beam_scores, kvg2, lin2, seen, nxt, done_best)
+        return out + (lat,) if lat_s else out
 
     st = jax.lax.while_loop(cond_fn, body_fn, st)
-    return st, (kvp, bias_p)
+    return st, aux
 
 
-def _beam_finalize(codes, beam_scores, done_best, b, nb, max_new, length_penalty, prefill_len):
+def _beam_finalize(codes, beam_scores, done_best, b, nb, max_new, length_penalty, prefill_len, lin_live=None):
     """HF finalize semantics: the live beams join the hypothesis pool
     (normalized by the FULL final length like BeamHypotheses.add) and
     compete with the finished hypotheses — a live beam whose normalized
     score beats every finished one wins, not just when nothing finished.
     Consistent with the early-stop bound: when the bound fired, no live
-    beam can beat the best finished one, so the pick is unchanged there."""
-    best_score, best_codes, best_len = done_best
+    beam can beat the best finished one, so the pick is unchanged there.
+
+    Latent capture (4-tuple done_best + `lin_live` [bb, N], the
+    hypothesis-ordered lineage at loop exit): also returns the WINNING
+    hypothesis's lineage row [b, max_new] for _gather_beam_latents."""
+    if len(done_best) == 4:
+        best_score, best_codes, best_len, best_lin = done_best
+    else:
+        best_score, best_codes, best_len = done_best
+        best_lin = None
     lpv = jnp.asarray(length_penalty, jnp.float32)
     base = jnp.float32(prefill_len + max_new)
     denom = base ** (lpv[:, None] if lpv.ndim == 1 else lpv)
@@ -1475,18 +1563,55 @@ def _beam_finalize(codes, beam_scores, done_best, b, nb, max_new, length_penalty
     pick_live = live_val > best_score
     final_codes = jnp.where(pick_live[:, None], codes[live_flat], best_codes)
     final_len = jnp.where(pick_live, max_new, best_len)
-    return final_codes, final_len
+    if best_lin is None:
+        return final_codes, final_len
+    lv = lin_live[live_flat]
+    if lv.shape[1] < max_new:
+        lv = jnp.pad(lv, ((0, 0), (0, max_new - lv.shape[1])))
+    final_lin = jnp.where(pick_live[:, None], lv, best_lin)
+    return final_codes, final_len, final_lin
 
 
-def _beam_step(cfg, gen, si, logits, codes, beam_scores, seen, done_best, joint_fn, select, rng, b, nb, length_penalty=0.0, prefill_len=0):
+def _gather_beam_latents(lat_phys, h0, win_lin, nb, max_new):
+    """Resolve the PHYSICAL-ROW latent buffer into the winning hypothesis's
+    latents, greedy-capture convention (slot j = latent that predicted code
+    j; slot 0 = the prefill hidden, shared across a row's beams).
+
+    lat_phys [bb, N, D]: slot i holds the final_norm'd hidden computed by
+    physical row r at decode step i (the hidden that wrote cache position i
+    and predicted the code at position i+1). win_lin [b, max_new]: position
+    s of the winner was written by sibling row win_lin[:, s] — the same
+    lineage map attention uses, so latent j (j >= 1) lives at
+    lat_phys[b*nb + win_lin[:, j-1], j-1]. One gather per CALL (the
+    per-step buffer is never reordered — the beam-cache rule)."""
+    b = h0.shape[0]
+    n = lat_phys.shape[1]
+    rows = jnp.arange(b)[:, None] * nb + win_lin[:, :n]  # [b, N]
+    tail = lat_phys[rows, jnp.arange(n)[None, :]]  # [b, N, D]
+    out = jnp.concatenate([h0[:, None, :].astype(tail.dtype), tail], axis=1)
+    return out[:, :max_new]
+
+
+def _beam_step(cfg, gen, si, logits, codes, beam_scores, seen, done_best, joint_fn, select, rng, b, nb, length_penalty=0.0, prefill_len=0, lin_c=None):
     """One beam-successor selection step (shared by ALL beam drivers).
     joint_fn(logits, seen, beam_scores) -> [bb, V] joint scores (HF order,
     _beam_joint_scores); prefill_len: prompt length for the HF
     length-penalty base (BeamHypotheses.add normalizes by the FULL
-    hypothesis length including the prompt, not generated count alone)."""
+    hypothesis length including the prompt, not generated count alone).
+
+    Latent capture (done_best is a 4-tuple ending in best_lin [b, max_new]):
+    `lin_c` [bb, N] is the COMPOSED lineage at this step (the driver's
+    `lin` with position si-1 already set to own_local); when a hypothesis
+    finishes, its lineage row is snapshotted alongside its codes so the
+    winning latents can be gathered at finalize — the selection math is
+    bit-identical with or without capture."""
     bb = b * nb
     v = cfg.number_mel_codes
-    best_score, best_codes, best_len = done_best
+    best_lin = None
+    if len(done_best) == 4:
+        best_score, best_codes, best_len, best_lin = done_best
+    else:
+        best_score, best_codes, best_len = done_best
     cand = joint_fn(logits, seen, beam_scores).reshape(b, nb * v)
     vals, idx = select(cand, rng, si)
     src_beam = idx // v
@@ -1512,6 +1637,11 @@ def _beam_step(cfg, gen, si, logits, codes, beam_scores, seen, done_best, joint_
     best_codes = jnp.where(improve[:, None], fin_codes, best_codes)
     best_len = jnp.where(improve, si + 1, best_len)
     best_score = jnp.where(improve, fbest, best_score)
+    if best_lin is not None:
+        fin_lin = lin_c[flat_fin]
+        if fin_lin.shape[1] < best_lin.shape[1]:  # segmented: cache < max_new
+            fin_lin = jnp.pad(fin_lin, ((0, 0), (0, best_lin.shape[1] - fin_lin.shape[1])))
+        best_lin = jnp.where(improve[:, None], fin_lin, best_lin)
     cont_scores = jnp.where(is_eos, NEG_INF, vals)
     cont_vals, cont_pick = jax.lax.top_k(cont_scores, nb)
     new_beam = jnp.take_along_axis(src_beam, cont_pick, axis=1)
@@ -1519,4 +1649,9 @@ def _beam_step(cfg, gen, si, logits, codes, beam_scores, seen, done_best, joint_
     flat_src = (jnp.arange(b)[:, None] * nb + new_beam).reshape(-1)
     codes = codes[flat_src].at[:, si].set(new_tok.reshape(-1))
     seen = seen[flat_src].at[jnp.arange(bb), new_tok.reshape(-1)].set(True)
-    return codes, cont_vals.reshape(-1), seen, (best_score, best_codes, best_len), flat_src, new_tok.reshape(-1)
+    new_best = (
+        (best_score, best_codes, best_len, best_lin)
+        if best_lin is not None
+        else (best_score, best_codes, best_len)
+    )
+    return codes, cont_vals.reshape(-1), seen, new_best, flat_src, new_tok.reshape(-1)
