@@ -682,6 +682,42 @@ def main():
         except Exception:
             beam3_default_rtf_inv = None
 
+    # beam-3 SERVING decode at the same default config: int8 KV cache +
+    # decode-time latent capture (pos_off=1). Apples-to-apples with
+    # beam3_default above — same segmented lineage driver, but the decode
+    # ALSO emits the winner's latents (_gather_beam_latents), so the
+    # teacher-forced latent stage disappears from the serving pipeline
+    # (late round 3; engine flags quant_kv=True, fast_latents=True).
+    beam3_serving_rtf_inv = None
+    elapsed = time.perf_counter() - (bench_start or 0)
+    if (bench_start is not None and beam3_default_rtf_inv is not None
+            and elapsed < budget_s - margin["beam_default"]):
+        try:
+            _mark("beam serving decode (segmented, capture+quant_kv) start")
+            seg_cache_s = {}
+
+            def pipeline_beam_serving(key):
+                conds = cond_fn(gpt_params, cond_mel, jnp.asarray([COND_FRAMES]))
+                conds_b = jnp.broadcast_to(conds, (BATCH,) + conds.shape[1:])
+                codes, code_lens, lat = generate_speech_beam_segmented(
+                    gpt_params, gpt_cfg, gen_bd, conds_b, text, text_lens, key,
+                    temperature=jnp.float32(1.0), top_p=jnp.float32(0.8),
+                    repetition_penalty=jnp.float32(10.0), jit_cache=seg_cache_s,
+                    quant_kv=True, capture_latents=True, pos_off=1,
+                )
+                return codes, code_lens, lat
+
+            pipeline_beam_serving(jax.random.PRNGKey(50))[0].block_until_ready()  # compile
+            t0 = time.perf_counter()
+            codes_bs, lens_bs, lat_bs = pipeline_beam_serving(jax.random.PRNGKey(51))
+            codes_bs.block_until_ready()
+            lat_bs.block_until_ready()
+            wall_bs = time.perf_counter() - t0
+            audio_bs = int(np.asarray(lens_bs).sum()) * SAMPLES_PER_CODE / SAMPLE_RATE
+            beam3_serving_rtf_inv = round(audio_bs / wall_bs, 2)
+        except Exception:
+            beam3_serving_rtf_inv = None
+
     # end-to-end batch scaling (VERDICT round-2 #7): decode-side B=16/32 won
     # 1.8x/2.6x, but the vocoder scales linearly — report e2e so the serving
     # batch can be chosen on real numbers. Each point needs a fresh compile
@@ -839,6 +875,7 @@ def main():
             "serving_b32_audio_s_per_s": serving_b32_rtf_inv,
             "serving_b64_audio_s_per_s": serving_b64_rtf_inv,
             "beam3_default_audio_s_per_s": beam3_default_rtf_inv,
+            "beam3_serving_decode_audio_s_per_s": beam3_serving_rtf_inv,
             "b16_audio_s_per_s": b16,
             "b32_audio_s_per_s": b32,
             "compile_s": round(compile_s, 1),
