@@ -145,6 +145,72 @@ class TestPerRequestParams:
             )
 
 
+class TestInferBatchServingMode:
+    """infer_batch on the production serving engine (fast_latents latent
+    capture + int8 quant_kv cache): batched serving must still match the
+    solo path, and the decode-captured latents must eliminate the
+    teacher-forced pass for unmodified codes (engine.infer_batch's
+    cap_lat branch) — across greedy AND beam batches."""
+
+    @pytest.fixture(scope="class")
+    def fast_engine(self, tmp_path_factory):
+        from indextts_tpu.config import save_config
+        from indextts_tpu.engine import IndexTTS
+        from tests.test_engine import tiny_config
+
+        d = tmp_path_factory.mktemp("ckpt_batch_serving")
+        cfg_path = str(d / "config.yaml")
+        save_config(tiny_config(), cfg_path)
+        return IndexTTS(cfg_path=cfg_path, model_dir=str(d), is_fp16=False,
+                        allow_random_init=True, fast_latents=True, quant_kv=True)
+
+    def test_matches_solo_infer(self, fast_engine):
+        """Captured-latent rows are sliced per batch row (cap_lat[i:i+1]);
+        batched output must equal the solo fast-path output per request."""
+        mel_a, mel_b = _prompt(fast_engine, 20), _prompt(fast_engine, 21)
+        text_a, text_b = "HI THERE.", "HELLO WORLD AGAIN."
+        solo = [
+            fast_engine.infer(mel_a, text_a, None, **GREEDY),
+            fast_engine.infer(mel_b, text_b, None, **GREEDY),
+        ]
+        batched = fast_engine.infer_batch([(mel_a, text_a), (mel_b, text_b)], **GREEDY)
+        for (sr_s, wav_s), (sr_b, wav_b) in zip(solo, batched):
+            assert sr_s == sr_b == 24000
+            assert wav_s.shape == wav_b.shape
+            np.testing.assert_allclose(
+                wav_s.astype(np.float32), wav_b.astype(np.float32), atol=2.0
+            )
+
+    def test_skips_teacher_forced_pass(self, fast_engine, monkeypatch):
+        """Clean greedy codes: every row's latents come from the decode
+        capture; neither _gpt_latent nor _gpt_latent_many may run."""
+        calls = []
+        monkeypatch.setattr(fast_engine, "_gpt_latent",
+                            lambda *a, **k: calls.append("solo"))
+        monkeypatch.setattr(fast_engine, "_gpt_latent_many",
+                            lambda *a, **k: calls.append("many"))
+        mel = _prompt(fast_engine, 22)
+        out = fast_engine.infer_batch([(mel, "HI."), (mel, "HELLO WORLD.")], **GREEDY)
+        assert len(out) == 2 and all(w.shape[1] > 0 for _, w in out)
+        assert calls == []
+
+    def test_beam_batch_skips_pass(self, fast_engine, monkeypatch):
+        """Beam batches capture too (winner's latents lineage-gathered at
+        finalize): the teacher-forced pass stays skipped for num_beams>1."""
+        calls = []
+        monkeypatch.setattr(fast_engine, "_gpt_latent",
+                            lambda *a, **k: calls.append("solo"))
+        monkeypatch.setattr(fast_engine, "_gpt_latent_many",
+                            lambda *a, **k: calls.append("many"))
+        mel = _prompt(fast_engine, 23)
+        out = fast_engine.infer_batch(
+            [(mel, "HI."), (mel, "YO.")],
+            do_sample=False, num_beams=2, max_mel_tokens=8, repetition_penalty=1.0,
+        )
+        assert len(out) == 2 and all(np.isfinite(w).all() for _, w in out)
+        assert calls == []
+
+
 class TestBatchedHelpers:
     """Direct parity pins for the cross-row batching helpers.
 
