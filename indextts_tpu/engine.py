@@ -367,13 +367,82 @@ class IndexTTS:
         conds = self._cond_cache[key](
             self.gpt_params, jnp.asarray(mel, self.dtype), jnp.asarray([frames])
         )
-        # bounded FIFO: long-running servers see unbounded distinct prompts;
-        # each entry holds device-resident latents
+        self._store_condval(digest, conds)
+        return conds
+
+    def _store_condval(self, digest: str, conds: jnp.ndarray) -> None:
+        """Value-cache conditioning latents under a bounded FIFO: long-running
+        servers see unbounded distinct prompts, and each entry holds
+        device-resident latents."""
         val_keys = [k for k in self._cond_cache if k[0] == "condval"]
         if len(val_keys) >= 16:
             del self._cond_cache[val_keys[0]]
-        self._cond_cache[vkey] = conds
-        return conds
+        self._cond_cache[("condval", digest)] = conds
+
+    def _conds_for_many(self, prompt_mels: List[np.ndarray]) -> List[jnp.ndarray]:
+        """Conditioning latents for several [1, 100, frames] prompts with ONE
+        batched device call per frame bucket (cache misses only; hits come
+        from the per-prompt value cache shared with _conds_for).
+
+        infer_batch serves N distinct voices; computing each prompt's latents
+        separately pays the ~32 ms fixed dispatch overhead N times plus N
+        batch-1 conformer launches (docs/PERF.md timing methodology).
+        Batching rows amortizes both. Misses are grouped by the SAME
+        per-prompt frame bucket _conds_for uses — the conformer conv module
+        is deliberately not pad-invariant (matching the reference,
+        conformer_encoder.py:133-165; see tests/test_conditioning.py), so
+        padding a prompt to a larger shared bucket would change its latents
+        vs the solo path. Batch rows pad to a power of two to bound compile
+        count. Reference analog: none (its cache_cond_mel covers only one
+        repeated prompt, infer.py:96-108)."""
+        import hashlib
+
+        digests = [
+            hashlib.sha1(np.ascontiguousarray(m)).hexdigest() for m in prompt_mels
+        ]
+        out: Dict[str, jnp.ndarray] = {}
+        groups: Dict[int, List[Tuple[str, int]]] = {}
+        seen = set()
+        for i, d in enumerate(digests):
+            if d in seen:
+                continue
+            seen.add(d)
+            cached = self._cond_cache.get(("condval", d))
+            if cached is not None:
+                out[d] = cached
+                continue
+            bucket = max(_round_up(prompt_mels[i].shape[-1], 100), 100)
+            groups.setdefault(bucket, []).append((d, i))
+        for bucket, entries in groups.items():
+            if len(entries) == 1:
+                d, i = entries[0]
+                out[d] = self._conds_for(prompt_mels[i])
+                continue
+            nb = 1 << (len(entries) - 1).bit_length()
+            n_mels = prompt_mels[entries[0][1]].shape[1]
+            mel = np.zeros((nb, bucket, n_mels), np.float32)
+            lens = np.ones((nb,), np.int32)
+            for r, (d, i) in enumerate(entries):
+                f = prompt_mels[i].shape[-1]
+                mel[r, :f] = prompt_mels[i][0].T
+                lens[r] = f
+            key = ("cond", bucket)
+            if key not in self._cond_cache:
+                cfg = self.cfg.gpt
+
+                @jax.jit
+                def cond_fn(params, mel, lens):
+                    return get_conditioning(params, cfg, mel, lens)
+
+                self._cond_cache[key] = cond_fn
+            conds = self._cond_cache[key](
+                self.gpt_params, jnp.asarray(mel, self.dtype), jnp.asarray(lens)
+            )
+            for r, (d, i) in enumerate(entries):
+                row = conds[r : r + 1]
+                out[d] = row
+                self._store_condval(d, row)
+        return [out[d] for d in digests]
 
     def _decode_fn(self, b: int, l: int, gen: GenerationConfig, capture: bool = False):
         key = ("dec", b, l, gen, capture, self.quant_kv)
@@ -1324,12 +1393,13 @@ class IndexTTS:
                 return base_dyn[name]
             return float((per_request_kwargs[r] or {}).get(name, base_dyn[name]))
 
-        # per-request frontend + conditioning (value-cached per prompt)
-        req_mels, req_conds, flat_sents, flat_req = [], [], [], []
+        # per-request frontend + conditioning (value-cached per prompt; all
+        # cache-miss prompts of one frame bucket share a single batched
+        # conditioning dispatch — _conds_for_many)
+        req_mels = [self._resolve_prompt(prompt) for prompt, _ in items]
+        req_conds = self._conds_for_many(req_mels)
+        flat_sents, flat_req = [], []
         for r, (prompt, text) in enumerate(items):
-            mel = self._resolve_prompt(prompt)
-            req_mels.append(mel)
-            req_conds.append(self._conds_for(mel))
             sents = self.tokenizer.split_sentences(
                 self.tokenizer.tokenize(text), max_text_tokens_per_sentence
             )

@@ -242,6 +242,42 @@ class TestBatchedHelpers:
                 rtol=2e-5, atol=2e-5,
             )
 
+    def test_conds_for_many_matches_solo(self, engine):
+        """Batched conditioning == solo _conds_for per prompt. Misses are
+        grouped by the SAME per-prompt frame bucket the solo path pads to
+        (the conformer conv module is deliberately not pad-invariant,
+        matching the reference conformer_encoder.py:133-165 — see
+        tests/test_conditioning.py — so a larger shared bucket would change
+        latents); a bucket with one miss falls back to the solo path."""
+        # frames 40 and 46 share bucket 100 (batched pair); 140 -> bucket 200
+        mels = [
+            _prompt(engine, 60, frames=40),
+            _prompt(engine, 61, frames=46),
+            _prompt(engine, 62, frames=140),
+        ]
+        solo = [np.asarray(engine._conds_for(m), np.float32) for m in mels]
+        for k in [k for k in engine._cond_cache if k[0] == "condval"]:
+            del engine._cond_cache[k]
+        many = engine._conds_for_many(mels)
+        for s, m in zip(solo, many):
+            assert m.shape == s.shape
+            np.testing.assert_allclose(np.asarray(m, np.float32), s,
+                                       rtol=2e-5, atol=2e-5)
+
+    def test_conds_for_many_dedup_and_cache(self, engine):
+        """Duplicate prompts compute once; value-cache hits are returned
+        as-is (no device call) and misses land in the shared cache."""
+        for k in [k for k in engine._cond_cache if k[0] == "condval"]:
+            del engine._cond_cache[k]
+        a, b = _prompt(engine, 63), _prompt(engine, 64, frames=46)
+        pre = engine._conds_for(a)  # warm the value cache for `a`
+        out = engine._conds_for_many([a, b, a])
+        assert out[0] is pre and out[2] is pre
+        assert out[1].shape == pre.shape
+        # b's latents were stored: a second call is all cache hits
+        again = engine._conds_for_many([b])
+        assert again[0] is out[1]
+
     def test_vocode_many_matches_per_chunk(self, engine):
         """Chunks with differing latent lengths and prompt frame counts;
         expected = per-chunk _vocode + the host-side int16 WAV cast."""
