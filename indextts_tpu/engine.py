@@ -373,9 +373,15 @@ class IndexTTS:
     def _store_condval(self, digest: str, conds: jnp.ndarray) -> None:
         """Value-cache conditioning latents under a bounded FIFO: long-running
         servers see unbounded distinct prompts, and each entry holds
-        device-resident latents."""
+        device-resident latents. One entry is [1, 32, D] bf16 (~80 KB at
+        flagship scale) so 128 entries cost ~10 MB HBM — sized to hold a
+        multi-tenant voice set (a 16-entry bound evicted half of 32 live
+        voices every infer_batch, forcing a recompute each call;
+        tools/profile_engine_e2e.py E2E_DISTINCT_PROMPTS). The melref cache
+        (_mel_ref_for) keeps its smaller bound: entries there are [b, fb,
+        100] full mels, ~2 MB each."""
         val_keys = [k for k in self._cond_cache if k[0] == "condval"]
-        if len(val_keys) >= 16:
+        if len(val_keys) >= 128:
             del self._cond_cache[val_keys[0]]
         self._cond_cache[("condval", digest)] = conds
 
@@ -1398,6 +1404,7 @@ class IndexTTS:
         # conditioning dispatch — _conds_for_many)
         req_mels = [self._resolve_prompt(prompt) for prompt, _ in items]
         req_conds = self._conds_for_many(req_mels)
+        t_cond = time.perf_counter()
         flat_sents, flat_req = [], []
         for r, (prompt, text) in enumerate(items):
             sents = self.tokenizer.split_sentences(
@@ -1471,10 +1478,12 @@ class IndexTTS:
                         (it["idx"], req_conds[flat_req[it["idx"]]], item_tokens[i], codes, code_lens)
                     )
 
+        t_decode = time.perf_counter()
         if pending_latents:
             lats = self._gpt_latent_many([(c, t, cd, cl) for _, c, t, cd, cl in pending_latents])
             for (gidx, _c, _t, cd, cl), lat in zip(pending_latents, lats):
                 row_latents[gidx] = (lat, int(np.asarray(cl).reshape(-1)[0]))
+        t_latent = time.perf_counter()
 
         # vocode + assemble per request (rows back in sentence order; latent
         # chunks concatenated time-wise against the request's own prompt).
@@ -1499,6 +1508,7 @@ class IndexTTS:
                 chunk_list.append((latent, n_valid, req_mels[r]))
                 chunk_req.append(r)
         chunk_wavs = self._vocode_many(chunk_list)  # int16, already scaled+clipped
+        t_vocode = time.perf_counter()
         audio_s = 0.0
         for r in range(len(items)):
             wavs = [w for w, cr in zip(chunk_wavs, chunk_req) if cr == r]
@@ -1510,6 +1520,15 @@ class IndexTTS:
         total = time.perf_counter() - start_time
         print(f">> Batched inference: {len(items)} requests, {len(flat_sents)} rows, "
               f"{total:.2f}s total" + (f", RTF: {total / audio_s:.4f}" if audio_s else ""))
+        if verbose:
+            t_end = time.perf_counter()
+            print(
+                f">> stage wall: cond {t_cond - start_time:.2f}s, "
+                f"frontend+decode(+silence scan) {t_decode - t_cond:.2f}s, "
+                f"latent {t_latent - t_decode:.2f}s, "
+                f"vocode {t_vocode - t_latent:.2f}s, "
+                f"emit {t_end - t_vocode:.2f}s"
+            )
         return results
 
     def _emit(self, wav: np.ndarray, output_path: Optional[str], sampling_rate: int):

@@ -11,7 +11,11 @@ same-day headline/extras to see the engine-layer overhead.
 
 Run: timeout 580 python tools/profile_engine_e2e.py
 Knobs: E2E_REQS (default "1,8,32"), E2E_MODES ("exact,serving"),
-E2E_MAX_MEL (default 220), E2E_ITERS (default 2 timed, after 1 warmup).
+E2E_MAX_MEL (default 220), E2E_ITERS (default 2 timed, after 1 warmup),
+E2E_DISTINCT_PROMPTS=1 (each request brings its OWN reference voice — the
+multi-tenant serving case: conditioning misses the per-prompt value cache
+and rides the batched _conds_for_many dispatch; with the default shared
+prompt, conditioning is cached after warmup and contributes ~nothing).
 """
 
 import os
@@ -48,6 +52,12 @@ def main():
 
     npr = np.random.default_rng(0)
     prompt_mel = npr.standard_normal((1, 100, 300)).astype(np.float32)
+    distinct = os.environ.get("E2E_DISTINCT_PROMPTS", "") == "1"
+    prompts = (
+        [npr.standard_normal((1, 100, 300)).astype(np.float32) for _ in range(max(reqs))]
+        if distinct
+        else None
+    )
 
     kwargs = dict(do_sample=True, top_k=30, max_mel_tokens=max_mel,
                   temperature=1.0, top_p=0.8, repetition_penalty=10.0)
@@ -59,13 +69,17 @@ def main():
                        quant_kv=serving, fast_latents=serving)
 
         def run(n):
-            items = [(prompt_mel, TEXTS[i % len(TEXTS)]) for i in range(n)]
+            items = [
+                (prompts[i] if distinct else prompt_mel, TEXTS[i % len(TEXTS)])
+                for i in range(n)
+            ]
             if n == 1:
-                sr, wav = eng.infer(prompt_mel, TEXTS[0], None, verbose=False, **kwargs)
+                sr, wav = eng.infer(items[0][0], TEXTS[0], None, verbose=False, **kwargs)
                 return wav.size / sr  # int16 mono; robust to [1, S] vs [S, 1]
             outs = eng.infer_batch(
                 items,
                 sentences_bucket_max_size=int(os.environ.get("E2E_BUCKET", 8)),
+                verbose=os.environ.get("E2E_STAGES", "") == "1",
                 **kwargs,
             )
             return sum(w.size / sr for sr, w in outs)
