@@ -1531,6 +1531,35 @@ class IndexTTS:
             )
         return results
 
+    def slot_session(self, n_slots: int = 8, **kwargs):
+        """Open a continuous-batching SlotSession (rolling admission): a
+        persistent decode batch where finished rows are refilled with new
+        requests WHILE others keep decoding — the latency-oriented serving
+        mode (no head-of-line blocking behind a running batch, unlike the
+        gather-window infer_batch). num_beams is fixed at 1. See
+        indextts_tpu/serving.py and docs/SERVING.md."""
+        from indextts_tpu.serving import SlotSession
+
+        return SlotSession(self, n_slots=n_slots, **kwargs)
+
+    def infer_slots(self, items, output_paths=None, n_slots: int = 8,
+                    per_request_kwargs=None, **generation_kwargs):
+        """Batch convenience over slot_session: submit every (prompt, text)
+        request, drain, return results in input order (same contract as
+        infer_batch; greedy output == per-request infer,
+        tests/test_slot_session.py)."""
+        if output_paths is not None and len(output_paths) != len(items):
+            raise ValueError("output_paths must match items length")
+        sess = self.slot_session(n_slots=n_slots, **generation_kwargs)
+        rids = []
+        for r, (prompt, text) in enumerate(items):
+            over = (per_request_kwargs[r] or {}) if per_request_kwargs else {}
+            rids.append(sess.submit(
+                prompt, text,
+                output_path=output_paths[r] if output_paths else None, **over))
+        done = sess.drain()
+        return [done[rid] for rid in rids]
+
     def _emit(self, wav: np.ndarray, output_path: Optional[str], sampling_rate: int):
         if output_path:
             if os.path.isfile(output_path):

@@ -73,14 +73,24 @@ def create_download_filename(text: str, voice_name: Optional[str] = None) -> str
 
 
 def create_app(engine=None, base_dir: Optional[str] = None,
-               batch_requests: int = 1, batch_window_s: float = 0.08) -> App:
+               batch_requests: int = 1, batch_window_s: float = 0.08,
+               slot_requests: int = 0) -> App:
     """batch_requests > 1 enables continuous batching: concurrent
     /api/synthesize tasks with identical generation parameters are merged
     into one engine.infer_batch call (up to batch_requests requests,
     collected over a batch_window_s gather window), so concurrent users
     share decode batches instead of queueing at batch 1. The reference
     serializes whole requests (webui.py:232); output parity of the merged
-    path is pinned by tests/test_infer_batch.py."""
+    path is pinned by tests/test_infer_batch.py.
+
+    slot_requests > 0 enables ROLLING-admission continuous batching instead
+    (mutually exclusive with batch_requests): a persistent slot_requests-row
+    SlotSession where a new request joins the live decode at the next chunk
+    boundary rather than waiting for the running batch — no head-of-line
+    blocking (indextts_tpu/serving.py). num_beams must be 1 for the slot
+    path; beam requests fall back to the solo worker. Sessions are keyed by
+    static generation knobs (bounded at 2 — each holds a device-resident
+    circular KV cache); per-request dynamic knobs merge per-row."""
     base_dir = base_dir or os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..")
     base_dir = os.path.abspath(base_dir)
     static_dir = os.path.join(base_dir, "static")
@@ -92,6 +102,9 @@ def create_app(engine=None, base_dir: Optional[str] = None,
     for d in (output_dir, temp_dir, rulesets_dir, voices_dir):
         os.makedirs(d, exist_ok=True)
 
+    if batch_requests > 1 and slot_requests > 0:
+        raise ValueError("batch_requests and slot_requests are mutually "
+                         "exclusive continuous-batching modes")
     app = App(static_dir=static_dir)
     tasks_status: Dict[str, Dict[str, Any]] = {}
     tasks_lock = threading.Lock()
@@ -374,6 +387,93 @@ def create_app(engine=None, base_dir: Optional[str] = None,
     if batch_requests > 1:
         threading.Thread(target=batch_dispatcher, daemon=True).start()
 
+    def _solo_fallback(j):
+        threading.Thread(
+            target=synthesis_worker,
+            args=(j["task_id"], j["text"], j["prompt_mel"], j["output"],
+                  j["infer_mode"], j["max_tokens"], j["verbose"], j["kwargs"]),
+            daemon=True,
+        ).start()
+
+    def slot_dispatcher():
+        """Rolling-admission loop: drain queued jobs into per-signature
+        SlotSessions, run one decode chunk per busy session, publish
+        completions. Sessions never block each other's admission; a job the
+        slot path cannot serve (beams, a third distinct static signature)
+        falls back to the solo worker so it is never silently dropped."""
+        sessions: Dict[Any, Any] = {}
+        live: Dict[Any, Dict[str, Any]] = {}  # (sig, rid) -> job
+
+        def _sig(job):
+            return (str(job["max_tokens"]),
+                    tuple(sorted((k, v) for k, v in job["kwargs"].items()
+                                 if k not in _DYN)))
+
+        while True:
+            with batch_cond:
+                if not batch_pending and not any(s.busy for s in sessions.values()):
+                    batch_cond.wait()
+                take = list(batch_pending)
+                batch_pending.clear()
+            for j in take:
+                try:
+                    if int(j["kwargs"].get("num_beams", 3)) != 1:
+                        _solo_fallback(j)  # beams aren't slot-decodable
+                        continue
+                    sig = _sig(j)
+                    sess = sessions.get(sig)
+                    if sess is None:
+                        if len(sessions) >= 2:
+                            _solo_fallback(j)
+                            continue
+                        static_kwargs = {k: v for k, v in j["kwargs"].items()
+                                         if k not in _DYN}
+                        with worker_lock:
+                            sess = sessions[sig] = engine.slot_session(
+                                n_slots=slot_requests,
+                                max_text_tokens_per_sentence=int(j["max_tokens"]),
+                                **static_kwargs)
+                    dyn = {k: v for k, v in j["kwargs"].items() if k in _DYN}
+                    rid = sess.submit(j["prompt_mel"], j["text"],
+                                      output_path=j["output"], **dyn)
+                    live[(sig, rid)] = j
+                    _update_status(j["task_id"],
+                                   {"status": "processing", "progress": 5,
+                                    "message": "decoding (slot batch)..."})
+                except Exception as e:
+                    traceback.print_exc()
+                    _update_status(j["task_id"],
+                                   {"status": "failed",
+                                    "message": f"synthesis failed: {e}",
+                                    "finished_at": time.time()})
+            for sig, sess in list(sessions.items()):
+                if not sess.busy:
+                    continue
+                try:
+                    with worker_lock:
+                        done = sess.tick()
+                except Exception as e:
+                    # a poisoned session would fail every future tick: fail
+                    # its live jobs loudly and drop it (next job rebuilds)
+                    traceback.print_exc()
+                    for key, j in list(live.items()):
+                        if key[0] == sig:
+                            _update_status(j["task_id"],
+                                           {"status": "failed",
+                                            "message": f"synthesis failed: {e}",
+                                            "finished_at": time.time()})
+                            live.pop(key)
+                    sessions.pop(sig)
+                    continue
+                for rid, _res in done:
+                    j = live.pop((sig, rid), None)
+                    if j is not None:
+                        _update_status(j["task_id"],
+                                       _completed_fields(j["text"], j["output"]))
+
+    if slot_requests > 0:
+        threading.Thread(target=slot_dispatcher, daemon=True).start()
+
     @app.route("/api/synthesize", methods=["POST"])
     def synthesize(req: Request):
         if engine is None:
@@ -515,7 +615,7 @@ def create_app(engine=None, base_dir: Optional[str] = None,
                     tasks_status[task_id]["is_from_new_upload"] = True
                     tasks_status[task_id]["source_reference_identifier_for_save"] = source_identifier_for_save
 
-            if batch_requests > 1:
+            if batch_requests > 1 or slot_requests > 0:
                 job = {"task_id": task_id, "text": text_input, "prompt_mel": prompt_mel,
                        "output": output_filename, "infer_mode": infer_mode,
                        "max_tokens": max_tokens, "verbose": verbose_tts,
@@ -749,6 +849,13 @@ def main(argv=None):
         "synthesis requests into one batched decode (1 = serialize, the "
         "reference behavior; 4-8 recommended for busy serving)",
     )
+    parser.add_argument(
+        "--slot-batching", type=int, default=0,
+        help="ROLLING-admission continuous batching with N decode slots "
+        "(mutually exclusive with --batch-requests): new requests join the "
+        "live decode at the next chunk instead of waiting for the running "
+        "batch; num_beams=1 requests only (beams fall back to solo)",
+    )
     args = parser.parse_args(argv)
 
     engine = None
@@ -765,7 +872,8 @@ def main(argv=None):
         print(f"ERROR: Failed to initialize IndexTTS engine: {e}")
         traceback.print_exc()
 
-    app = create_app(engine, batch_requests=args.batch_requests)
+    app = create_app(engine, batch_requests=args.batch_requests,
+                     slot_requests=args.slot_batching)
     if engine is None:
         print("\nFATAL: TTS Engine could not be initialized; serving API errors only.")
     app.run(args.host, args.port)

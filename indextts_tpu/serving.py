@@ -1,0 +1,286 @@
+"""SlotSession: continuous-batching serving loop over models/gpt_slots.
+
+No reference analog (the reference serializes whole requests through one
+web worker, webui.py:232). This is the LATENCY-ORIENTED serving mode: a
+persistent decode batch with rolling admission — a request submitted while
+others are mid-decode starts on the next chunk boundary (~chunk_steps *
+step-cost, default tens of ms) instead of waiting for the running batch to
+finish (engine.infer_batch, the THROUGHPUT mode, keeps the gather-window
+semantics; see docs/SERVING.md for when to use which).
+
+The trade slots pay for admission latency: the circular KV cache is sized
+for the worst row (p_max + max_new), so every step streams the full
+static-shape cache — a solo/batch decode with a segment-grown cache
+(gpt_decode.generate_speech_segmented) reads less on young sequences.
+quant_kv halves that read; measured numbers in docs/SERVING.md.
+
+Greedy outputs equal engine.infer per request (tests/test_slot_session.py;
+the row-wise contract is pinned at the model level in tests/test_slots.py).
+Static generation knobs are fixed per session (one compiled step graph);
+per-request dynamic knobs ride per-row traced columns exactly like
+infer_batch's BATCH_DYNAMIC_PARAMS.
+"""
+
+import time
+import warnings
+from collections import deque
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from indextts_tpu.models.gpt_slots import (
+    slot_admit,
+    slot_lengths,
+    slot_prefill,
+    slot_state_init,
+    slot_steps,
+)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class SlotSession:
+    """One live slot-decoding session bound to an IndexTTS engine.
+
+    submit() enqueues a request (its text may split into several sentence
+    rows); tick() admits pending rows into free slots, runs one decode
+    chunk, harvests finished rows, and returns any requests completed this
+    tick as (request_id, result) pairs — result matching engine.infer's
+    return shape ((sr, wav int16 [S, 1]) or the written output path).
+    drain() ticks until everything submitted has completed."""
+
+    def __init__(
+        self,
+        engine,
+        n_slots: int = 8,
+        chunk_steps: int = 25,
+        max_text_tokens_per_sentence: int = 120,
+        seed: int = 0,
+        verbose: bool = False,
+        **generation_kwargs,
+    ):
+        if generation_kwargs.get("num_beams", 1) not in (None, 1):
+            raise ValueError("slot mode decodes with num_beams=1 "
+                             "(use infer/infer_batch for beam search)")
+        gen, base_dyn, self.max_mel_tokens = engine._parse_generation_kwargs(
+            generation_kwargs, force_num_beams=1
+        )
+        self.engine = engine
+        self.gen = gen
+        self.base_dyn = base_dyn
+        self.n_slots = n_slots
+        self.chunk_steps = chunk_steps
+        self.verbose = verbose
+        self.max_split = engine._clamp_split_len(max_text_tokens_per_sentence)
+        self.pos_off = 1 if engine.fast_latents else 2
+        cfg = engine.cfg.gpt
+        # worst prefill: cond latents + the largest text bucket + start/stop
+        # text tokens + start_mel (prepare_gpt_inputs)
+        l_max = min(_round_up(self.max_split, 8), cfg.max_text_tokens)
+        p_max = cfg.condition_num_latent + l_max + 3
+        self.cache_len = _round_up(p_max + gen.max_new_tokens, 64)
+        self.state = slot_state_init(
+            cfg, gen, n_slots, self.cache_len, engine.dtype,
+            capture_latents=engine.fast_latents, quant_kv=engine.quant_kv,
+        )
+        self.rng = jax.random.PRNGKey(seed)
+        # jitted entry points; the big state is donated so the circular
+        # cache updates in place instead of double-buffering
+        self._steps_fn = jax.jit(
+            partial(slot_steps, cfg=cfg, gen=gen, n_steps=chunk_steps,
+                    pos_off=self.pos_off),
+            static_argnames=(), donate_argnames=("state",),
+        )
+        self._admit_fn = jax.jit(
+            partial(slot_admit, cfg=cfg), donate_argnames=("state",),
+        )
+        self._prefill_fn = jax.jit(partial(
+            slot_prefill, cfg=cfg, gen=gen,
+            capture_latents=engine.fast_latents, quant_kv=engine.quant_kv,
+        ))
+        # per-row dynamic sampling columns (host copies, uploaded per chunk)
+        self.dyn_cols = {
+            name: np.full((n_slots,), float(base_dyn[name]), np.float32)
+            for name in engine.BATCH_DYNAMIC_PARAMS
+        }
+        self.pending: deque = deque()
+        self.slots: List[Optional[Dict[str, Any]]] = [None] * n_slots
+        self.requests: Dict[int, Dict[str, Any]] = {}
+        self._next_rid = 0
+        self._warned_max = False
+
+    # ------------------------------------------------------------------
+
+    def submit(self, prompt, text: str, output_path: Optional[str] = None,
+               **per_request_kwargs) -> int:
+        """Enqueue one request. Returns its id; the result arrives from a
+        later tick()/drain(). per_request_kwargs: BATCH_DYNAMIC_PARAMS only
+        (same contract as infer_batch's per_request_kwargs)."""
+        eng = self.engine
+        bad = set(per_request_kwargs) - set(eng.BATCH_DYNAMIC_PARAMS)
+        if bad:
+            raise ValueError(
+                f"per-request overrides are allowed only for "
+                f"{eng.BATCH_DYNAMIC_PARAMS}; got {sorted(bad)}"
+            )
+        mel = eng._resolve_prompt(prompt)
+        conds = eng._conds_for(mel)
+        sents = eng.tokenizer.split_sentences(
+            eng.tokenizer.tokenize(text), self.max_split
+        )
+        if not sents:
+            raise ValueError("text is empty (nothing to synthesize)")
+        rid = self._next_rid
+        self._next_rid += 1
+        dyn = {k: float(per_request_kwargs.get(k, self.base_dyn[k]))
+               for k in eng.BATCH_DYNAMIC_PARAMS}
+        self.requests[rid] = {
+            "mel": mel, "n_rows": len(sents), "rows": {},
+            "output_path": output_path, "submitted": time.perf_counter(),
+        }
+        for j, sent in enumerate(sents):
+            tokens = np.asarray(
+                eng.tokenizer.convert_tokens_to_ids(sent), np.int32)[None, :]
+            self.pending.append(
+                {"rid": rid, "row": j, "tokens": tokens, "conds": conds, "dyn": dyn}
+            )
+        return rid
+
+    # ------------------------------------------------------------------
+
+    def _admit_one(self, row: Dict[str, Any], slot: int) -> None:
+        eng = self.engine
+        cfg = eng.cfg.gpt
+        t = row["tokens"]
+        l = min(max(_round_up(t.shape[1], 8), 8), max(cfg.max_text_tokens, t.shape[1]))
+        padded = np.full((1, l), cfg.stop_text_token, np.int32)
+        padded[:, : t.shape[1]] = t
+        self.rng, sub = jax.random.split(self.rng)
+        prod = self._prefill_fn(
+            params=eng.gpt_params, conds=row["conds"].astype(eng.dtype),
+            text_tokens=jnp.asarray(padded),
+            text_lengths=jnp.asarray([t.shape[1]]), rng=sub,
+            temperature=jnp.float32(row["dyn"]["temperature"]),
+            top_p=jnp.float32(row["dyn"]["top_p"]),
+            repetition_penalty=jnp.float32(row["dyn"]["repetition_penalty"]),
+            typical_mass=jnp.float32(row["dyn"]["typical_mass"]),
+        )
+        self.state = self._admit_fn(self.state, prod, slot)
+        for k, col in self.dyn_cols.items():
+            col[slot] = row["dyn"][k]
+        self.slots[slot] = row
+
+    def _harvest(self) -> List[Tuple[int, Any]]:
+        """Read finished rows off the device, resolve their latents
+        (captured or a batched teacher-forced pass), vocode every request
+        completed this tick in one batched call, and return the results."""
+        eng = self.engine
+        occupied = [i for i, r in enumerate(self.slots) if r is not None]
+        if not occupied:
+            return []
+        done = np.asarray(self.state.done)
+        fin = [i for i in occupied if done[i]]
+        if not fin:
+            return []
+        codes_all = np.asarray(self.state.codes)
+        lens_all = np.asarray(slot_lengths(self.state.codes, eng.stop_mel_token))
+        pending_tf = []  # (slot, row, codes, code_lens) for teacher-forced
+        for slot in fin:
+            row = self.slots[slot]
+            n = max(int(lens_all[slot]), 1)
+            if (not self._warned_max and n >= self.gen.max_new_tokens
+                    and codes_all[slot, -1] != eng.stop_mel_token):
+                warnings.warn(
+                    "WARN: generation stopped due to exceeding `max_mel_tokens` "
+                    f"({self.max_mel_tokens}).", category=RuntimeWarning)
+                self._warned_max = True
+            code_row = codes_all[slot : slot + 1, :n]
+            codes, code_lens = eng.remove_long_silence(
+                code_row, silent_token=52, max_consecutive=30
+            )
+            if (self.state.lat is not None
+                    and np.array_equal(codes, code_row[:, : codes.shape[1]])):
+                latent = self.state.lat[slot][None, : codes.shape[1]]
+                self.requests[row["rid"]]["rows"][row["row"]] = (
+                    latent, int(code_lens[0]))
+            else:
+                pending_tf.append((slot, row, codes, code_lens))
+            self.slots[slot] = None  # slot free; device flags reset on admit
+        if pending_tf:
+            lats = eng._gpt_latent_many(
+                [(row["conds"], row["tokens"], cd, cl)
+                 for _s, row, cd, cl in pending_tf]
+            )
+            for (_s, row, cd, cl), lat in zip(pending_tf, lats):
+                self.requests[row["rid"]]["rows"][row["row"]] = (
+                    lat, int(np.asarray(cl).reshape(-1)[0]))
+        # assemble + vocode every request completed this tick (one batched
+        # vocoder pass across requests — engine._vocode_many)
+        completed = [
+            rid for rid, req in self.requests.items()
+            if len(req["rows"]) == req["n_rows"]
+        ]
+        results: List[Tuple[int, Any]] = []
+        if completed:
+            chunk_list, chunk_rid = [], []
+            for rid in completed:
+                req = self.requests[rid]
+                rows = [req["rows"][j] for j in range(req["n_rows"])]
+                for k in range(0, len(rows), 2):  # chunk_size=2, as infer_batch
+                    part = rows[k : k + 2]
+                    latent = jnp.concatenate([l for l, _ in part], axis=1)
+                    chunk_list.append((latent, sum(nv for _, nv in part), req["mel"]))
+                    chunk_rid.append(rid)
+            wavs = eng._vocode_many(chunk_list)
+            for rid in completed:
+                req = self.requests.pop(rid)
+                wav = np.concatenate(
+                    [w for w, r in zip(wavs, chunk_rid) if r == rid], axis=1)
+                results.append(
+                    (rid, eng._emit(wav, req["output_path"], 24000)))
+                if self.verbose:
+                    print(f">> slot request {rid} done in "
+                          f"{time.perf_counter() - req['submitted']:.2f}s "
+                          f"({wav.shape[-1] / 24000:.2f}s audio)")
+        return results
+
+    # ------------------------------------------------------------------
+
+    def tick(self) -> List[Tuple[int, Any]]:
+        """One scheduler cycle: admit pending rows into free slots, run one
+        decode chunk, harvest. Returns requests completed this tick."""
+        free = [i for i, r in enumerate(self.slots) if r is None]
+        while free and self.pending:
+            self._admit_one(self.pending.popleft(), free.pop(0))
+        if any(r is not None for r in self.slots):
+            cols = {k: jnp.asarray(v) for k, v in self.dyn_cols.items()}
+            self.rng, sub = jax.random.split(self.rng)
+            self.state = self._steps_fn(
+                params=self.engine.gpt_params, state=self.state, rng=sub,
+                temperature=cols["temperature"], top_p=cols["top_p"],
+                repetition_penalty=cols["repetition_penalty"],
+                typical_mass=cols["typical_mass"],
+            )
+        return self._harvest()
+
+    @property
+    def busy(self) -> bool:
+        return bool(self.pending) or any(r is not None for r in self.slots)
+
+    def drain(self) -> Dict[int, Any]:
+        """tick() until every submitted request has completed."""
+        out: Dict[int, Any] = {}
+        guard = 0
+        while self.busy:
+            for rid, res in self.tick():
+                out[rid] = res
+            guard += 1
+            if guard > 100000:
+                raise RuntimeError("slot session failed to drain")
+        return out

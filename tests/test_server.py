@@ -895,3 +895,153 @@ class TestBodyLimit:
             time.sleep(0.02)
         assert st["status"] == "completed"
         assert "files_to_delete" not in st
+
+
+class SlotFakeSession:
+    """Deterministic fake SlotSession: every submitted request completes on
+    its second tick (exercises the dispatcher's submit/tick/harvest loop
+    without a real decode)."""
+
+    def __init__(self, engine, **kw):
+        self.engine = engine
+        self.kw = kw
+        self.pending = {}
+        self._next = 0
+        self.fail_ticks = False
+
+    def submit(self, prompt, text, output_path=None, **dyn):
+        if not text.strip():
+            raise ValueError("text is empty")
+        rid = self._next
+        self._next += 1
+        self.engine.calls.append(("slot_submit", text, dict(self.kw), dyn))
+        self.pending[rid] = [output_path, 0]
+        return rid
+
+    @property
+    def busy(self):
+        return bool(self.pending)
+
+    def tick(self):
+        if self.fail_ticks:
+            raise RuntimeError("synthetic slot failure")
+        done = []
+        for rid, ent in list(self.pending.items()):
+            ent[1] += 1
+            if ent[1] >= 2:
+                write_wav(ent[0], np.zeros((1, 2400), np.int16), 24000)
+                done.append((rid, ent[0]))
+                self.pending.pop(rid)
+        return done
+
+
+class SlotFakeEngine(FakeEngine):
+    def __init__(self):
+        super().__init__()
+        self.sessions = []
+        self.poison_next = False
+
+    def slot_session(self, **kw):
+        s = SlotFakeSession(self, **kw)
+        s.fail_ticks = self.poison_next
+        self.poison_next = False
+        self.sessions.append(s)
+        return s
+
+
+class TestSlotBatching:
+    """slot_requests > 0: the rolling-admission dispatcher. Jobs route to a
+    per-static-signature SlotSession; beams and overflow signatures fall
+    back to the solo worker; a poisoned session fails its jobs loudly and
+    the next job rebuilds it."""
+
+    def _submit(self, client, text, extra=None):
+        fields = {"text": text, "infer_mode": "普通推理", "num_beams": "1"}
+        fields.update(extra or {})
+        status, data = client.multipart(
+            "/api/synthesize", fields,
+            files={"referenceAudioFile": ("p.wav", _wav_bytes())},
+        )
+        assert status == 200, data
+        return data["task_id"]
+
+    def _wait(self, app, ids, timeout=10.0):
+        start = time.time()
+        while time.time() - start < timeout:
+            st = {i: app._tasks_status.get(i, {}).get("status") for i in ids}
+            if all(s in ("completed", "failed") for s in st.values()):
+                return st
+            time.sleep(0.02)
+        return {i: app._tasks_status.get(i, {}).get("status") for i in ids}
+
+    def test_mutually_exclusive_with_batch_requests(self, tmp_path):
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            create_app(SlotFakeEngine(), base_dir=str(tmp_path),
+                       batch_requests=4, slot_requests=2)
+
+    def test_requests_share_one_session(self, tmp_path):
+        engine = SlotFakeEngine()
+        app = create_app(engine, base_dir=str(tmp_path), slot_requests=4)
+        client = Client(app)
+        ids = [self._submit(client, "slot one."), self._submit(client, "slot two.")]
+        st = self._wait(app, ids)
+        assert all(s == "completed" for s in st.values()), st
+        assert len(engine.sessions) == 1
+        assert engine.sessions[0].kw["n_slots"] == 4
+        texts = sorted(c[1] for c in engine.calls if c[0] == "slot_submit")
+        assert texts == ["slot one.", "slot two."]
+        for i in ids:
+            assert app._tasks_status[i]["audio_url"].startswith("/static/outputs/")
+
+    def test_beam_jobs_fall_back_to_solo(self, tmp_path):
+        engine = SlotFakeEngine()
+        app = create_app(engine, base_dir=str(tmp_path), slot_requests=4)
+        client = Client(app)
+        tid = self._submit(client, "beam job.", {"num_beams": "3"})
+        st = self._wait(app, [tid])
+        assert st[tid] == "completed"
+        assert engine.sessions == []
+        assert [c[0] for c in engine.calls] == ["infer"]
+
+    def test_distinct_static_knobs_get_own_sessions_then_solo(self, tmp_path):
+        engine = SlotFakeEngine()
+        app = create_app(engine, base_dir=str(tmp_path), slot_requests=4)
+        client = Client(app)
+        ids = [
+            self._submit(client, "sig a.", {"top_k": "5"}),
+            self._submit(client, "sig b.", {"top_k": "50"}),
+            self._submit(client, "sig c.", {"top_k": "99"}),  # 3rd sig -> solo
+        ]
+        st = self._wait(app, ids)
+        assert all(s == "completed" for s in st.values()), st
+        assert len(engine.sessions) == 2
+        assert len([c for c in engine.calls if c[0] == "infer"]) == 1
+
+    def test_dynamic_knobs_ride_per_request(self, tmp_path):
+        engine = SlotFakeEngine()
+        app = create_app(engine, base_dir=str(tmp_path), slot_requests=4)
+        client = Client(app)
+        ids = [
+            self._submit(client, "cool.", {"temperature": "0.7"}),
+            self._submit(client, "hot.", {"temperature": "1.3"}),
+        ]
+        st = self._wait(app, ids)
+        assert all(s == "completed" for s in st.values()), st
+        assert len(engine.sessions) == 1
+        temps = sorted(c[3]["temperature"] for c in engine.calls
+                       if c[0] == "slot_submit")
+        assert temps == [0.7, 1.3]
+
+    def test_poisoned_session_fails_jobs_and_recovers(self, tmp_path):
+        engine = SlotFakeEngine()
+        engine.poison_next = True  # first session fails every tick
+        app = create_app(engine, base_dir=str(tmp_path), slot_requests=4)
+        client = Client(app)
+        tid1 = self._submit(client, "will fail.")
+        st = self._wait(app, [tid1])
+        assert st[tid1] == "failed"
+        # the next job must get a FRESH session and complete
+        tid2 = self._submit(client, "after recovery.")
+        st = self._wait(app, [tid2])
+        assert st[tid2] == "completed", st
+        assert len(engine.sessions) == 2

@@ -1,0 +1,166 @@
+"""SlotSession / engine.infer_slots (continuous-batching serving loop).
+
+Contract: greedy slot-mode output == engine.infer per request (the same
+transparency bar as infer_batch, tests/test_infer_batch.py), including
+requests submitted WHILE the session is mid-decode, multi-sentence
+requests, per-request dynamic knobs, and the serving engine (fast_latents +
+quant_kv)."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    from indextts_tpu.config import save_config
+    from indextts_tpu.engine import IndexTTS
+    from tests.test_engine import tiny_config
+
+    d = tmp_path_factory.mktemp("ckpt_slots")
+    cfg_path = str(d / "config.yaml")
+    save_config(tiny_config(), cfg_path)
+    return IndexTTS(cfg_path=cfg_path, model_dir=str(d), is_fp16=False,
+                    allow_random_init=True)
+
+
+def _prompt(seed, frames=40):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((1, 100, frames)).astype(np.float32) * 0.1
+
+
+GREEDY = dict(do_sample=False, num_beams=1, max_mel_tokens=8, repetition_penalty=1.0)
+
+
+class TestInferSlots:
+    def test_matches_per_request_infer(self, engine):
+        mel_a, mel_b = _prompt(0), _prompt(1)
+        text_a, text_b = "HI THERE.", "HELLO WORLD AGAIN."
+        solo = [
+            engine.infer(mel_a, text_a, None, **GREEDY),
+            engine.infer(mel_b, text_b, None, **GREEDY),
+        ]
+        out = engine.infer_slots([(mel_a, text_a), (mel_b, text_b)],
+                                 n_slots=2, **GREEDY)
+        for (sr_s, wav_s), (sr_o, wav_o) in zip(solo, out):
+            assert sr_s == sr_o == 24000
+            assert wav_s.shape == wav_o.shape
+            np.testing.assert_allclose(
+                wav_s.astype(np.float32), wav_o.astype(np.float32), atol=2.0
+            )  # int16 scale; bf16/f32 rounding across batch shapes
+
+    def test_multi_sentence_request_order(self, engine):
+        mel = _prompt(2)
+        text = "ONE. TWO THREE FOUR. FIVE."
+        solo = engine.infer(mel, text, None, **GREEDY)
+        out = engine.infer_slots([(mel, text)], n_slots=2, **GREEDY)
+        assert out[0][1].shape == solo[1].shape
+        np.testing.assert_allclose(
+            out[0][1].astype(np.float32), solo[1].astype(np.float32), atol=2.0
+        )
+
+    def test_output_paths(self, engine, tmp_path):
+        mel = _prompt(3)
+        paths = [str(tmp_path / "a.wav"), str(tmp_path / "b.wav")]
+        out = engine.infer_slots([(mel, "HI."), (mel, "YO.")],
+                                 output_paths=paths, n_slots=2, **GREEDY)
+        assert out == paths
+        assert all(os.path.getsize(p) > 44 for p in paths)
+
+    def test_rejects_beams(self, engine):
+        with pytest.raises(ValueError, match="num_beams=1"):
+            engine.slot_session(num_beams=3)
+
+    def test_per_request_dynamics(self, engine):
+        """Requests with different repetition penalties share the session;
+        each equals its solo run with that scalar."""
+        mel = _prompt(4)
+        kw = dict(do_sample=False, num_beams=1, max_mel_tokens=8)
+        solo_1 = engine.infer(mel, "HI THERE.", None, repetition_penalty=1.0, **kw)
+        solo_10 = engine.infer(mel, "HI THERE.", None, repetition_penalty=10.0, **kw)
+        out = engine.infer_slots(
+            [(mel, "HI THERE."), (mel, "HI THERE.")], n_slots=2,
+            per_request_kwargs=[{"repetition_penalty": 1.0},
+                                {"repetition_penalty": 10.0}],
+            repetition_penalty=5.0, **kw,
+        )
+        np.testing.assert_allclose(out[0][1].astype(np.float32),
+                                   solo_1[1].astype(np.float32), atol=2.0)
+        np.testing.assert_allclose(out[1][1].astype(np.float32),
+                                   solo_10[1].astype(np.float32), atol=2.0)
+
+
+class TestRollingAdmission:
+    def test_submit_mid_decode(self, engine):
+        """A request submitted after the session has started decoding joins
+        on the next tick and neither output is perturbed."""
+        mel_a, mel_b = _prompt(5), _prompt(6)
+        solo_a = engine.infer(mel_a, "HI THERE.", None, **GREEDY)
+        solo_b = engine.infer(mel_b, "HELLO AGAIN.", None, **GREEDY)
+        sess = engine.slot_session(n_slots=2, chunk_steps=2, **GREEDY)
+        ra = sess.submit(mel_a, "HI THERE.")
+        got = {}
+        got.update(sess.tick())  # A decodes its first chunk alone
+        rb = sess.submit(mel_b, "HELLO AGAIN.")
+        while sess.busy:
+            got.update(sess.tick())
+        np.testing.assert_allclose(got[ra][1].astype(np.float32),
+                                   solo_a[1].astype(np.float32), atol=2.0)
+        np.testing.assert_allclose(got[rb][1].astype(np.float32),
+                                   solo_b[1].astype(np.float32), atol=2.0)
+
+    def test_more_requests_than_slots_reuses_slots(self, engine):
+        """5 requests through 2 slots: the scheduler must harvest and
+        re-admit (slot reuse + circular cursor at the engine level)."""
+        mels = [_prompt(10 + i) for i in range(5)]
+        texts = ["HI.", "YO.", "HELLO.", "HEY.", "SUP."]
+        solo = [engine.infer(m, t, None, **GREEDY) for m, t in zip(mels, texts)]
+        out = engine.infer_slots(list(zip(mels, texts)), n_slots=2, **GREEDY)
+        for (sr_s, wav_s), (sr_o, wav_o) in zip(solo, out):
+            assert wav_s.shape == wav_o.shape
+            np.testing.assert_allclose(wav_s.astype(np.float32),
+                                       wav_o.astype(np.float32), atol=2.0)
+
+
+class TestSlotServingMode:
+    """fast_latents + quant_kv engine: the slot path must keep the captured
+    latents (skip the teacher-forced pass) and the int8 cache."""
+
+    @pytest.fixture(scope="class")
+    def serving_engine(self, tmp_path_factory):
+        from indextts_tpu.config import save_config
+        from indextts_tpu.engine import IndexTTS
+        from tests.test_engine import tiny_config
+
+        d = tmp_path_factory.mktemp("ckpt_slots_srv")
+        cfg_path = str(d / "config.yaml")
+        save_config(tiny_config(), cfg_path)
+        return IndexTTS(cfg_path=cfg_path, model_dir=str(d), is_fp16=False,
+                        allow_random_init=True, fast_latents=True, quant_kv=True)
+
+    def test_matches_solo_serving(self, serving_engine):
+        eng = serving_engine
+        mel = _prompt(20)
+        solo = eng.infer(mel, "HI THERE.", None, **GREEDY)
+        out = eng.infer_slots([(mel, "HI THERE."), (mel, "HELLO WORLD.")],
+                              n_slots=2, **GREEDY)
+        np.testing.assert_allclose(out[0][1].astype(np.float32),
+                                   solo[1].astype(np.float32), atol=2.0)
+
+    def test_captured_latents_skip_teacher_forced(self, serving_engine, monkeypatch):
+        """When silence removal changes nothing (tiny decode), the slot
+        harvest must use captured latents — the teacher-forced batch helper
+        must not run."""
+        eng = serving_engine
+        calls = []
+        orig = eng._gpt_latent_many
+
+        def spy(rows):
+            calls.append(len(rows))
+            return orig(rows)
+
+        monkeypatch.setattr(eng, "_gpt_latent_many", spy)
+        out = eng.infer_slots([(_prompt(21), "HI.")], n_slots=1, **GREEDY)
+        assert len(out) == 1
+        assert calls == []
