@@ -186,19 +186,27 @@ def slot_admit(state: SlotState, prod: Dict[str, Any], slot, cfg: GPTConfig) -> 
         f"cache_len {s_len} < prefill {p} + max_new {max_new}: the cursor "
         f"would lap this row's own content"
     )
-    idx = jnp.remainder(state.cursor - p + jnp.arange(p), s_len)  # [p]
+    # column s receives prefill position j = (s - start) mod S when j < p.
+    # Dense forms only: a per-index scatter here lowered to a serialized
+    # XLA scatter that cost ~0.5 s per admission on TPU (measured,
+    # tools/profile_slots.py); zero-pad + jnp.roll (concat + dynamic_slice
+    # under a traced shift) + where + one row DUS is pure streaming.
+    start = jnp.remainder(state.cursor - p, s_len)
+    valid = jnp.remainder(jnp.arange(s_len) - start, s_len) < p  # [S]
 
     def place(big, small):
-        # big [L, B, g2, S, D2] or [L, B, g2, S]; small [L, 1, g2, p(, D2)]
-        row = big[:, slot]
-        if big.ndim == 5:
-            row = row.at[:, :, idx, :].set(small[:, 0])
-        else:
-            row = row.at[:, :, idx].set(small[:, 0])
+        # big [L, B, g2, S(, D2)]; small [L, 1, g2, p(, D2)]
+        pads = [(0, 0)] * small.ndim
+        pads[3] = (0, s_len - p)
+        rolled = jnp.roll(jnp.pad(small, pads), start, axis=3)[:, 0]
+        v = valid[None, None, :, None] if big.ndim == 5 else valid[None, None, :]
+        row = jnp.where(v, rolled, big[:, slot])
         return big.at[:, slot].set(row)
 
     cache = tuple(place(b, s) for b, s in zip(state.cache, prod["cache"]))
-    mask_row = jnp.zeros((s_len,), bool).at[idx].set(prod["prefill_mask"][0])
+    mask_row = valid & jnp.roll(
+        jnp.pad(prod["prefill_mask"][0], (0, s_len - p)), start
+    )
     tok1 = prod["tok1"][0]
     lat = state.lat
     if lat is not None:
