@@ -399,8 +399,10 @@ def create_app(engine=None, base_dir: Optional[str] = None,
         """Rolling-admission loop: drain queued jobs into per-signature
         SlotSessions, run one decode chunk per busy session, publish
         completions. Sessions never block each other's admission; a job the
-        slot path cannot serve (beams, a third distinct static signature)
-        falls back to the solo worker so it is never silently dropped."""
+        slot path cannot serve (beams, or a third distinct static signature
+        while both live sessions are busy — idle sessions are evicted to
+        make room) falls back to the solo worker so it is never silently
+        dropped."""
         sessions: Dict[Any, Any] = {}
         live: Dict[Any, Dict[str, Any]] = {}  # (sig, rid) -> job
 
@@ -424,8 +426,17 @@ def create_app(engine=None, base_dir: Optional[str] = None,
                     sess = sessions.get(sig)
                     if sess is None:
                         if len(sessions) >= 2:
-                            _solo_fallback(j)
-                            continue
+                            # evict an idle session (no live jobs, nothing
+                            # decoding) so a new signature reuses its device
+                            # memory; only when ALL are busy fall back solo
+                            idle = [s for s in sessions
+                                    if not sessions[s].busy
+                                    and not any(k[0] == s for k in live)]
+                            if idle:
+                                sessions.pop(idle[0])
+                            else:
+                                _solo_fallback(j)
+                                continue
                         static_kwargs = {k: v for k, v in j["kwargs"].items()
                                          if k not in _DYN}
                         with worker_lock:

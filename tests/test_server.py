@@ -925,6 +925,8 @@ class SlotFakeSession:
     def tick(self):
         if self.fail_ticks:
             raise RuntimeError("synthetic slot failure")
+        if self.engine.gate is not None and not self.engine.gate.is_set():
+            return []  # held busy until the test releases the gate
         done = []
         for rid, ent in list(self.pending.items()):
             ent[1] += 1
@@ -940,6 +942,7 @@ class SlotFakeEngine(FakeEngine):
         super().__init__()
         self.sessions = []
         self.poison_next = False
+        self.gate = None  # threading.Event: sessions stay busy until set
 
     def slot_session(self, **kw):
         s = SlotFakeSession(self, **kw)
@@ -1003,19 +1006,42 @@ class TestSlotBatching:
         assert engine.sessions == []
         assert [c[0] for c in engine.calls] == ["infer"]
 
-    def test_distinct_static_knobs_get_own_sessions_then_solo(self, tmp_path):
+    def test_third_signature_solo_while_both_sessions_busy(self, tmp_path):
+        engine = SlotFakeEngine()
+        engine.gate = threading.Event()  # hold every session mid-decode
+        app = create_app(engine, base_dir=str(tmp_path), slot_requests=4)
+        client = Client(app)
+        ida = self._submit(client, "sig a.", {"top_k": "5"})
+        idb = self._submit(client, "sig b.", {"top_k": "50"})
+        start = time.time()
+        while time.time() - start < 10 and len(engine.sessions) < 2:
+            time.sleep(0.02)
+        assert len(engine.sessions) == 2
+        # 3rd signature with both sessions busy -> solo worker, no eviction
+        idc = self._submit(client, "sig c.", {"top_k": "99"})
+        st = self._wait(app, [idc])
+        assert st[idc] == "completed", st
+        assert len([c for c in engine.calls if c[0] == "infer"]) == 1
+        assert len(engine.sessions) == 2
+        engine.gate.set()
+        st = self._wait(app, [ida, idb])
+        assert all(s == "completed" for s in st.values()), st
+
+    def test_idle_session_evicted_for_new_signature(self, tmp_path):
         engine = SlotFakeEngine()
         app = create_app(engine, base_dir=str(tmp_path), slot_requests=4)
         client = Client(app)
-        ids = [
-            self._submit(client, "sig a.", {"top_k": "5"}),
-            self._submit(client, "sig b.", {"top_k": "50"}),
-            self._submit(client, "sig c.", {"top_k": "99"}),  # 3rd sig -> solo
-        ]
-        st = self._wait(app, ids)
+        ida = self._submit(client, "sig a.", {"top_k": "5"})
+        idb = self._submit(client, "sig b.", {"top_k": "50"})
+        st = self._wait(app, [ida, idb])
         assert all(s == "completed" for s in st.values()), st
-        assert len(engine.sessions) == 2
-        assert len([c for c in engine.calls if c[0] == "infer"]) == 1
+        # both sessions idle: a third signature evicts one instead of
+        # falling back to the solo worker
+        idc = self._submit(client, "sig c.", {"top_k": "99"})
+        st = self._wait(app, [idc])
+        assert st[idc] == "completed", st
+        assert len(engine.sessions) == 3  # a fresh session was built
+        assert not [c for c in engine.calls if c[0] == "infer"]
 
     def test_dynamic_knobs_ride_per_request(self, tmp_path):
         engine = SlotFakeEngine()
