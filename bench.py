@@ -430,9 +430,9 @@ def main():
     # run the headline/verify compiles themselves warm the cache
     cache_warm = _cache_warm()
     margin = (
-        {"verify": 100, "ttfa": 90, "beam": 120, "beam_default": 150, "quant_kv": 130, "serve": 130, "b16": 120, "b32": 100, "stream": 60}
+        {"verify": 100, "ttfa": 90, "beam": 120, "beam_default": 150, "quant_kv": 130, "serve": 130, "b16": 120, "b32": 100, "stream": 60, "slot": 90}
         if cache_warm
-        else {"verify": 200, "ttfa": 240, "beam": 330, "beam_default": 420, "quant_kv": 400, "serve": 420, "b16": 360, "b32": 360, "stream": 450}
+        else {"verify": 200, "ttfa": 240, "beam": 330, "beam_default": 420, "quant_kv": 400, "serve": 420, "b16": 360, "b32": 360, "stream": 450, "slot": 420}
     )
 
     # TPU-vs-CPU numerical gate (VERDICT round-2 missing #2): every parity
@@ -852,6 +852,60 @@ def main():
         except Exception:
             ttfa_stream_fast_ms = None
 
+    # slot-mode steady-state decode (rolling admission, docs/SERVING.md):
+    # all BATCH slots active on the statically-sized circular cache in the
+    # recommended serving config (int8 KV + latent capture). The number an
+    # operator compares against the window batcher's per-step cost when
+    # choosing --slot-batching vs --batch-requests; SERVING.md's 3.27 ms
+    # (vs 2.35 window) came from tools/profile_slots.py with this method.
+    slot_decode_ms_per_step = None
+    elapsed = time.perf_counter() - (bench_start or 0)
+    if bench_start is not None and elapsed < budget_s - margin["slot"]:
+        try:
+            _mark("slot steady-state decode start")
+            from indextts_tpu.models.gpt_slots import (
+                slot_admit, slot_prefill, slot_state_init, slot_steps)
+
+            gen_sl = GenerationConfig(do_sample=True, num_beams=1, top_k=30,
+                                      max_new_tokens=GEN_TOKENS)
+            chunk = 25
+            prefill_sl = jax.jit(partial(slot_prefill, cfg=gpt_cfg, gen=gen_sl,
+                                         capture_latents=True, quant_kv=True))
+            admit_sl = jax.jit(partial(slot_admit, cfg=gpt_cfg),
+                               donate_argnames=("state",))
+            steps_sl = jax.jit(partial(slot_steps, cfg=gpt_cfg, gen=gen_sl,
+                                       n_steps=chunk, pos_off=1),
+                               donate_argnames=("state",))
+            conds_sl = cond_fn(gpt_params, cond_mel, jnp.asarray([COND_FRAMES]))
+            sargs = dict(temperature=jnp.float32(1.0), top_p=jnp.float32(0.8),
+                         repetition_penalty=jnp.float32(10.0),
+                         typical_mass=jnp.float32(0.9))
+            prods = [prefill_sl(params=gpt_params, conds=conds_sl,
+                                text_tokens=text[i:i + 1],
+                                text_lengths=text_lens[i:i + 1],
+                                rng=jax.random.PRNGKey(80 + i), **sargs)
+                     for i in range(BATCH)]
+            p_len = prods[0]["prefill_mask"].shape[1]
+            s_len = -(-(p_len + GEN_TOKENS) // 64) * 64
+            state_sl = slot_state_init(gpt_cfg, gen_sl, BATCH, s_len, dtype,
+                                       capture_latents=True, quant_kv=True)
+            for i, prod in enumerate(prods):
+                state_sl = admit_sl(state_sl, prod, i)
+            state_sl = steps_sl(params=gpt_params, state=state_sl,
+                                rng=jax.random.PRNGKey(90), **sargs)
+            np.asarray(state_sl.tick)  # compile + first chunk
+            walls = []
+            for it in range(4):
+                rng_sl = jax.random.PRNGKey(91 + it)
+                t0 = time.perf_counter()
+                state_sl = steps_sl(params=gpt_params, state=state_sl,
+                                    rng=rng_sl, **sargs)
+                np.asarray(state_sl.tick)  # chunk fully executed
+                walls.append(time.perf_counter() - t0)
+            slot_decode_ms_per_step = round(
+                1000.0 * float(np.median(walls)) / chunk, 2)
+        except Exception:
+            slot_decode_ms_per_step = None
 
     result = {
         "metric": "audio_sec_per_sec_per_chip",
@@ -878,6 +932,7 @@ def main():
             "beam3_serving_decode_audio_s_per_s": beam3_serving_rtf_inv,
             "b16_audio_s_per_s": b16,
             "b32_audio_s_per_s": b32,
+            "slot_decode_ms_per_step": slot_decode_ms_per_step,
             "compile_s": round(compile_s, 1),
             "init_s": round(init_s, 1),
         },
