@@ -145,3 +145,25 @@ def test_mesh_dp_quant_beam_matches_single(ckpt):
     codes_m, lens_m, _ = meshed._gpt_generate(conds_m, tokens, lengths, gen, 1.0, 0.8, 1.0)
     np.testing.assert_array_equal(lens_s, lens_m)
     np.testing.assert_array_equal(codes_s, codes_m)
+
+
+def test_mesh_slot_mode_matches_solo(ckpt):
+    """Rolling-admission slot decoding on a TP-sharded engine: the jitted
+    slot graphs (prefill/admit/steps) inherit the params' mesh shardings,
+    so continuous batching composes with tensor parallelism — greedy slot
+    output must equal the same engine's solo infer per request."""
+    rng = np.random.default_rng(12)
+    mel = rng.standard_normal((1, 100, 60)).astype(np.float32)
+    kw = dict(do_sample=False, num_beams=1, max_mel_tokens=10, repetition_penalty=1.0)
+    meshed = IndexTTS(cfg_path=f"{ckpt}/config.yaml", model_dir=ckpt, is_fp16=False,
+                      allow_random_init=True, use_mesh=True, tp=2)
+    out = meshed.infer_slots([(mel, "HELLO WORLD."), (mel, "GOOD DAY.")],
+                             n_slots=2, **kw)
+    solo = [meshed.infer(mel, "HELLO WORLD.", None, **kw),
+            meshed.infer(mel, "GOOD DAY.", None, **kw)]
+    for (sr_s, wav_s), (sr_o, wav_o) in zip(solo, out):
+        assert sr_s == sr_o == 24000
+        assert wav_s.shape == wav_o.shape
+        np.testing.assert_allclose(
+            wav_s.astype(np.float32), wav_o.astype(np.float32), atol=2.0
+        )
