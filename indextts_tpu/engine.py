@@ -505,6 +505,19 @@ class IndexTTS:
             self._vocoder_cache[key] = fn
         return self._vocoder_cache[key]
 
+    def _text_bucket(self, n: int) -> int:
+        """Static text-length bucket: round up to 8, clamped to the text
+        positional table (max_text_tokens+2 rows; sentences are split to
+        capacity upstream, so the clamp only trims bucket padding). ONE
+        definition — decode, latent, and slot-admission jit keys plus
+        SlotSession's circular-cache sizing all assume this bucketing."""
+        return min(max(_round_up(n, 8), 8), max(self.cfg.gpt.max_text_tokens, n))
+
+    def _code_bucket(self, n: int) -> int:
+        """Static mel-code bucket: round up to 16, clamped to the mel
+        positional table (same contract as _text_bucket)."""
+        return min(max(_round_up(n, 16), 16), max(self.cfg.gpt.max_mel_tokens, n))
+
     def _gpt_generate(self, conds, text_tokens: np.ndarray, text_lengths: np.ndarray, gen: GenerationConfig,
                       temperature, top_p, repetition_penalty, length_penalty=0.0, typical_mass=0.9):
         """Run the bucketed decode. text_tokens: [B, L] np int32.
@@ -515,10 +528,7 @@ class IndexTTS:
         latents by one lineage gather at finalize, _gather_beam_latents)."""
         capture = self.fast_latents
         b, l0 = text_tokens.shape
-        # bucket-round, but never past the text positional table
-        # (max_text_tokens+2 rows; sentences are already split to capacity,
-        # so the clamp only trims the bucket padding, never real tokens)
-        l = min(max(_round_up(l0, 8), 8), max(self.cfg.gpt.max_text_tokens, l0))
+        l = self._text_bucket(l0)
         padded = np.full((b, l), self.cfg.gpt.stop_text_token, np.int32)
         padded[:, :l0] = text_tokens
         conds_b = jnp.broadcast_to(conds, (b,) + conds.shape[1:]) if conds.shape[0] != b else conds
@@ -614,12 +624,11 @@ class IndexTTS:
         b, lt0 = text_tokens.shape
         if text_lengths is None:
             text_lengths = np.full(b, lt0, np.int32)  # rows fully valid (per-row callers)
-        # bucket-round, clamped to the positional tables (see _gpt_generate)
-        lt = min(max(_round_up(lt0, 8), 8), max(self.cfg.gpt.max_text_tokens, lt0))
+        lt = self._text_bucket(lt0)
         text = np.full((b, lt), self.cfg.gpt.stop_text_token, np.int32)
         text[:, :lt0] = text_tokens
         lc0 = codes.shape[1]
-        lc = min(max(_round_up(lc0, 16), 16), max(self.cfg.gpt.max_mel_tokens, lc0))
+        lc = self._code_bucket(lc0)
         codes_p = np.full((b, lc), self.stop_mel_token, np.int32)
         codes_p[:, :lc0] = codes
         fn = self._latent_fn(b, lt, lc)
@@ -651,10 +660,8 @@ class IndexTTS:
         oracle), so batched == per-row."""
         groups: Dict[Tuple[int, int], List[int]] = {}
         for i, (_cds, tt, cd, _cl) in enumerate(rows):
-            lt = min(max(_round_up(tt.shape[1], 8), 8),
-                     max(self.cfg.gpt.max_text_tokens, tt.shape[1]))
-            lc = min(max(_round_up(cd.shape[1], 16), 16),
-                     max(self.cfg.gpt.max_mel_tokens, cd.shape[1]))
+            lt = self._text_bucket(tt.shape[1])
+            lc = self._code_bucket(cd.shape[1])
             groups.setdefault((lt, lc), []).append(i)
         out: List[Optional[jnp.ndarray]] = [None] * len(rows)
         bucket_max = 16

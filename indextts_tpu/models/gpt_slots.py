@@ -52,8 +52,7 @@ from indextts_tpu.models.gpt_decode import (
     GenerationConfig,
     Params,
     _decode_step,
-    _prefill,
-    prepare_gpt_inputs,
+    prefill_decode_state,
 )
 from indextts_tpu.ops.sampling import greedy_token, process_logits, sample_token
 
@@ -135,41 +134,33 @@ def slot_prefill(
     capture_latents: bool = False,
     quant_kv: bool = False,
 ) -> Dict[str, Any]:
-    """Prefill ONE request (b=1) for later admission: the same inputs-mask
-    construction and first-token sampling as prefill_decode_state, but the
-    cache is returned at its own length p (no max_new padding — slot_admit
-    scatters it into the shared circular cache). Returns a dict of
-    device-resident products."""
-    emb, prefill_mask = prepare_gpt_inputs(params, cfg, conds, text_tokens, text_lengths)
-    p = emb.shape[1]
-    if capture_latents:
-        logits0, cache, h0 = _prefill(params, cfg, emb, prefill_mask, p,
-                                      return_hidden=True, quant_kv=quant_kv)
-    else:
-        logits0, cache = _prefill(params, cfg, emb, prefill_mask, p, quant_kv=quant_kv)
-        h0 = None
-    v = cfg.number_mel_codes
-    seen0 = jnp.zeros((1, v), bool).at[:, 1].set(True).at[:, cfg.start_mel_token].set(True)
-    lf = process_logits(
-        logits0, seen_mask=seen0, repetition_penalty=repetition_penalty,
-        typical_sampling=gen.typical_sampling, typical_mass=typical_mass,
-        temperature=temperature, top_k=gen.top_k if gen.do_sample else 0,
-        top_p=top_p, do_sample=gen.do_sample,
+    """Prefill ONE request (b=1) for later admission. Delegates to
+    prefill_decode_state with cache_len=p, so slot admission shares the ONE
+    pinned prefill/first-token definition (inputs-mask construction, the
+    HF "ids {1, start_mel} start out seen" contract, fold_in(rng, 0)
+    sampling) with one-shot/streaming/segmented decoding — the cache comes
+    back at its own length p (no max_new padding; slot_admit scatters it
+    into the shared circular cache). Returns a dict of device-resident
+    products."""
+    # prepare_gpt_inputs emits [cond latents | text+start/stop | start_mel]
+    p = conds.shape[1] + text_tokens.shape[1] + 3
+    state, aux = prefill_decode_state(
+        params, cfg, gen, conds, text_tokens, text_lengths, rng,
+        temperature=temperature, top_p=top_p,
+        repetition_penalty=repetition_penalty, typical_mass=typical_mass,
+        cache_len=p, capture_latents=capture_latents, quant_kv=quant_kv,
     )
-    if gen.do_sample:
-        tok1 = sample_token(jax.random.fold_in(rng, 0), lf).astype(jnp.int32)
-    else:
-        tok1 = greedy_token(lf).astype(jnp.int32)
-    seen1 = seen0.at[jnp.arange(1), tok1].set(True)
+    assert aux["p"] == p, f"prefill length drifted: {aux['p']} != {p}"
+    _i, _codes, cache, done0, seen1, tok1, *lat = state
     out = {
         "cache": cache,
-        "prefill_mask": prefill_mask,  # [1, p] bool
-        "tok1": tok1,                  # [1]
-        "done0": tok1 == cfg.stop_mel_token,
+        "prefill_mask": aux["prefill_valid"],  # [1, p] bool (no padding at cache_len=p)
+        "tok1": tok1,                          # [1]
+        "done0": done0,
         "seen1": seen1,
     }
     if capture_latents:
-        out["h0"] = h0
+        out["h0"] = lat[0][:, 0]
     return out
 
 

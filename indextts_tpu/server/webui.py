@@ -403,6 +403,8 @@ def create_app(engine=None, base_dir: Optional[str] = None,
         while both live sessions are busy — idle sessions are evicted to
         make room) falls back to the solo worker so it is never silently
         dropped."""
+        from indextts_tpu.serving import SLOT_DYNAMIC_PARAMS as _SLOT_DYN
+
         sessions: Dict[Any, Any] = {}
         live: Dict[Any, Dict[str, Any]] = {}  # (sig, rid) -> job
 
@@ -444,9 +446,18 @@ def create_app(engine=None, base_dir: Optional[str] = None,
                                 n_slots=slot_requests,
                                 max_text_tokens_per_sentence=int(j["max_tokens"]),
                                 **static_kwargs)
-                    dyn = {k: v for k, v in j["kwargs"].items() if k in _DYN}
-                    rid = sess.submit(j["prompt_mel"], j["text"],
-                                      output_path=j["output"], **dyn)
+                    # slot rows take only the knobs the slot step graph
+                    # consumes; length_penalty is dropped (it only shapes
+                    # beam scores and slot mode is num_beams=1, where the
+                    # solo path ignores it too)
+                    dyn = {k: v for k, v in j["kwargs"].items()
+                           if k in _DYN and k in _SLOT_DYN}
+                    # submit() runs engine work (conditioning + the shared
+                    # _cond_cache); worker_lock serializes it against the
+                    # solo/streaming workers (one process per TPU)
+                    with worker_lock:
+                        rid = sess.submit(j["prompt_mel"], j["text"],
+                                          output_path=j["output"], **dyn)
                     live[(sig, rid)] = j
                     _update_status(j["task_id"],
                                    {"status": "processing", "progress": 5,

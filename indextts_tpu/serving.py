@@ -34,7 +34,6 @@ import jax.numpy as jnp
 
 from indextts_tpu.models.gpt_slots import (
     slot_admit,
-    slot_lengths,
     slot_prefill,
     slot_state_init,
     slot_steps,
@@ -43,6 +42,13 @@ from indextts_tpu.models.gpt_slots import (
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+#: dynamic knobs a slot row can override per request: the subset of
+#: engine.BATCH_DYNAMIC_PARAMS the slot step graph actually consumes.
+#: length_penalty is excluded — it only shapes beam scores and slot mode
+#: is num_beams=1, so accepting it would be a silent no-op.
+SLOT_DYNAMIC_PARAMS = ("temperature", "top_p", "repetition_penalty", "typical_mass")
 
 
 class SlotSession:
@@ -81,33 +87,40 @@ class SlotSession:
         self.pos_off = 1 if engine.fast_latents else 2
         cfg = engine.cfg.gpt
         # worst prefill: cond latents + the largest text bucket + start/stop
-        # text tokens + start_mel (prepare_gpt_inputs)
-        l_max = min(_round_up(self.max_split, 8), cfg.max_text_tokens)
-        p_max = cfg.condition_num_latent + l_max + 3
+        # text tokens + start_mel (prepare_gpt_inputs); the bucket MUST be
+        # engine._text_bucket's — admission sizes against it
+        p_max = cfg.condition_num_latent + engine._text_bucket(self.max_split) + 3
         self.cache_len = _round_up(p_max + gen.max_new_tokens, 64)
         self.state = slot_state_init(
             cfg, gen, n_slots, self.cache_len, engine.dtype,
             capture_latents=engine.fast_latents, quant_kv=engine.quant_kv,
         )
         self.rng = jax.random.PRNGKey(seed)
-        # jitted entry points; the big state is donated so the circular
-        # cache updates in place instead of double-buffering
-        self._steps_fn = jax.jit(
-            partial(slot_steps, cfg=cfg, gen=gen, n_steps=chunk_steps,
-                    pos_off=self.pos_off),
-            static_argnames=(), donate_argnames=("state",),
-        )
-        self._admit_fn = jax.jit(
-            partial(slot_admit, cfg=cfg), donate_argnames=("state",),
-        )
-        self._prefill_fn = jax.jit(partial(
-            slot_prefill, cfg=cfg, gen=gen,
-            capture_latents=engine.fast_latents, quant_kv=engine.quant_kv,
-        ))
+        # jitted entry points, cached ON THE ENGINE (same dict as
+        # _decode_fn) so the server's evict-and-recreate cycle reuses the
+        # traced graphs instead of recompiling them — first compile is
+        # minutes on this platform. The big state is donated so the
+        # circular cache updates in place instead of double-buffering.
+        jit_key = ("slot", gen, chunk_steps, self.pos_off,
+                   engine.quant_kv, engine.fast_latents)
+        if jit_key not in engine._decode_cache:
+            engine._decode_cache[jit_key] = (
+                jax.jit(
+                    partial(slot_steps, cfg=cfg, gen=gen, n_steps=chunk_steps,
+                            pos_off=self.pos_off),
+                    donate_argnames=("state",),
+                ),
+                jax.jit(partial(slot_admit, cfg=cfg), donate_argnames=("state",)),
+                jax.jit(partial(
+                    slot_prefill, cfg=cfg, gen=gen,
+                    capture_latents=engine.fast_latents, quant_kv=engine.quant_kv,
+                )),
+            )
+        self._steps_fn, self._admit_fn, self._prefill_fn = engine._decode_cache[jit_key]
         # per-row dynamic sampling columns (host copies, uploaded per chunk)
         self.dyn_cols = {
             name: np.full((n_slots,), float(base_dyn[name]), np.float32)
-            for name in engine.BATCH_DYNAMIC_PARAMS
+            for name in SLOT_DYNAMIC_PARAMS
         }
         self.pending: deque = deque()
         self.slots: List[Optional[Dict[str, Any]]] = [None] * n_slots
@@ -123,11 +136,12 @@ class SlotSession:
         later tick()/drain(). per_request_kwargs: BATCH_DYNAMIC_PARAMS only
         (same contract as infer_batch's per_request_kwargs)."""
         eng = self.engine
-        bad = set(per_request_kwargs) - set(eng.BATCH_DYNAMIC_PARAMS)
+        bad = set(per_request_kwargs) - set(SLOT_DYNAMIC_PARAMS)
         if bad:
             raise ValueError(
-                f"per-request overrides are allowed only for "
-                f"{eng.BATCH_DYNAMIC_PARAMS}; got {sorted(bad)}"
+                f"per-request overrides in slot mode are allowed only for "
+                f"{SLOT_DYNAMIC_PARAMS} (length_penalty only affects beams "
+                f"and slot mode is num_beams=1); got {sorted(bad)}"
             )
         mel = eng._resolve_prompt(prompt)
         conds = eng._conds_for(mel)
@@ -139,7 +153,7 @@ class SlotSession:
         rid = self._next_rid
         self._next_rid += 1
         dyn = {k: float(per_request_kwargs.get(k, self.base_dyn[k]))
-               for k in eng.BATCH_DYNAMIC_PARAMS}
+               for k in SLOT_DYNAMIC_PARAMS}
         self.requests[rid] = {
             "mel": mel, "n_rows": len(sents), "rows": {},
             "output_path": output_path, "submitted": time.perf_counter(),
@@ -158,7 +172,7 @@ class SlotSession:
         eng = self.engine
         cfg = eng.cfg.gpt
         t = row["tokens"]
-        l = min(max(_round_up(t.shape[1], 8), 8), max(cfg.max_text_tokens, t.shape[1]))
+        l = eng._text_bucket(t.shape[1])  # the one shared bucketing
         padded = np.full((1, l), cfg.stop_text_token, np.int32)
         padded[:, : t.shape[1]] = t
         self.rng, sub = jax.random.split(self.rng)
@@ -189,7 +203,12 @@ class SlotSession:
         if not fin:
             return []
         codes_all = np.asarray(self.state.codes)
-        lens_all = np.asarray(slot_lengths(self.state.codes, eng.stop_mel_token))
+        # lengths on host from the buffer just fetched (slot_lengths
+        # semantics; a device call here would pay the ~32 ms fixed
+        # dispatch+fetch overhead every harvesting tick)
+        is_stop = codes_all == eng.stop_mel_token
+        lens_all = np.where(is_stop.any(axis=1),
+                            is_stop.argmax(axis=1) + 1, codes_all.shape[1])
         pending_tf = []  # (slot, row, codes, code_lens) for teacher-forced
         for slot in fin:
             row = self.slots[slot]

@@ -164,3 +164,37 @@ class TestSlotServingMode:
         out = eng.infer_slots([(_prompt(21), "HI.")], n_slots=1, **GREEDY)
         assert len(out) == 1
         assert calls == []
+
+    def test_compacted_codes_fall_back_to_teacher_forced(self, serving_engine, monkeypatch):
+        """When silence removal MODIFIES a row's codes, its captured latents
+        no longer describe the vocoded sequence: the harvest must take the
+        batched teacher-forced fallback (serving.py pending_tf), and the
+        result must still match solo infer under the same modification."""
+        eng = serving_engine
+        orig_rls = eng.remove_long_silence.__func__
+
+        def compact(self, codes, silent_token=52, max_consecutive=30):
+            out, lens = orig_rls(self, codes, silent_token=silent_token,
+                                 max_consecutive=max_consecutive)
+            out = np.asarray(out).copy()
+            # flip the last code's VALUE (not a prefix trim — prefix-
+            # preserving trims keep the captured latents valid by design)
+            out[:, -1] = np.where(out[:, -1] == 3, 4, 3)
+            return out, lens
+
+        monkeypatch.setattr(type(eng), "remove_long_silence", compact)
+        calls = []
+        orig_lat = eng._gpt_latent_many
+
+        def spy(rows):
+            calls.append(len(rows))
+            return orig_lat(rows)
+
+        monkeypatch.setattr(eng, "_gpt_latent_many", spy)
+        mel = _prompt(22)
+        out = eng.infer_slots([(mel, "HI THERE.")], n_slots=2, **GREEDY)
+        assert calls, "modified codes must take the teacher-forced fallback"
+        solo = eng.infer(mel, "HI THERE.", None, **GREEDY)
+        assert out[0][1].shape == solo[1].shape
+        np.testing.assert_allclose(out[0][1].astype(np.float32),
+                                   solo[1].astype(np.float32), atol=2.0)
