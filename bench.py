@@ -618,6 +618,14 @@ def main():
                     text_b = jnp.asarray(npr.integers(2, 8000, (bb, TEXT_LEN)), jnp.int32)
                     lens_b = jnp.full((bb,), TEXT_LEN, jnp.int32)
 
+                # beyond B=64 the MONOLITHIC vocoder graph fails to compile
+                # (2x-rate wide-stage intermediates are per-sample memory);
+                # sub-batching the vocoder at 32 rows compiles and measured
+                # ~126 audio-s/s at B=128 / ~128 at B=256 (saturated —
+                # tools/probe_b128.py). The engine's _vocode_many already
+                # sub-batches, so serving gets this shape for free.
+                vchunk = 32 if bb > 64 else bb
+
                 def pipe(key):
                     conds = cond_fn(gpt_params, cond_mel, jnp.asarray([COND_FRAMES]))
                     cb = jnp.broadcast_to(conds, (bb,) + conds.shape[1:])
@@ -626,9 +634,11 @@ def main():
                         rng=key, temperature=jnp.float32(1.0), top_p=jnp.float32(0.8),
                         repetition_penalty=jnp.float32(10.0),
                     )
-                    wav = voc_fn(bv_params, lat.astype(dtype),
-                                 jnp.broadcast_to(cond_mel, (bb,) + cond_mel.shape[1:]))
-                    return wav, code_lens
+                    lat = lat.astype(dtype)
+                    mel_v = jnp.broadcast_to(cond_mel, (vchunk,) + cond_mel.shape[1:])
+                    wavs = [voc_fn(bv_params, lat[i:i + vchunk], mel_v)
+                            for i in range(0, bb, vchunk)]
+                    return wavs[-1], code_lens
 
                 pipe(jax.random.PRNGKey(key_base))[0].block_until_ready()  # compile
                 vals = []
@@ -782,7 +792,8 @@ def main():
     # the legacy extras so it can only starve itself; needs the serve block
     # above to have built serve_at_batch.
     serving_b64_rtf_inv = None
-    for bb in (32, 64):
+    serving_b128_rtf_inv = None
+    for bb in (32, 64, 128):
         elapsed = time.perf_counter() - (bench_start or 0)
         if (serving_mode_rtf_inv is None or bench_start is None
                 or elapsed >= budget_s - margin["serve"]):
@@ -794,8 +805,10 @@ def main():
             break
         if bb == 32:
             serving_b32_rtf_inv = val
-        else:
+        elif bb == 64:
             serving_b64_rtf_inv = val
+        else:
+            serving_b128_rtf_inv = val
 
     # streaming TTFA: time-to-first-audio-chunk through engine.infer_stream —
     # the actual path /api/synthesize-stream serves (VERDICT round-1 weak #7).
@@ -928,6 +941,7 @@ def main():
             "serving_mode_audio_s_per_s": serving_mode_rtf_inv,
             "serving_b32_audio_s_per_s": serving_b32_rtf_inv,
             "serving_b64_audio_s_per_s": serving_b64_rtf_inv,
+            "serving_b128_audio_s_per_s": serving_b128_rtf_inv,
             "beam3_default_audio_s_per_s": beam3_default_rtf_inv,
             "beam3_serving_decode_audio_s_per_s": beam3_serving_rtf_inv,
             "b16_audio_s_per_s": b16,
