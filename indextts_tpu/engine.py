@@ -764,6 +764,7 @@ class IndexTTS:
             groups.setdefault(fb, []).append(i)
         out: List[Optional[np.ndarray]] = [None] * len(chunks)
         bucket_max = 16
+        pending: List[Tuple[List[int], jnp.ndarray]] = []
         for fb, idxs in sorted(groups.items()):
             idxs.sort(key=lambda i: chunks[i][0].shape[1])
             for k in range(0, len(idxs), bucket_max):
@@ -792,12 +793,22 @@ class IndexTTS:
                 fn = self._vocoder_fn(b, m, fb, int16_out=True)
                 wav = fn(self.bigvgan_params, lat_b.astype(self.dtype),
                          jnp.asarray(mel_b, self.dtype), jnp.asarray(rel, jnp.float32))
-                # int16 crosses the (slow) device->host link at half the
-                # bytes of f32 — and int16 IS the output WAV format, so the
-                # on-device scale+clip+cast loses nothing vs the host cast
-                wav_np = np.asarray(wav[:b0, :, 0])  # [b0, T] int16
-                for j, i in enumerate(part):
-                    out[i] = wav_np[j : j + 1, : chunks[i][1] * spc]
+                # dispatch-only here: fetching inside the loop would idle
+                # the device for the ~0.35-0.4 s tunnel transfer of each
+                # sub-batch; deferring all fetches lets sub-batch k+1
+                # compute while sub-batch k crosses the link
+                # (INDEXTTS_EAGER_WAV_FETCH=1: measurement knob restoring
+                # the in-loop fetch for A/B timing, docs/PERF.md)
+                pending.append((part, wav[:b0, :, 0]))
+                if os.environ.get("INDEXTTS_EAGER_WAV_FETCH") == "1":
+                    np.asarray(pending[-1][1])
+        for part, wav_dev in pending:
+            # int16 crosses the (slow) device->host link at half the
+            # bytes of f32 — and int16 IS the output WAV format, so the
+            # on-device scale+clip+cast loses nothing vs the host cast
+            wav_np = np.asarray(wav_dev)  # [b0, T] int16
+            for j, i in enumerate(part):
+                out[i] = wav_np[j : j + 1, : chunks[i][1] * spc]
         return out
 
     # ------------------------------------------------------------------
