@@ -340,6 +340,11 @@ def create_app(engine=None, base_dir: Optional[str] = None,
                 engine.infer_batch(
                     [(j["prompt_mel"], j["text"]) for j in jobs],
                     output_paths=[j["output"] for j in jobs],
+                    # decode bucket >= the configured wave size, or a full
+                    # wave decodes in slices of 8 and loses the weight-
+                    # stream amortization batching exists for (SERVING.md:
+                    # 128 reqs at bucket 8 measured 4.6x the bucket-128 wall)
+                    sentences_bucket_max_size=max(8, batch_requests),
                     max_text_tokens_per_sentence=int(jobs[0]["max_tokens"]),
                     verbose=any(j["verbose"] for j in jobs),
                     per_request_kwargs=[

@@ -462,6 +462,9 @@ class TestContinuousBatching:
         assert sorted(batch_calls[0][1]) == ["first one.", "second one."]
         # verbose rides through to infer_batch (default verbose_tts=true)
         assert batch_calls[0][2]["verbose"] is True
+        # decode bucket must cover the configured wave size or a full wave
+        # decodes in slices of 8 and loses the weight-stream amortization
+        assert batch_calls[0][2]["sentences_bucket_max_size"] >= 8
         for i in ids:
             assert app._tasks_status[i]["audio_url"].startswith("/static/outputs/")
 
