@@ -59,8 +59,14 @@ def main():
         else None
     )
 
+    # num_beams is EXPLICIT: omitting it silently measured the engine's
+    # reference-default beam-3 decode (discovered late round 3 — every
+    # historical row in SERVING.md's engine table is a beam-3 number).
+    # E2E_BEAMS=1 measures the greedy serving config.
+    beams = int(os.environ.get("E2E_BEAMS", 3))
     kwargs = dict(do_sample=True, top_k=30, max_mel_tokens=max_mel,
-                  temperature=1.0, top_p=0.8, repetition_penalty=10.0)
+                  num_beams=beams, temperature=1.0, top_p=0.8,
+                  repetition_penalty=10.0)
 
     for mode in modes:
         serving = mode == "serving"
@@ -93,7 +99,7 @@ def main():
                     audio = run(n)
                     wall = time.perf_counter() - t0
                     vals.append(audio / wall)
-                print(f"[{mode:7s}] reqs={n:3d} engine e2e "
+                print(f"[{mode:7s}] reqs={n:3d} beams={beams} engine e2e "
                       f"{float(np.median(vals)):7.2f} audio-s/s "
                       f"(runs {['%.1f' % v for v in vals]})", flush=True)
             except Exception as e:
