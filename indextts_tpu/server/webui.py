@@ -418,6 +418,16 @@ def create_app(engine=None, base_dir: Optional[str] = None,
                     tuple(sorted((k, v) for k, v in job["kwargs"].items()
                                  if k not in _DYN)))
 
+        def _job_fail(j, msg):
+            # streaming jobs have no task-status row: releasing stream_done
+            # ends the chunked HTTP response (truncated audio, loud log)
+            if "stream_done" in j:
+                j["stream_done"].set()
+            else:
+                _update_status(j["task_id"],
+                               {"status": "failed", "message": msg,
+                                "finished_at": time.time()})
+
         while True:
             with batch_cond:
                 if not batch_pending and not any(s.busy for s in sessions.values()):
@@ -441,6 +451,12 @@ def create_app(engine=None, base_dir: Optional[str] = None,
                                     and not any(k[0] == s for k in live)]
                             if idle:
                                 sessions.pop(idle[0])
+                            elif "stream_done" in j:
+                                # streaming jobs fall back to the route's
+                                # own solo infer_stream producer
+                                j["stream_solo"] = True
+                                j["stream_done"].set()
+                                continue
                             else:
                                 _solo_fallback(j)
                                 continue
@@ -462,17 +478,16 @@ def create_app(engine=None, base_dir: Optional[str] = None,
                     # solo/streaming workers (one process per TPU)
                     with worker_lock:
                         rid = sess.submit(j["prompt_mel"], j["text"],
-                                          output_path=j["output"], **dyn)
+                                          output_path=j["output"],
+                                          on_chunk=j.get("stream_chunk"), **dyn)
                     live[(sig, rid)] = j
-                    _update_status(j["task_id"],
-                                   {"status": "processing", "progress": 5,
-                                    "message": "decoding (slot batch)..."})
+                    if "stream_done" not in j:
+                        _update_status(j["task_id"],
+                                       {"status": "processing", "progress": 5,
+                                        "message": "decoding (slot batch)..."})
                 except Exception as e:
                     traceback.print_exc()
-                    _update_status(j["task_id"],
-                                   {"status": "failed",
-                                    "message": f"synthesis failed: {e}",
-                                    "finished_at": time.time()})
+                    _job_fail(j, f"synthesis failed: {e}")
             for sig, sess in list(sessions.items()):
                 if not sess.busy:
                     continue
@@ -485,16 +500,17 @@ def create_app(engine=None, base_dir: Optional[str] = None,
                     traceback.print_exc()
                     for key, j in list(live.items()):
                         if key[0] == sig:
-                            _update_status(j["task_id"],
-                                           {"status": "failed",
-                                            "message": f"synthesis failed: {e}",
-                                            "finished_at": time.time()})
+                            _job_fail(j, f"synthesis failed: {e}")
                             live.pop(key)
                     sessions.pop(sig)
                     continue
                 for rid, _res in done:
                     j = live.pop((sig, rid), None)
-                    if j is not None:
+                    if j is None:
+                        continue
+                    if "stream_done" in j:
+                        j["stream_done"].set()
+                    else:
                         _update_status(j["task_id"],
                                        _completed_fields(j["text"], j["output"]))
 
@@ -743,12 +759,44 @@ def create_app(engine=None, base_dir: Optional[str] = None,
 
             def produce():
                 try:
-                    with worker_lock:
-                        for chunk in engine.infer_stream(prompt_mel, text_input, **kwargs):
-                            if cancelled.is_set():
+                    # under --slot-batching on a fast_latents engine, the
+                    # stream rides the rolling decode batch (SlotSession
+                    # on_chunk): streaming TTFA under sustained load instead
+                    # of queueing behind the solo worker. The dispatcher
+                    # sets stream_solo when it cannot place the job (both
+                    # sessions busy with another signature) — then fall
+                    # through to the solo infer_stream path.
+                    use_slots = (slot_requests > 0
+                                 and getattr(engine, "fast_latents", False))
+                    if use_slots:
+                        done_evt = threading.Event()
+
+                        def on_chunk(_rid, chunk):
+                            if not cancelled.is_set():
+                                q.put(np.ascontiguousarray(chunk, dtype="<i2").tobytes())
+
+                        job = {"task_id": f"stream-{uuid.uuid4()}",
+                               "prompt_mel": prompt_mel, "text": text_input,
+                               "output": None, "verbose": False,
+                               "kwargs": {**kwargs, "num_beams": 1},
+                               "max_tokens": 120,
+                               "stream_chunk": on_chunk, "stream_done": done_evt}
+                        with batch_cond:
+                            batch_pending.append(job)
+                            batch_cond.notify_all()
+                        deadline = time.time() + 3600
+                        while not done_evt.wait(timeout=0.25):
+                            if cancelled.is_set() or time.time() > deadline:
                                 break
-                            pcm = np.clip(chunk * 32767.0, -32767, 32767).astype("<i2")
-                            q.put(pcm.tobytes())
+                        if job.get("stream_solo") and not cancelled.is_set():
+                            use_slots = False
+                    if not use_slots:
+                        with worker_lock:
+                            for chunk in engine.infer_stream(prompt_mel, text_input, **kwargs):
+                                if cancelled.is_set():
+                                    break
+                                pcm = np.clip(chunk * 32767.0, -32767, 32767).astype("<i2")
+                                q.put(pcm.tobytes())
                 except Exception:
                     traceback.print_exc()
                 finally:

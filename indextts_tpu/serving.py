@@ -67,6 +67,7 @@ class SlotSession:
         n_slots: int = 8,
         chunk_steps: int = 25,
         max_text_tokens_per_sentence: int = 120,
+        stream_overlap_codes: int = 8,
         seed: int = 0,
         verbose: bool = False,
         **generation_kwargs,
@@ -82,6 +83,7 @@ class SlotSession:
         self.base_dyn = base_dyn
         self.n_slots = n_slots
         self.chunk_steps = chunk_steps
+        self.stream_overlap = max(0, int(stream_overlap_codes))
         self.verbose = verbose
         self.max_split = engine._clamp_split_len(max_text_tokens_per_sentence)
         self.pos_off = 1 if engine.fast_latents else 2
@@ -117,6 +119,20 @@ class SlotSession:
                 )),
             )
         self._steps_fn, self._admit_fn, self._prefill_fn = engine._decode_cache[jit_key]
+        # fixed-width latent window extractor for STREAMING rows: one
+        # compiled shape wherever the window sits; positions >= n_valid are
+        # zeroed to match _vocode_many's own zero-padding semantics (the
+        # caller clamps start host-side so the slice never clips)
+        self._win_w = min(chunk_steps + self.stream_overlap + 1, gen.max_new_tokens)
+        wkey = ("slot_win", self._win_w)
+        if wkey not in engine._decode_cache:
+            def _win(lat, slot, start, n_valid, _w=self._win_w):
+                row = jax.lax.dynamic_slice_in_dim(lat[slot], start, _w, axis=0)
+                mask = (jnp.arange(_w) < n_valid)[:, None]
+                return jnp.where(mask, row, 0)[None]
+
+            engine._decode_cache[wkey] = jax.jit(_win)
+        self._win_fn = engine._decode_cache[wkey]
         # per-row dynamic sampling columns (host copies, uploaded per chunk)
         self.dyn_cols = {
             name: np.full((n_slots,), float(base_dyn[name]), np.float32)
@@ -131,10 +147,26 @@ class SlotSession:
     # ------------------------------------------------------------------
 
     def submit(self, prompt, text: str, output_path: Optional[str] = None,
-               **per_request_kwargs) -> int:
+               on_chunk=None, **per_request_kwargs) -> int:
         """Enqueue one request. Returns its id; the result arrives from a
-        later tick()/drain(). per_request_kwargs: BATCH_DYNAMIC_PARAMS only
-        (same contract as infer_batch's per_request_kwargs)."""
+        later tick()/drain(). per_request_kwargs: SLOT_DYNAMIC_PARAMS only
+        (same normalization as infer_batch's per_request_kwargs).
+
+        `on_chunk(rid, wav_chunk)` makes the request STREAMING: each tick
+        delivers the newly decoded audio (int16 [samples] mono, 24 kHz,
+        infer_stream's window/overlap-trim semantics) while the request is
+        still decoding — streaming TTFA under sustained load, which solo
+        `infer_stream` (one request owns the device) cannot give. The
+        concatenated chunks ARE the final result (sample count equals the
+        non-streamed slot output; window boundaries may differ within
+        vocoder-edge tolerance, the infer_stream contract). Requirements:
+        a fast_latents engine (chunk latents are captured during decode);
+        silence removal is skipped (audio has already left the building,
+        matching infer_stream); a multi-sentence streaming request decodes
+        its rows SEQUENTIALLY (row j+1 is queued when row j finishes) so
+        chunks always arrive in playback order. on_chunk must not raise —
+        an exception propagates out of tick() and aborts the scheduler
+        cycle mid-harvest."""
         eng = self.engine
         bad = set(per_request_kwargs) - set(SLOT_DYNAMIC_PARAMS)
         if bad:
@@ -142,6 +174,11 @@ class SlotSession:
                 f"per-request overrides in slot mode are allowed only for "
                 f"{SLOT_DYNAMIC_PARAMS} (length_penalty only affects beams "
                 f"and slot mode is num_beams=1); got {sorted(bad)}"
+            )
+        if on_chunk is not None and self.state.lat is None:
+            raise ValueError(
+                "streaming slot requests need a fast_latents=True engine "
+                "(chunk latents are captured during decode)"
             )
         mel = eng._resolve_prompt(prompt)
         conds = eng._conds_for(mel)
@@ -154,15 +191,22 @@ class SlotSession:
         self._next_rid += 1
         dyn = {k: float(per_request_kwargs.get(k, self.base_dyn[k]))
                for k in SLOT_DYNAMIC_PARAMS}
+        token_rows = [
+            np.asarray(eng.tokenizer.convert_tokens_to_ids(s), np.int32)[None, :]
+            for s in sents
+        ]
         self.requests[rid] = {
             "mel": mel, "n_rows": len(sents), "rows": {},
             "output_path": output_path, "submitted": time.perf_counter(),
+            "on_chunk": on_chunk, "chunks": [],
+            "row_tokens": token_rows, "next_row": 1, "conds": conds, "dyn": dyn,
         }
-        for j, sent in enumerate(sents):
-            tokens = np.asarray(
-                eng.tokenizer.convert_tokens_to_ids(sent), np.int32)[None, :]
+        # streaming rows decode sequentially (chunks must arrive in playback
+        # order); non-streaming rows all enter the queue at once
+        for j, tokens in enumerate(token_rows if on_chunk is None else token_rows[:1]):
             self.pending.append(
-                {"rid": rid, "row": j, "tokens": tokens, "conds": conds, "dyn": dyn}
+                {"rid": rid, "row": j, "tokens": tokens, "conds": conds,
+                 "dyn": dyn, "stream": on_chunk is not None, "emitted": 0}
             )
         return rid
 
@@ -210,6 +254,7 @@ class SlotSession:
         lens_all = np.where(is_stop.any(axis=1),
                             is_stop.argmax(axis=1) + 1, codes_all.shape[1])
         pending_tf = []  # (slot, row, codes, code_lens) for teacher-forced
+        stream_fin = []  # (slot, row, n) — streaming rows finalize by chunk
         for slot in fin:
             row = self.slots[slot]
             n = max(int(lens_all[slot]), 1)
@@ -219,6 +264,13 @@ class SlotSession:
                     "WARN: generation stopped due to exceeding `max_mel_tokens` "
                     f"({self.max_mel_tokens}).", category=RuntimeWarning)
                 self._warned_max = True
+            if row.get("stream"):
+                # streaming rows skip silence removal (the audio has already
+                # left the building — infer_stream's contract) and finalize
+                # from the captured latents below
+                stream_fin.append((slot, row, n))
+                self.slots[slot] = None
+                continue
             code_row = codes_all[slot : slot + 1, :n]
             codes, code_lens = eng.remove_long_silence(
                 code_row, silent_token=52, max_consecutive=30
@@ -239,6 +291,25 @@ class SlotSession:
             for (_s, row, cd, cl), lat in zip(pending_tf, lats):
                 self.requests[row["rid"]]["rows"][row["row"]] = (
                     lat, int(np.asarray(cl).reshape(-1)[0]))
+        if stream_fin:
+            # final window (covers codes since the last emission, incl. the
+            # stop-length semantics the non-streamed harvest vocodes), then
+            # queue the request's next sentence row — sequential admission
+            # keeps a multi-row streaming request's chunks in playback order
+            todo = [(slot, row, self._win_start(row["emitted"]), n)
+                    for slot, row, n in stream_fin if n > row["emitted"]]
+            if todo:
+                self._emit_stream_chunks(todo)
+            for _slot, row, _n in stream_fin:
+                req = self.requests[row["rid"]]
+                req["rows"][row["row"]] = True  # audio already in req["chunks"]
+                if req["next_row"] < req["n_rows"]:
+                    j = req["next_row"]
+                    req["next_row"] += 1
+                    self.pending.append(
+                        {"rid": row["rid"], "row": j,
+                         "tokens": req["row_tokens"][j], "conds": req["conds"],
+                         "dyn": req["dyn"], "stream": True, "emitted": 0})
         # assemble + vocode every request completed this tick (one batched
         # vocoder pass across requests — engine._vocode_many)
         completed = [
@@ -247,8 +318,10 @@ class SlotSession:
         ]
         results: List[Tuple[int, Any]] = []
         if completed:
+            latent_done = [r for r in completed
+                           if self.requests[r]["on_chunk"] is None]
             chunk_list, chunk_rid = [], []
-            for rid in completed:
+            for rid in latent_done:
                 req = self.requests[rid]
                 rows = [req["rows"][j] for j in range(req["n_rows"])]
                 for k in range(0, len(rows), 2):  # chunk_size=2, as infer_batch
@@ -256,11 +329,15 @@ class SlotSession:
                     latent = jnp.concatenate([l for l, _ in part], axis=1)
                     chunk_list.append((latent, sum(nv for _, nv in part), req["mel"]))
                     chunk_rid.append(rid)
-            wavs = eng._vocode_many(chunk_list)
+            wavs = eng._vocode_many(chunk_list) if chunk_list else []
             for rid in completed:
                 req = self.requests.pop(rid)
-                wav = np.concatenate(
-                    [w for w, r in zip(wavs, chunk_rid) if r == rid], axis=1)
+                if req["on_chunk"] is not None:
+                    # streamed: the delivered chunks ARE the result
+                    wav = np.concatenate(req["chunks"])[None, :]
+                else:
+                    wav = np.concatenate(
+                        [w for w, r in zip(wavs, chunk_rid) if r == rid], axis=1)
                 results.append(
                     (rid, eng._emit(wav, req["output_path"], 24000)))
                 if self.verbose:
@@ -268,6 +345,56 @@ class SlotSession:
                           f"{time.perf_counter() - req['submitted']:.2f}s "
                           f"({wav.shape[-1] / 24000:.2f}s audio)")
         return results
+
+    # ------------------------------------------------------------------
+
+    def _win_start(self, emitted: int) -> int:
+        """Window start for a streaming emission: overlap context behind the
+        last emitted code, clamped host-side so the fixed-width device
+        slice (self._win_w) never clips at the buffer end."""
+        start = max(emitted - self.stream_overlap, 0)
+        return max(min(start, self.gen.max_new_tokens - self._win_w), 0)
+
+    def _emit_stream_chunks(self, todo) -> None:
+        """Vocode streaming windows (slot, row, start, n_now) in ONE batched
+        vocoder call and deliver each trimmed chunk via the request's
+        on_chunk callback (int16 [samples], infer_stream trim semantics)."""
+        eng = self.engine
+        spc = eng._samples_per_code()
+        wins = [
+            (self._win_fn(self.state.lat, slot, start, n_now - start),
+             n_now - start, self.requests[row["rid"]]["mel"])
+            for slot, row, start, n_now in todo
+        ]
+        wavs = eng._vocode_many(wins)
+        for (slot, row, start, n_now), wav in zip(todo, wavs):
+            chunk = wav[0, (row["emitted"] - start) * spc:]
+            req = self.requests[row["rid"]]
+            req["chunks"].append(chunk)
+            req["on_chunk"](row["rid"], chunk)
+            row["emitted"] = n_now
+
+    def _stream_emit(self) -> None:
+        """Interim streaming pass, once per tick after the decode chunk:
+        vocode every ACTIVE streaming row's newly decoded window (rows that
+        finished this chunk are finalized by _harvest with stop-length
+        semantics)."""
+        rows = [(s, r) for s, r in enumerate(self.slots)
+                if r is not None and r.get("stream")]
+        if not rows:
+            return
+        done = np.asarray(self.state.done)
+        i_b = np.asarray(self.state.i_b)
+        todo = []
+        for slot, row in rows:
+            if done[slot]:
+                continue
+            n_now = int(i_b[slot]) + 1
+            if n_now <= row["emitted"]:
+                continue
+            todo.append((slot, row, self._win_start(row["emitted"]), n_now))
+        if todo:
+            self._emit_stream_chunks(todo)
 
     # ------------------------------------------------------------------
 
@@ -286,6 +413,7 @@ class SlotSession:
                 repetition_penalty=cols["repetition_penalty"],
                 typical_mass=cols["typical_mass"],
             )
+            self._stream_emit()
         return self._harvest()
 
     @property

@@ -912,13 +912,13 @@ class SlotFakeSession:
         self._next = 0
         self.fail_ticks = False
 
-    def submit(self, prompt, text, output_path=None, **dyn):
+    def submit(self, prompt, text, output_path=None, on_chunk=None, **dyn):
         if not text.strip():
             raise ValueError("text is empty")
         rid = self._next
         self._next += 1
         self.engine.calls.append(("slot_submit", text, dict(self.kw), dyn))
-        self.pending[rid] = [output_path, 0]
+        self.pending[rid] = [output_path, 0, on_chunk]
         return rid
 
     @property
@@ -933,8 +933,11 @@ class SlotFakeSession:
         done = []
         for rid, ent in list(self.pending.items()):
             ent[1] += 1
+            if ent[2] is not None:  # streaming request: one chunk per tick
+                ent[2](rid, np.full((16,), 7, np.int16))
             if ent[1] >= 2:
-                write_wav(ent[0], np.zeros((1, 2400), np.int16), 24000)
+                if ent[0] is not None:
+                    write_wav(ent[0], np.zeros((1, 2400), np.int16), 24000)
                 done.append((rid, ent[0]))
                 self.pending.pop(rid)
         return done
@@ -1060,6 +1063,59 @@ class TestSlotBatching:
         temps = sorted(c[3]["temperature"] for c in engine.calls
                        if c[0] == "slot_submit")
         assert temps == [0.7, 1.3]
+
+    def test_stream_rides_slot_batch(self, tmp_path):
+        """/api/synthesize-stream under --slot-batching on a fast_latents
+        engine: the chunked response is fed by the SlotSession's on_chunk
+        callback (rolling admission) instead of the solo infer_stream."""
+        engine = SlotFakeEngine()
+        engine.fast_latents = True
+        app = create_app(engine, base_dir=str(tmp_path), slot_requests=4)
+        client = Client(app)
+        status, headers, result = client.request(
+            "POST", "/api/synthesize-stream",
+            *_multipart_body({"text": "stream me."},
+                             {"referenceAudioFile": ("p.wav", _wav_bytes())}),
+        )
+        assert status == 200
+        assert headers["Content-Type"] == "audio/wav"
+        chunks = [bytes(c) for c in result]
+        assert chunks[0].startswith(b"RIFF")
+        total_pcm = sum(len(c) for c in chunks[1:])
+        assert total_pcm == 2 * 16 * 2  # two fake 16-sample int16 chunks
+        assert any(c[0] == "slot_submit" for c in engine.calls)
+        assert not any(c[0] == "infer_stream" for c in engine.calls)
+
+    def test_stream_solo_fallback_when_sessions_busy(self, tmp_path):
+        """A streaming job that cannot be placed (both sessions busy with
+        other signatures) falls back to the route's solo infer_stream."""
+        engine = SlotFakeEngine()
+        engine.fast_latents = True
+        engine.gate = threading.Event()  # hold sessions busy
+
+        def fake_stream(prompt_mel, text, **kw):
+            engine.calls.append(("infer_stream", text, kw))
+            yield np.zeros(8, np.float32)
+
+        engine.infer_stream = fake_stream
+        app = create_app(engine, base_dir=str(tmp_path), slot_requests=4)
+        client = Client(app)
+        ida = self._submit(client, "sig a.", {"top_k": "5"})
+        idb = self._submit(client, "sig b.", {"top_k": "50"})
+        start = time.time()
+        while time.time() - start < 10 and len(engine.sessions) < 2:
+            time.sleep(0.02)
+        assert len(engine.sessions) == 2
+        status, headers, result = client.request(
+            "POST", "/api/synthesize-stream",
+            *_multipart_body({"text": "stream me.", "top_k": "99"},
+                             {"referenceAudioFile": ("p.wav", _wav_bytes())}),
+        )
+        assert status == 200
+        list(result)  # drain the chunked body
+        assert any(c[0] == "infer_stream" for c in engine.calls)
+        engine.gate.set()
+        self._wait(app, [ida, idb])
 
     def test_poisoned_session_fails_jobs_and_recovers(self, tmp_path):
         engine = SlotFakeEngine()

@@ -198,3 +198,82 @@ class TestSlotServingMode:
         assert out[0][1].shape == solo[1].shape
         np.testing.assert_allclose(out[0][1].astype(np.float32),
                                    solo[1].astype(np.float32), atol=2.0)
+
+
+class TestSlotStreaming:
+    """Streaming slot requests (submit(..., on_chunk=...)): chunked audio
+    from a live rolling batch. Chunks concatenated ARE the final result
+    (sample-count-exact vs the non-streamed slot output; interior within
+    vocoder window-edge tolerance — the infer_stream contract)."""
+
+    @pytest.fixture(scope="class")
+    def serving_engine(self, tmp_path_factory):
+        from indextts_tpu.config import save_config
+        from indextts_tpu.engine import IndexTTS
+        from tests.test_engine import tiny_config
+
+        d = tmp_path_factory.mktemp("ckpt_slots_stream")
+        cfg_path = str(d / "config.yaml")
+        save_config(tiny_config(), cfg_path)
+        return IndexTTS(cfg_path=cfg_path, model_dir=str(d), is_fp16=False,
+                        allow_random_init=True, fast_latents=True, quant_kv=True)
+
+    def test_chunks_concatenate_to_result(self, serving_engine):
+        eng = serving_engine
+        got = []
+        sess = eng.slot_session(n_slots=2, chunk_steps=3, **GREEDY)
+        mel = _prompt(30)
+        rid_s = sess.submit(mel, "HI THERE.",
+                            on_chunk=lambda r, c: got.append((r, c.copy())))
+        sess.submit(mel, "HELLO.")  # plain request shares the batch
+        out = sess.drain()
+        assert len(out) == 2
+        wav = out[rid_s][1]
+        assert got and all(r == rid_s for r, _ in got)
+        cat = np.concatenate([c for _, c in got])
+        np.testing.assert_array_equal(cat, wav.reshape(-1))
+
+    def test_sample_count_matches_non_streamed(self, serving_engine):
+        eng = serving_engine
+        mel = _prompt(31)
+        got = []
+        sess = eng.slot_session(n_slots=2, chunk_steps=3, **GREEDY)
+        rid = sess.submit(mel, "HI THERE.",
+                          on_chunk=lambda r, c: got.append(c.copy()))
+        wav = sess.drain()[rid][1]
+        base = eng.infer_slots([(mel, "HI THERE.")], n_slots=2, **GREEDY)[0][1]
+        assert wav.shape == base.shape
+        # matches within vocoder window-edge tolerance: a streamed chunk's
+        # right edge is vocoded without future context the one-shot vocode
+        # has (measured 4/256 samples off by <=4 at int16 scale here)
+        np.testing.assert_allclose(wav.astype(np.float32),
+                                   base.astype(np.float32), atol=8.0)
+
+    def test_multi_sentence_rows_stream_sequentially(self, serving_engine):
+        eng = serving_engine
+        mel = _prompt(32)
+        got = []
+        sess = eng.slot_session(n_slots=2, chunk_steps=2, **GREEDY)
+        rid = sess.submit(mel, "ONE TWO. THREE FOUR FIVE.",
+                          on_chunk=lambda r, c: got.append(c.copy()))
+        wav = sess.drain()[rid][1]
+        assert len(got) >= 2
+        cat = np.concatenate(got)
+        np.testing.assert_array_equal(cat, wav.reshape(-1))
+        base = eng.infer_slots([(mel, "ONE TWO. THREE FOUR FIVE.")],
+                               n_slots=2, **GREEDY)[0][1]
+        assert wav.shape == base.shape
+
+    def test_streaming_requires_fast_latents(self, tmp_path_factory):
+        from indextts_tpu.config import save_config
+        from indextts_tpu.engine import IndexTTS
+        from tests.test_engine import tiny_config
+
+        d = tmp_path_factory.mktemp("ckpt_slots_plain")
+        cfg_path = str(d / "config.yaml")
+        save_config(tiny_config(), cfg_path)
+        eng = IndexTTS(cfg_path=cfg_path, model_dir=str(d), is_fp16=False,
+                       allow_random_init=True)
+        sess = eng.slot_session(n_slots=1, **GREEDY)
+        with pytest.raises(ValueError, match="fast_latents"):
+            sess.submit(_prompt(33), "HI.", on_chunk=lambda r, c: None)
