@@ -141,6 +141,41 @@ def main():
             print(f"[{mode}] {name}: {float(np.median(vals)):.2f} audio-s/s "
                   f"(runs {['%.1f' % v for v in vals]})", flush=True)
 
+        # --- streaming slot request under load: time-to-first-chunk for a
+        # request joining a session whose other slots are mid-decode, and
+        # the per-tick cost with one streaming row mixed in (the premium a
+        # streaming row adds: its ~(chunk+overlap)-code window re-vocode)
+        if not serving:
+            continue  # streaming needs fast_latents
+        sess.submit(prompt, TEXTS[1], on_chunk=lambda r, c: None)
+        sess.drain()  # compile the window extractor + window vocoder shapes
+        for it in items[: n_slots - 1]:
+            sess.submit(*it)
+        for _ in range(2):
+            sess.tick()  # other slots mid-decode
+        first = []
+        t_submit = time.perf_counter()
+        sess.submit(prompt, TEXTS[0],
+                    on_chunk=lambda r, c, t0=t_submit: first.append(
+                        time.perf_counter() - t0) if not first else None)
+        while not first and sess.busy:
+            sess.tick()
+        print(f"[{mode}] streaming first chunk (7 busy rows): "
+              f"{1000 * first[0]:.0f} ms after submit", flush=True)
+        walls = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            sess.tick()
+            walls.append(time.perf_counter() - t0)
+            if not sess.busy:
+                break
+        if walls:
+            print(f"[{mode}] tick wall with 1 streaming row mixed in: "
+                  f"{1000 * float(np.median(walls)):.1f} ms "
+                  f"(plain chunk ~{chunk}x step cost + window vocode)",
+                  flush=True)
+        sess.drain()
+
 
 if __name__ == "__main__":
     main()
