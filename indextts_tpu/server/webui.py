@@ -314,6 +314,38 @@ def create_app(engine=None, base_dir: Optional[str] = None,
             if entry is not None:
                 entry.update(fields)
 
+    def _upload_to_mel(temp_path, form):
+        """Uploaded reference audio -> [1, 100, frames] mel: decode (wav
+        natively; mp3/ogg/flac via ffmpeg when present, matching the
+        reference's torchaudio acceptance, webui.py:307-389), resample,
+        apply cropStart/cropEnd bounds, mel. ONE pipeline shared by
+        /api/synthesize and /api/synthesize-stream — the stream route used
+        to carry a drifted copy that silently ignored crop bounds.
+        Returns (mel, None) or (None, (error_dict, http_status))."""
+        target_sr = engine.cfg.bigvgan.sampling_rate
+        try:
+            waveform, orig_sr = decode_audio(temp_path)
+        except UnsupportedAudioFormat as e:
+            return None, ({"error": str(e)}, 415)
+        if orig_sr != target_sr:
+            waveform = resample(waveform, orig_sr, target_sr)
+        crop_start = form.get("cropStart")
+        crop_end = form.get("cropEnd")
+        if crop_start is not None or crop_end is not None:
+            try:
+                # OverflowError too: int(float("1e999")) -> inf -> raises
+                start = int(float(crop_start) * target_sr) if crop_start else 0
+                end = int(float(crop_end) * target_sr) if crop_end else waveform.shape[1]
+                if start < 0 or end < 0:
+                    # negative indices would silently slice from the tail
+                    raise ValueError("negative crop")
+            except (ValueError, TypeError, OverflowError):
+                return None, ({"error": "invalid crop range"}, 400)
+            if start < end and start < waveform.shape[1]:
+                waveform = waveform[:, start:end]
+        mel = MelSpectrogramFeatures()(np.clip(waveform.mean(axis=0, keepdims=True), -1, 1))
+        return mel.astype(np.float32), None
+
     def _run_batch(jobs):
         """Run a group of same-signature jobs as ONE engine.infer_batch call
         (single job falls back to the solo worker for identical behavior)."""
@@ -414,9 +446,11 @@ def create_app(engine=None, base_dir: Optional[str] = None,
         live: Dict[Any, Dict[str, Any]] = {}  # (sig, rid) -> job
 
         def _sig(job):
-            return (str(job["max_tokens"]),
-                    tuple(sorted((k, v) for k, v in job["kwargs"].items()
-                                 if k not in _DYN)))
+            # the batch dispatcher's signature minus infer_mode: a slot
+            # session only cares about static decode knobs, not which solo
+            # entry point a fallback would use (ONE definition — _job_sig —
+            # so the two dispatchers can never drift on what "static" means)
+            return _job_sig(job)[1:]
 
         def _job_fail(j, msg):
             # streaming jobs have no task-status row: releasing stream_done
@@ -436,6 +470,9 @@ def create_app(engine=None, base_dir: Optional[str] = None,
                 batch_pending.clear()
             for j in take:
                 try:
+                    if ("stream_cancel" in j and j["stream_cancel"].is_set()):
+                        j["stream_done"].set()  # client left before admission
+                        continue
                     if int(j["kwargs"].get("num_beams", 3)) != 1:
                         _solo_fallback(j)  # beams aren't slot-decodable
                         continue
@@ -488,6 +525,14 @@ def create_app(engine=None, base_dir: Optional[str] = None,
                 except Exception as e:
                     traceback.print_exc()
                     _job_fail(j, f"synthesis failed: {e}")
+            # propagate client disconnects: stop the abandoned row at the
+            # next tick boundary instead of decoding+vocoding for nobody
+            for (sig, rid), j in list(live.items()):
+                ev = j.get("stream_cancel")
+                if ev is not None and ev.is_set() and sig in sessions:
+                    with worker_lock:
+                        sessions[sig].cancel(rid)
+                    j.pop("stream_cancel", None)  # fire once
             for sig, sess in list(sessions.items()):
                 if not sess.busy:
                     continue
@@ -552,43 +597,16 @@ def create_app(engine=None, base_dir: Optional[str] = None,
                 source_identifier_for_save = f"upload:{task_id}"
                 files_to_delete.append(temp_path)
 
-                target_sr = engine.cfg.bigvgan.sampling_rate
-                try:
-                    # wav natively; mp3/ogg/flac via ffmpeg when present
-                    # (reference accepts these via torchaudio, webui.py:307-389)
-                    waveform, orig_sr = decode_audio(temp_path)
-                except UnsupportedAudioFormat as e:
-                    try:
-                        os.remove(temp_path)
-                    except OSError:
-                        pass
-                    return jsonify({"error": str(e)}, 415)
-                if orig_sr != target_sr:
-                    waveform = resample(waveform, orig_sr, target_sr)
-                crop_start = form.get("cropStart")
-                crop_end = form.get("cropEnd")
-                if crop_start is not None or crop_end is not None:
-                    try:
-                        # OverflowError too: int(float("1e999")) -> inf -> raises
-                        start = int(float(crop_start) * target_sr) if crop_start else 0
-                        end = int(float(crop_end) * target_sr) if crop_end else waveform.shape[1]
-                        if start < 0 or end < 0:
-                            # negative indices would silently slice from the
-                            # tail of the recording
-                            raise ValueError("negative crop")
-                    except (ValueError, TypeError, OverflowError):
-                        # malformed crop values are a client error (400), not
-                        # a 500; clean the temp upload like the empty-text path
-                        for fpath in files_to_delete:
-                            try:
-                                os.remove(fpath)
-                            except OSError:
-                                pass
-                        return jsonify({"error": "invalid crop range"}, 400)
-                    if start < end and start < waveform.shape[1]:
-                        waveform = waveform[:, start:end]
-                mel = MelSpectrogramFeatures()(np.clip(waveform.mean(axis=0, keepdims=True), -1, 1))
-                prompt_mel = mel.astype(np.float32)
+                prompt_mel, err = _upload_to_mel(temp_path, form)
+                if err is not None:
+                    # client errors (415 bad format / 400 bad crop) clean
+                    # the temp upload like the empty-text path
+                    for fpath in files_to_delete:
+                        try:
+                            os.remove(fpath)
+                        except OSError:
+                            pass
+                    return jsonify(*err)
                 with temp_features_lock:
                     temp_features_cache[source_identifier_for_save] = {"cond_mel_numpy": prompt_mel}
             else:
@@ -712,16 +730,9 @@ def create_app(engine=None, base_dir: Optional[str] = None,
             with open(tmp, "wb") as f:
                 f.write(data)
             try:
-                try:
-                    waveform, orig_sr = decode_audio(tmp)
-                except UnsupportedAudioFormat as e:
-                    return jsonify({"error": str(e)}, 415)
-                target_sr = engine.cfg.bigvgan.sampling_rate
-                if orig_sr != target_sr:
-                    waveform = resample(waveform, orig_sr, target_sr)
-                prompt_mel = MelSpectrogramFeatures()(
-                    np.clip(waveform.mean(axis=0, keepdims=True), -1, 1)
-                ).astype(np.float32)
+                prompt_mel, err = _upload_to_mel(tmp, form)
+                if err is not None:
+                    return jsonify(*err)
             finally:
                 try:
                     os.remove(tmp)
@@ -779,8 +790,9 @@ def create_app(engine=None, base_dir: Optional[str] = None,
                                "prompt_mel": prompt_mel, "text": text_input,
                                "output": None, "verbose": False,
                                "kwargs": {**kwargs, "num_beams": 1},
-                               "max_tokens": 120,
-                               "stream_chunk": on_chunk, "stream_done": done_evt}
+                               "max_tokens": 120, "infer_mode": "stream",
+                               "stream_chunk": on_chunk, "stream_done": done_evt,
+                               "stream_cancel": cancelled}
                         with batch_cond:
                             batch_pending.append(job)
                             batch_cond.notify_all()

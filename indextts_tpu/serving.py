@@ -203,12 +203,17 @@ class SlotSession:
         }
         # streaming rows decode sequentially (chunks must arrive in playback
         # order); non-streaming rows all enter the queue at once
-        for j, tokens in enumerate(token_rows if on_chunk is None else token_rows[:1]):
-            self.pending.append(
-                {"rid": rid, "row": j, "tokens": tokens, "conds": conds,
-                 "dyn": dyn, "stream": on_chunk is not None, "emitted": 0}
-            )
+        for j in range(1 if on_chunk is not None else len(token_rows)):
+            self.pending.append(self._row_job(rid, j))
         return rid
+
+    def _row_job(self, rid: int, j: int) -> Dict[str, Any]:
+        """The per-sentence-row work item (ONE literal — submit() and the
+        harvest's queue-next-row path must stay in sync)."""
+        req = self.requests[rid]
+        return {"rid": rid, "row": j, "tokens": req["row_tokens"][j],
+                "conds": req["conds"], "dyn": req["dyn"],
+                "stream": req["on_chunk"] is not None, "emitted": 0}
 
     # ------------------------------------------------------------------
 
@@ -240,11 +245,15 @@ class SlotSession:
         completed this tick in one batched call, and return the results."""
         eng = self.engine
         occupied = [i for i, r in enumerate(self.slots) if r is not None]
-        if not occupied:
-            return []
-        done = np.asarray(self.state.done)
-        fin = [i for i in occupied if done[i]]
-        if not fin:
+        fin: List[int] = []
+        if occupied:
+            done = np.asarray(self.state.done)
+            fin = [i for i in occupied if done[i]]
+        if not fin and not any(
+            len(req["rows"]) == req["n_rows"] for req in self.requests.values()
+        ):
+            # nothing finished this tick and nothing completable (a
+            # cancelled request can become completable with no live rows)
             return []
         codes_all = np.asarray(self.state.codes)
         # lengths on host from the buffer just fetched (slot_lengths
@@ -267,8 +276,12 @@ class SlotSession:
             if row.get("stream"):
                 # streaming rows skip silence removal (the audio has already
                 # left the building — infer_stream's contract) and finalize
-                # from the captured latents below
-                stream_fin.append((slot, row, n))
+                # from the captured latents below. The stop code itself is
+                # NOT vocoded — remove_long_silence trims AT the stop
+                # (engine.py len_ = stop_idx[0]) and infer_stream stops at
+                # stop_pos, so the streamed sample count must match both.
+                n_voc = n - 1 if codes_all[slot, n - 1] == eng.stop_mel_token else n
+                stream_fin.append((slot, row, n_voc))
                 self.slots[slot] = None
                 continue
             code_row = codes_all[slot : slot + 1, :n]
@@ -303,13 +316,10 @@ class SlotSession:
             for _slot, row, _n in stream_fin:
                 req = self.requests[row["rid"]]
                 req["rows"][row["row"]] = True  # audio already in req["chunks"]
-                if req["next_row"] < req["n_rows"]:
+                if not req.get("cancelled") and req["next_row"] < req["n_rows"]:
                     j = req["next_row"]
                     req["next_row"] += 1
-                    self.pending.append(
-                        {"rid": row["rid"], "row": j,
-                         "tokens": req["row_tokens"][j], "conds": req["conds"],
-                         "dyn": req["dyn"], "stream": True, "emitted": 0})
+                    self.pending.append(self._row_job(row["rid"], j))
         # assemble + vocode every request completed this tick (one batched
         # vocoder pass across requests — engine._vocode_many)
         completed = [
@@ -333,8 +343,11 @@ class SlotSession:
             for rid in completed:
                 req = self.requests.pop(rid)
                 if req["on_chunk"] is not None:
-                    # streamed: the delivered chunks ARE the result
-                    wav = np.concatenate(req["chunks"])[None, :]
+                    # streamed: the delivered chunks ARE the result (empty
+                    # when every row stopped instantly — zero codes vocoded,
+                    # matching the non-streamed harvest's empty wav)
+                    wav = (np.concatenate(req["chunks"])[None, :]
+                           if req["chunks"] else np.zeros((1, 0), np.int16))
                 else:
                     wav = np.concatenate(
                         [w for w, r in zip(wavs, chunk_rid) if r == rid], axis=1)
@@ -347,6 +360,32 @@ class SlotSession:
         return results
 
     # ------------------------------------------------------------------
+
+    def cancel(self, rid: int) -> None:
+        """Abandon a request (e.g. a streaming client disconnected):
+        unqueued rows are dropped, live rows stop decoding at the next tick
+        boundary (their device flags flip to done; the slot is harvested
+        and freed like any finished row), and no further sentence rows are
+        queued. The request still completes through tick() with whatever
+        audio was produced — callers that no longer care simply drop it."""
+        if rid not in self.requests:
+            return
+        self.pending = deque(r for r in self.pending if r["rid"] != rid)
+        req = self.requests[rid]
+        req["cancelled"] = True
+        live = 0
+        for slot, row in enumerate(self.slots):
+            if row is not None and row["rid"] == rid:
+                live += 1
+                self.state = self.state._replace(
+                    active=self.state.active.at[slot].set(False),
+                    done=self.state.done.at[slot].set(True),
+                )
+        # completion now requires only the rows already harvested + live
+        req["n_rows"] = len(req["rows"]) + live
+        if req["n_rows"] == 0:
+            # nothing ever admitted: finish the request immediately
+            req["n_rows"] = len(req["rows"])  # 0 -> completes on next tick
 
     def _win_start(self, emitted: int) -> int:
         """Window start for a streaming emission: overlap context behind the
@@ -418,7 +457,10 @@ class SlotSession:
 
     @property
     def busy(self) -> bool:
-        return bool(self.pending) or any(r is not None for r in self.slots)
+        # self.requests covers the cancel edge: a fully-cancelled request
+        # with no live rows still needs one tick to flush its result
+        return (bool(self.pending) or any(r is not None for r in self.slots)
+                or bool(self.requests))
 
     def drain(self) -> Dict[int, Any]:
         """tick() until every submitted request has completed."""

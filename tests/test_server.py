@@ -387,6 +387,40 @@ class TestAudioStreaming:
         list(result)  # drain
         assert engine.calls[-1][1] == "hello THERE"
 
+    def test_stream_honors_crop_bounds(self, server):
+        """The stream route shares /api/synthesize's upload pipeline
+        (_upload_to_mel): crop bounds apply, malformed crops 400 instead of
+        being silently ignored (the pre-fix drifted copy dropped them)."""
+        client, engine, app, base = server
+        seen = []
+
+        def fake_stream(prompt_mel, text, **kw):
+            seen.append(np.asarray(prompt_mel).shape)
+            yield np.zeros(8, np.float32)
+
+        engine.infer_stream = fake_stream
+        status, _, _ = client.request(
+            "POST", "/api/synthesize-stream",
+            *_multipart_body({"text": "hi", "cropStart": "-1"},
+                             {"referenceAudioFile": ("p.wav", _wav_bytes())}),
+        )
+        assert status == 400
+        status, _, result = client.request(
+            "POST", "/api/synthesize-stream",
+            *_multipart_body({"text": "hi", "cropStart": "0.0", "cropEnd": "0.05"},
+                             {"referenceAudioFile": ("p.wav", _wav_bytes())}),
+        )
+        assert status == 200
+        list(result)
+        full_status, _, full_result = client.request(
+            "POST", "/api/synthesize-stream",
+            *_multipart_body({"text": "hi"},
+                             {"referenceAudioFile": ("p.wav", _wav_bytes())}),
+        )
+        list(full_result)
+        assert len(seen) == 2
+        assert seen[0][-1] < seen[1][-1]  # cropped prompt has fewer frames
+
     def test_stream_requires_voice(self, server):
         client, engine, app, base = server
         status, data = client.multipart("/api/synthesize-stream", {"text": "hi"})

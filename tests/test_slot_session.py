@@ -277,3 +277,72 @@ class TestSlotStreaming:
         sess = eng.slot_session(n_slots=1, **GREEDY)
         with pytest.raises(ValueError, match="fast_latents"):
             sess.submit(_prompt(33), "HI.", on_chunk=lambda r, c: None)
+
+    def test_stop_terminated_stream_matches_non_streamed(self, serving_engine):
+        """A row that terminates via a SAMPLED stop token: the streamed
+        result must not vocode the stop code's latent (remove_long_silence
+        and infer_stream both trim AT the stop). Two identically-seeded
+        sessions — identical rng draw sequences, streaming adds only
+        vocoder calls — must produce identical-shape results."""
+        eng = serving_engine
+        rng = np.random.default_rng(5)
+        mel = (rng.standard_normal((1, 100, 40)) * 0.1).astype(np.float32)
+        kw = dict(do_sample=True, top_k=30, max_mel_tokens=24, num_beams=1,
+                  temperature=1.0, top_p=0.9, repetition_penalty=1.5)
+        spc = eng._samples_per_code()
+
+        plain = eng.slot_session(n_slots=2, chunk_steps=3, seed=4, **kw)
+        rid = plain.submit(mel, "HI THERE.")
+        base = plain.drain()[rid][1]
+        assert base.size < 24 * spc, "seed must exercise the stop path"
+
+        got = []
+        stream = eng.slot_session(n_slots=2, chunk_steps=3, seed=4, **kw)
+        rid = stream.submit(mel, "HI THERE.",
+                            on_chunk=lambda r, c: got.append(c.copy()))
+        wav = stream.drain()[rid][1]
+        assert wav.shape == base.shape
+        np.testing.assert_array_equal(np.concatenate(got), wav.reshape(-1))
+        np.testing.assert_allclose(wav.astype(np.float32),
+                                   base.astype(np.float32), atol=8.0)
+
+    def test_cancel_mid_decode_frees_slot_and_truncates(self, serving_engine):
+        """cancel(rid) mid-decode: the row stops at the next tick boundary,
+        its request completes with the audio produced so far (delivered
+        chunks == result), and other requests are unaffected."""
+        eng = serving_engine
+        mel = _prompt(40)
+        # greedy on random weights runs to the max_mel cap (no sampled
+        # stop), so the cancel deterministically lands mid-decode
+        kw = dict(do_sample=False, max_mel_tokens=24, num_beams=1,
+                  repetition_penalty=1.0)
+        spc = eng._samples_per_code()
+        sess = eng.slot_session(n_slots=2, chunk_steps=3, **kw)
+        got = []
+        rid_c = sess.submit(mel, "HI THERE.",
+                            on_chunk=lambda r, c: got.append(c.copy()))
+        rid_k = sess.submit(mel, "HELLO WORLD.")
+        out = dict(sess.tick())
+        assert rid_c not in out, "premise: still decoding after one tick"
+        sess.cancel(rid_c)
+        out.update(sess.drain())
+        assert set(out) == {rid_c, rid_k}
+        wav_c = out[rid_c][1]
+        # truncated: at most the codes decoded before the cancel tick + one
+        # final boundary chunk; far less than a full 24-code decode
+        assert 0 < wav_c.size < 24 * spc
+        np.testing.assert_array_equal(np.concatenate(got), wav_c.reshape(-1))
+        assert out[rid_k][1].size > 0
+
+    def test_cancel_before_admission_completes_empty(self, serving_engine):
+        """cancel(rid) while every row is still queued: the request
+        completes with empty audio and never occupies a slot."""
+        eng = serving_engine
+        mel = _prompt(41)
+        sess = eng.slot_session(n_slots=1, chunk_steps=2, **GREEDY)
+        rid_a = sess.submit(mel, "HI THERE.")
+        rid_b = sess.submit(mel, "HELLO.", on_chunk=lambda r, c: None)
+        sess.cancel(rid_b)  # still queued behind rid_a (1 slot)
+        out = sess.drain()
+        assert out[rid_b][1].size == 0
+        assert out[rid_a][1].size > 0
