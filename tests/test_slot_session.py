@@ -346,3 +346,48 @@ class TestSlotStreaming:
         out = sess.drain()
         assert out[rid_b][1].size == 0
         assert out[rid_a][1].size > 0
+
+
+class TestSlotSchedulerFuzz:
+    """Randomized submit/tick/cancel interleavings: every non-cancelled
+    request must equal its solo run regardless of admission order, slot
+    reuse, or cancellations happening around it; cancelled requests must
+    complete (possibly truncated/empty) without wedging the session."""
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_random_schedule_matches_solo(self, engine, seed):
+        rng = np.random.default_rng(seed)
+        texts = ["HI.", "YO THERE.", "HELLO WORLD.", "HEY NOW.", "SUP."]
+        sess = engine.slot_session(n_slots=2, chunk_steps=2, **GREEDY)
+        submitted = {}
+        cancelled = set()
+        results = {}
+        n_target = 5
+        ops = 0
+        while (len(results) < len(submitted) or len(submitted) < n_target) and ops < 200:
+            ops += 1
+            roll = rng.random()
+            if len(submitted) < n_target and roll < 0.4:
+                i = len(submitted)
+                mel, text = _prompt(50 + i), texts[i % len(texts)]
+                rid = sess.submit(mel, text)
+                submitted[rid] = (mel, text)
+            elif roll < 0.5 and submitted and rng.random() < 0.3:
+                victim = int(rng.choice(list(submitted)))
+                if victim not in results:
+                    sess.cancel(victim)
+                    cancelled.add(victim)
+            else:
+                results.update(sess.tick())
+        assert ops < 200, "scheduler failed to converge"
+        assert set(results) == set(submitted)
+        for rid, (mel, text) in submitted.items():
+            wav = results[rid][1]
+            if rid in cancelled:
+                # truncated or empty, but emitted and well-formed int16
+                assert wav.dtype == np.int16
+                continue
+            solo = engine.infer(mel, text, None, **GREEDY)
+            assert wav.shape == solo[1].shape
+            np.testing.assert_allclose(wav.astype(np.float32),
+                                       solo[1].astype(np.float32), atol=2.0)

@@ -50,6 +50,11 @@ def main():
     ap.add_argument("--max-mel-tokens", type=int, default=40)
     ap.add_argument("--timeout-s", type=float, default=600.0)
     ap.add_argument("--do-sample", default="true")
+    ap.add_argument("--stream", action="store_true",
+                    help="hit /api/synthesize-stream instead and report "
+                         "TIME-TO-FIRST-AUDIO percentiles (first body chunk "
+                         "after the RIFF header) — the latency SLO metric "
+                         "for --slot-batching streaming serving")
     args = ap.parse_args()
 
     with open(args.prompt, "rb") as f:
@@ -87,11 +92,47 @@ def main():
             time.sleep(0.25)
         return status
 
+    ttfa, ttfa_lock = [], threading.Lock()
+
+    def _one_stream(i):
+        """POST the stream endpoint; record time to the FIRST PCM byte
+        (after the 44-byte RIFF header) and drain the rest. 'completed' iff
+        any PCM arrived."""
+        body, ctype = multipart(
+            {
+                "text": f"STREAM LOAD TEST REQUEST NUMBER {i}.",
+                "do_sample": args.do_sample, "top_k": "30",
+                "max_mel_tokens": str(args.max_mel_tokens),
+            },
+            {"referenceAudioFile": ("p.wav", wav)},
+        )
+        req = urllib.request.Request(
+            args.url + "/api/synthesize-stream", data=body,
+            headers={"Content-Type": ctype}, method="POST",
+        )
+        t0 = time.perf_counter()
+        got_pcm = 0
+        with urllib.request.urlopen(req, timeout=args.timeout_s) as r:
+            seen = 0
+            first = None
+            while True:
+                chunk = r.read(4096)
+                if not chunk:
+                    break
+                seen += len(chunk)
+                if first is None and seen > 44:
+                    first = time.perf_counter() - t0
+                got_pcm = seen - 44
+            if first is not None and got_pcm > 0:
+                with ttfa_lock:
+                    ttfa.append(first)
+        return "completed" if got_pcm > 0 else "empty"
+
     def one(i):
         with sem:
             t0 = time.perf_counter()
             try:
-                status = _one_inner(i)
+                status = _one_stream(i) if args.stream else _one_inner(i)
             except Exception as e:  # connection refused, 5xx, timeout...
                 status = f"error: {e}"
             with lock:
@@ -109,14 +150,23 @@ def main():
     bad = [(i, s) for i, s, _ in lat if s != "completed"]
     ok.sort()
     pct = lambda p: ok[min(len(ok) - 1, int(p * len(ok)))] if ok else float("nan")
-    print(json.dumps({
+    out = {
         "requests": args.requests, "completed": len(ok), "failed": bad,
         "wall_s": round(wall, 2),
         "latency_p50_s": round(pct(0.50), 2) if ok else None,
         "latency_p95_s": round(pct(0.95), 2) if ok else None,
         "latency_max_s": round(max(ok), 2) if ok else None,
         "throughput_req_per_s": round(len(ok) / wall, 3) if ok else 0.0,
-    }))
+    }
+    if args.stream and ttfa:
+        ttfa.sort()
+        tpct = lambda p: ttfa[min(len(ttfa) - 1, int(p * len(ttfa)))]
+        out.update({
+            "ttfa_p50_s": round(tpct(0.50), 3),
+            "ttfa_p95_s": round(tpct(0.95), 3),
+            "ttfa_max_s": round(max(ttfa), 3),
+        })
+    print(json.dumps(out))
     sys.exit(0 if not bad else 1)
 
 
