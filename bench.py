@@ -352,8 +352,10 @@ def main():
     cond_fn = jax.jit(lambda p, m, l: get_conditioning(p, gpt_cfg, m, l))
     from functools import partial
 
-    # BENCH_QUANT_KV=1: int8 KV cache on the headline decode (VERDICT r2 #4)
-    quant_kv = os.environ.get("BENCH_QUANT_KV", "0") == "1"
+    # BENCH_QUANT_KV=1 (alias BENCH_INT8=1, the name the docs use): int8 KV
+    # cache on the headline decode (VERDICT r2 #4)
+    quant_kv = (os.environ.get("BENCH_QUANT_KV", "0") == "1"
+                or os.environ.get("BENCH_INT8", "0") == "1")
     decode_fn = jax.jit(partial(generate_speech, cfg=gpt_cfg, gen=gen, quant_kv=quant_kv))
     latent_fn = jax.jit(
         lambda p, c, t, tl, mc, wl: unified_voice_forward(
@@ -512,16 +514,22 @@ def main():
             wall_b = time.perf_counter() - t0
             audio_b = int(np.asarray(lens_b).sum()) * SAMPLES_PER_CODE / SAMPLE_RATE
             beam3_rtf_inv = round(audio_b / wall_b, 2)
-            # conds_b also feeds the quant-beam extra below (gated on
-            # beam3_rtf_inv, so it is always defined when that block runs)
+        except Exception:
+            beam3_rtf_inv = None
+    # conds_b feeds the decode-only + quant-beam extras below. Prepared in
+    # its OWN try AFTER beam3_rtf_inv is final: a failure here must not
+    # wipe the already-measured e2e beam number.
+    conds_b = None
+    if beam3_rtf_inv is not None:
+        try:
             conds = cond_fn(gpt_params, cond_mel, jnp.asarray([COND_FRAMES]))
             conds_b = jnp.broadcast_to(conds, (BATCH,) + conds.shape[1:])
         except Exception:
-            beam3_rtf_inv = None
+            conds_b = None
     # decode-only figure for comparison with beam3_default below — its OWN
     # try: a late failure here must not wipe the already-measured e2e beam
     # number (which also gates the quant-beam extra)
-    if beam3_rtf_inv is not None:
+    if beam3_rtf_inv is not None and conds_b is not None:
         try:
             t0 = time.perf_counter()
             codes_d, lens_d = beam_fn(
@@ -541,7 +549,8 @@ def main():
     # docs/PERF.md). Own budget gate + try: this adds a SECOND beam-graph
     # compile, and a failure here must not wipe the bf16 beam numbers.
     elapsed = time.perf_counter() - (bench_start or 0)
-    if beam3_rtf_inv is not None and bench_start is not None and elapsed < budget_s - margin["beam"]:
+    if (beam3_rtf_inv is not None and conds_b is not None
+            and bench_start is not None and elapsed < budget_s - margin["beam"]):
         try:
             _mark("beam quant start")
             beam_fn_q = jax.jit(partial(generate_speech_beam, cfg=gpt_cfg, gen=gen_b,

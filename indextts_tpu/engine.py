@@ -1299,9 +1299,7 @@ class IndexTTS:
         for sent in sentences:
             tokens0 = np.asarray(self.tokenizer.convert_tokens_to_ids(sent), np.int32)[None, :]
             l0 = tokens0.shape[1]
-            # bucket-round, clamped to the text positional table (see
-            # _gpt_generate)
-            l = min(max(_round_up(l0, 8), 8), max(self.cfg.gpt.max_text_tokens, l0))
+            l = self._text_bucket(l0)
             padded = np.full((1, l), self.cfg.gpt.stop_text_token, np.int32)
             padded[:, :l0] = tokens0
             step_fn = self._stream_fns(1, l, gen, chunk_codes)[0]
@@ -1568,6 +1566,8 @@ class IndexTTS:
         tests/test_slot_session.py)."""
         if output_paths is not None and len(output_paths) != len(items):
             raise ValueError("output_paths must match items length")
+        if per_request_kwargs is not None and len(per_request_kwargs) != len(items):
+            raise ValueError("per_request_kwargs must match items length")
         sess = self.slot_session(n_slots=n_slots, **generation_kwargs)
         rids = []
         for r, (prompt, text) in enumerate(items):

@@ -41,7 +41,6 @@ rng (same caveat as engine.infer_batch). Forced mel prefixes
 gather-window batcher covers those.
 """
 
-import math
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax

@@ -75,6 +75,15 @@ class SlotSession:
         if generation_kwargs.get("num_beams", 1) not in (None, 1):
             raise ValueError("slot mode decodes with num_beams=1 "
                              "(use infer/infer_batch for beam search)")
+        if engine.cfg.gpt.condition_type == "conformer_encoder":
+            # get_conditioning returns frame-count-dependent conds for this
+            # type (gpt.py get_conditioning), so the fixed p_max sizing
+            # below (condition_num_latent) would under-size the circular
+            # cache and trip slot_admit's capacity assert mid-serving.
+            raise ValueError(
+                "slot mode requires a fixed conditioning-latent count; "
+                "condition_type='conformer_encoder' produces frame-dependent "
+                "conds (use infer/infer_batch)")
         gen, base_dyn, self.max_mel_tokens = engine._parse_generation_kwargs(
             generation_kwargs, force_num_beams=1
         )
@@ -349,8 +358,12 @@ class SlotSession:
                     wav = (np.concatenate(req["chunks"])[None, :]
                            if req["chunks"] else np.zeros((1, 0), np.int16))
                 else:
-                    wav = np.concatenate(
-                        [w for w, r in zip(wavs, chunk_rid) if r == rid], axis=1)
+                    # zero chunks is legal: a request cancelled before any
+                    # row was admitted completes with empty audio (same as
+                    # the streaming branch's zero-chunk guard above)
+                    parts = [w for w, r in zip(wavs, chunk_rid) if r == rid]
+                    wav = (np.concatenate(parts, axis=1) if parts
+                           else np.zeros((1, 0), np.int16))
                 results.append(
                     (rid, eng._emit(wav, req["output_path"], 24000)))
                 if self.verbose:

@@ -72,6 +72,20 @@ class TestInferSlots:
         with pytest.raises(ValueError, match="num_beams=1"):
             engine.slot_session(num_beams=3)
 
+    def test_rejects_frame_dependent_conditioning(self, engine, monkeypatch):
+        """condition_type='conformer_encoder' yields frame-dependent cond
+        counts; the fixed circular-cache sizing can't hold them, so the
+        session must refuse up front rather than trip a device assert."""
+        monkeypatch.setattr(engine.cfg.gpt, "condition_type", "conformer_encoder")
+        with pytest.raises(ValueError, match="conformer_encoder"):
+            engine.slot_session()
+
+    def test_per_request_kwargs_length_mismatch(self, engine):
+        mel = _prompt(5)
+        with pytest.raises(ValueError, match="per_request_kwargs"):
+            engine.infer_slots([(mel, "HI."), (mel, "YO.")], n_slots=2,
+                               per_request_kwargs=[{}], **GREEDY)
+
     def test_per_request_dynamics(self, engine):
         """Requests with different repetition penalties share the session;
         each equals its solo run with that scalar."""
@@ -334,14 +348,18 @@ class TestSlotStreaming:
         np.testing.assert_array_equal(np.concatenate(got), wav_c.reshape(-1))
         assert out[rid_k][1].size > 0
 
-    def test_cancel_before_admission_completes_empty(self, serving_engine):
+    @pytest.mark.parametrize("streaming", [True, False], ids=["stream", "plain"])
+    def test_cancel_before_admission_completes_empty(self, serving_engine, streaming):
         """cancel(rid) while every row is still queued: the request
-        completes with empty audio and never occupies a slot."""
+        completes with empty audio and never occupies a slot — for BOTH
+        the streaming and non-streaming harvest branches (the latter must
+        not hit np.concatenate on zero chunks)."""
         eng = serving_engine
         mel = _prompt(41)
         sess = eng.slot_session(n_slots=1, chunk_steps=2, **GREEDY)
         rid_a = sess.submit(mel, "HI THERE.")
-        rid_b = sess.submit(mel, "HELLO.", on_chunk=lambda r, c: None)
+        over = {"on_chunk": (lambda r, c: None)} if streaming else {}
+        rid_b = sess.submit(mel, "HELLO.", **over)
         sess.cancel(rid_b)  # still queued behind rid_a (1 slot)
         out = sess.drain()
         assert out[rid_b][1].size == 0
