@@ -1578,6 +1578,60 @@ class IndexTTS:
         done = sess.drain()
         return [done[rid] for rid in rids]
 
+    def warmup(self, texts: Sequence[str] = ("WARM UP.",), prompt=None,
+               batch: int = 1, n_slots: int = 0, streaming: bool = False,
+               verbose: bool = True, **generation_kwargs) -> float:
+        """Pre-compile the jitted graphs a serving process will hit by
+        synthesizing each text against a silent synthetic prompt through
+        the same public entry points serving uses (results discarded).
+
+        First compiles are minutes on this platform and graphs are cached
+        by static shape bucket + generation config, so a server that warms
+        up at startup answers its first real request at steady-state speed.
+        Pass the SAME generation kwargs production requests will use: the
+        static knobs (do_sample/top_k/num_beams/max_mel_tokens/
+        typical_sampling) select the graph; traced scalars
+        (temperature/top_p/penalties) do not. Covers the decode + latent +
+        vocoder graphs for each text's length bucket, `infer_batch` graphs
+        when batch > 1, the slot session's fixed-shape graphs when
+        n_slots > 0 (num_beams is forced to 1 there), the streaming
+        first-chunk/window graphs when streaming=True, and conditioning for
+        the synthetic prompt's frame bucket (real prompts in other frame
+        buckets pay one small cond compile later). The reference has no
+        analog — eager torch pays per-op lazy init on the first call
+        (ref infer.py:101-241); this is the XLA-native replacement.
+
+        Returns wall-clock seconds spent."""
+        t0 = time.perf_counter()
+        if prompt is None:
+            prompt = np.zeros((1, self.cfg.bigvgan.num_mels, 100), np.float32)
+        texts = list(texts)
+        if n_slots:
+            kw = {k: v for k, v in generation_kwargs.items() if k != "num_beams"}
+            sess = self.slot_session(n_slots=n_slots, **kw)
+            for t in texts:
+                sess.submit(prompt, t)
+                if streaming and self.fast_latents:
+                    sess.submit(prompt, t, on_chunk=lambda r, c: None)
+            sess.drain()
+        elif batch > 1:
+            items = [(prompt, texts[i % len(texts)]) for i in range(batch)]
+            self.infer_batch(items, **generation_kwargs)
+        else:
+            for t in texts:
+                self.infer(prompt, t, None, **generation_kwargs)
+        if streaming and not n_slots:
+            kw = {k: v for k, v in generation_kwargs.items() if k != "num_beams"}
+            for t in texts:
+                for _ in self.infer_stream(prompt, t, **kw):
+                    pass
+        dt = time.perf_counter() - t0
+        if verbose:
+            print(f">> warmup done in {dt:.1f}s "
+                  f"({len(texts)} text(s), batch={batch}, n_slots={n_slots}, "
+                  f"streaming={streaming})")
+        return dt
+
     def _emit(self, wav: np.ndarray, output_path: Optional[str], sampling_rate: int):
         if output_path:
             if os.path.isfile(output_path):

@@ -943,6 +943,13 @@ def main(argv=None):
         "live decode at the next chunk instead of waiting for the running "
         "batch; num_beams=1 requests only (beams fall back to solo)",
     )
+    parser.add_argument(
+        "--warmup", action="store_true",
+        help="pre-compile the serving graphs for this server's mode and the "
+        "web form's default sampling config before binding the port (first "
+        "compiles are minutes on TPU; warmed servers answer the first "
+        "request at steady-state speed)",
+    )
     args = parser.parse_args(argv)
 
     engine = None
@@ -958,6 +965,26 @@ def main(argv=None):
     except Exception as e:
         print(f"ERROR: Failed to initialize IndexTTS engine: {e}")
         traceback.print_exc()
+
+    if args.warmup and engine is not None:
+        # the static knobs of the SPA form's defaults (templates/index.html)
+        # — these select the compiled graphs; traced scalars don't
+        spa_defaults = dict(do_sample=True, temperature=1.0, top_k=30,
+                            top_p=0.8, repetition_penalty=10.0, num_beams=3,
+                            max_mel_tokens=600)
+        print(">> warming up serving graphs (this pays the first-request "
+              "compiles now)...")
+        if args.slot_batching:
+            engine.warmup(n_slots=args.slot_batching,
+                          streaming=engine.fast_latents, **spa_defaults)
+            # default-form requests carry num_beams=3 and fall back to the
+            # solo worker in slot mode — warm that path too
+            engine.warmup(**spa_defaults)
+        elif args.batch_requests > 1:
+            engine.warmup(batch=args.batch_requests, streaming=True,
+                          **spa_defaults)
+        else:
+            engine.warmup(streaming=True, **spa_defaults)
 
     app = create_app(engine, batch_requests=args.batch_requests,
                      slot_requests=args.slot_batching)

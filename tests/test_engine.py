@@ -228,6 +228,67 @@ class TestEngine:
         assert hasattr(engine, "infer_stream")
 
 
+def _graph_keys(eng):
+    """Every jit-graph cache key on the engine (condval/melref entries are
+    VALUE caches keyed by prompt digest, not compiled graphs — excluded)."""
+    return (
+        set(eng._decode_cache), set(eng._latent_cache),
+        set(eng._vocoder_cache),
+        {k for k in eng._cond_cache if k[0] not in ("condval", "melref")},
+    )
+
+
+class TestWarmup:
+    """engine.warmup pre-compiles serving graphs: a follow-up request with
+    the same static generation config, text bucket, and prompt frame bucket
+    must add NO new jit cache keys (the server --warmup contract)."""
+
+    KW = dict(do_sample=False, num_beams=1, max_mel_tokens=8,
+              repetition_penalty=1.0)
+
+    def _fresh_engine(self, tmp_path, **eng_kwargs):
+        cfg_path = str(tmp_path / "config.yaml")
+        save_config(tiny_config(), cfg_path)
+        return IndexTTS(cfg_path=cfg_path, model_dir=str(tmp_path),
+                        is_fp16=False, allow_random_init=True, **eng_kwargs)
+
+    def test_solo_and_stream_covered(self, tmp_path):
+        eng = self._fresh_engine(tmp_path)
+        dt = eng.warmup(texts=("HI THERE.",), streaming=True,
+                        verbose=False, **self.KW)
+        assert dt > 0
+        before = _graph_keys(eng)
+        prompt = np.random.default_rng(7).standard_normal(
+            (1, 100, 100)).astype(np.float32)  # same frame bucket as warmup
+        eng.infer(prompt, "HI THERE.", None, **self.KW)
+        for _ in eng.infer_stream(prompt, "HI THERE.",
+                                  **{k: v for k, v in self.KW.items()
+                                     if k != "num_beams"}):
+            pass
+        assert _graph_keys(eng) == before
+
+    def test_slot_mode_covered(self, tmp_path):
+        eng = self._fresh_engine(tmp_path)
+        eng.warmup(texts=("HI THERE.",), n_slots=2, verbose=False, **self.KW)
+        before = _graph_keys(eng)
+        prompt = np.random.default_rng(8).standard_normal(
+            (1, 100, 100)).astype(np.float32)
+        eng.infer_slots([(prompt, "HI THERE.")], n_slots=2,
+                        **{k: v for k, v in self.KW.items()
+                           if k != "num_beams"})
+        assert _graph_keys(eng) == before
+
+    def test_batch_mode_covered(self, tmp_path):
+        eng = self._fresh_engine(tmp_path)
+        eng.warmup(texts=("HI THERE.",), batch=2, verbose=False, **self.KW)
+        before = _graph_keys(eng)
+        prompt = np.random.default_rng(9).standard_normal(
+            (1, 100, 100)).astype(np.float32)
+        eng.infer_batch([(prompt, "HI THERE."), (prompt, "HI THERE.")],
+                        **self.KW)
+        assert _graph_keys(eng) == before
+
+
 class TestRemoveLongSilence:
     """Direct case-table tests for remove_long_silence (reference semantics:
     infer.py:244-298). Key behaviors pinned: (a) the COMPACTION TRIGGER is the
