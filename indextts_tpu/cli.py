@@ -53,6 +53,12 @@ def main(argv=None):
         "near-parity outputs)",
     )
     parser.add_argument(
+        "--tp", type=int, default=None,
+        help="Tensor-parallel degree over the TPU mesh (default: all visible "
+        "chips on the model axis when more than one is present; ignored "
+        "single-chip)",
+    )
+    parser.add_argument(
         "--batch-file", type=str, default=None,
         help="TSV of synthesis jobs, one per line: 'text' (uses -v voice) or "
         "'voice_path<TAB>text'. All jobs run as ONE continuous batch "
@@ -97,6 +103,7 @@ def main(argv=None):
     tts = IndexTTS(
         cfg_path=args.config, model_dir=args.model_dir, is_fp16=args.fp16,
         device=args.device, fast_latents=args.fast_latents, quant_kv=args.quant_kv,
+        tp=args.tp,
     )
     if args.batch_file:
         items = []

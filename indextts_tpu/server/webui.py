@@ -944,6 +944,12 @@ def main(argv=None):
         "batch; num_beams=1 requests only (beams fall back to solo)",
     )
     parser.add_argument(
+        "--tp", type=int, default=None,
+        help="tensor-parallel degree over the TPU mesh (default: all visible "
+        "chips on the model axis when more than one is present; ignored "
+        "single-chip)",
+    )
+    parser.add_argument(
         "--warmup", action="store_true",
         help="pre-compile the serving graphs for this server's mode and the "
         "web form's default sampling config before binding the port (first "
@@ -960,6 +966,7 @@ def main(argv=None):
             cfg_path=args.config, model_dir=args.model_dir,
             allow_random_init=args.random_init,
             fast_latents=args.fast_latents, quant_kv=args.quant_kv,
+            tp=args.tp,
         )
         print("Successfully initialized IndexTTS TPU engine.")
     except Exception as e:
