@@ -1607,7 +1607,8 @@ class IndexTTS:
             prompt = np.zeros((1, self.cfg.bigvgan.num_mels, 100), np.float32)
         texts = list(texts)
         if n_slots:
-            kw = {k: v for k, v in generation_kwargs.items() if k != "num_beams"}
+            kw = {k: v for k, v in generation_kwargs.items()
+                  if k not in ("num_beams", "sentences_bucket_max_size")}
             sess = self.slot_session(n_slots=n_slots, **kw)
             for t in texts:
                 sess.submit(prompt, t)
@@ -1616,12 +1617,18 @@ class IndexTTS:
             sess.drain()
         elif batch > 1:
             items = [(prompt, texts[i % len(texts)]) for i in range(batch)]
-            self.infer_batch(items, **generation_kwargs)
+            # bucket rows like a full serving wave of `batch` requests —
+            # the server's _run_batch serves with max(8, batch_requests),
+            # and the decode graph is keyed by the padded row bucket
+            gk = dict(generation_kwargs)
+            gk.setdefault("sentences_bucket_max_size", max(8, batch))
+            self.infer_batch(items, **gk)
         else:
             for t in texts:
                 self.infer(prompt, t, None, **generation_kwargs)
         if streaming and not n_slots:
-            kw = {k: v for k, v in generation_kwargs.items() if k != "num_beams"}
+            kw = {k: v for k, v in generation_kwargs.items()
+                  if k not in ("num_beams", "sentences_bucket_max_size")}
             for t in texts:
                 for _ in self.infer_stream(prompt, t, **kw):
                     pass

@@ -754,7 +754,10 @@ def create_app(engine=None, base_dir: Optional[str] = None,
             import queue as _queue
             import struct
 
-            sr = 24000
+            # the engine vocodes at the BigVGAN config rate — the same
+            # authority _upload_to_mel resamples inputs to; a hardcoded
+            # 24000 here would mis-declare the rate for other configs
+            sr = engine.cfg.bigvgan.sampling_rate
             # Decouple engine execution from client socket writes: the
             # producer thread holds worker_lock only while synthesizing and
             # queues PCM; the generator yields from the queue OUTSIDE the
@@ -957,6 +960,11 @@ def main(argv=None):
         "request at steady-state speed)",
     )
     args = parser.parse_args(argv)
+    if args.batch_requests > 1 and args.slot_batching > 0:
+        # reject BEFORE engine init/warmup — create_app re-checks, but by
+        # then a misconfigured launch has paid minutes of TPU compiles
+        parser.error("--batch-requests and --slot-batching are mutually "
+                     "exclusive continuous-batching modes")
 
     engine = None
     try:
@@ -985,8 +993,10 @@ def main(argv=None):
             engine.warmup(n_slots=args.slot_batching,
                           streaming=engine.fast_latents, **spa_defaults)
             # default-form requests carry num_beams=3 and fall back to the
-            # solo worker in slot mode — warm that path too
-            engine.warmup(**spa_defaults)
+            # solo worker in slot mode — warm that path too, including the
+            # solo infer_stream graphs (streaming requests take the solo
+            # path when fast_latents is off or the slot sessions are busy)
+            engine.warmup(streaming=True, **spa_defaults)
         elif args.batch_requests > 1:
             engine.warmup(batch=args.batch_requests, streaming=True,
                           **spa_defaults)

@@ -278,14 +278,18 @@ class TestWarmup:
                            if k != "num_beams"})
         assert _graph_keys(eng) == before
 
-    def test_batch_mode_covered(self, tmp_path):
+    @pytest.mark.parametrize("batch", [2, 9], ids=["small", "over8"])
+    def test_batch_mode_covered(self, tmp_path, batch):
+        """batch=9 pins the serving-wave bucket contract: warmup must use
+        the server's max(8, batch_requests) row bucket, not the infer_batch
+        default of 8, or waves larger than 8 hit a cold decode graph."""
         eng = self._fresh_engine(tmp_path)
-        eng.warmup(texts=("HI THERE.",), batch=2, verbose=False, **self.KW)
+        eng.warmup(texts=("HI THERE.",), batch=batch, verbose=False, **self.KW)
         before = _graph_keys(eng)
         prompt = np.random.default_rng(9).standard_normal(
             (1, 100, 100)).astype(np.float32)
-        eng.infer_batch([(prompt, "HI THERE."), (prompt, "HI THERE.")],
-                        **self.KW)
+        eng.infer_batch([(prompt, "HI THERE.")] * batch,
+                        sentences_bucket_max_size=max(8, batch), **self.KW)
         assert _graph_keys(eng) == before
 
 
