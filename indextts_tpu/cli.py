@@ -53,6 +53,12 @@ def main(argv=None):
         "near-parity outputs)",
     )
     parser.add_argument(
+        "--compile-cache", type=str, default=None, metavar="DIR",
+        help="Persistent XLA compile cache directory (also env "
+        "INDEXTTS_COMPILE_CACHE): compiled graphs reload in seconds on "
+        "later runs instead of recompiling for minutes",
+    )
+    parser.add_argument(
         "--tp", type=int, default=None,
         help="Tensor-parallel degree over the TPU mesh (default: all visible "
         "chips on the model axis when more than one is present; ignored "
@@ -103,7 +109,7 @@ def main(argv=None):
     tts = IndexTTS(
         cfg_path=args.config, model_dir=args.model_dir, is_fp16=args.fp16,
         device=args.device, fast_latents=args.fast_latents, quant_kv=args.quant_kv,
-        tp=args.tp,
+        tp=args.tp, compile_cache_dir=args.compile_cache,
     )
     if args.batch_file:
         items = []

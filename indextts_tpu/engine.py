@@ -104,6 +104,7 @@ class IndexTTS:
         fast_init: bool = False,
         fast_latents: bool = False,
         quant_kv: bool = False,
+        compile_cache_dir: Optional[str] = None,
     ):
         """Device policy: jax picks the platform (TPU when present; the
         cuda/mps/xpu/cpu cascade of infer.py:26-44 has no TPU meaning).
@@ -123,6 +124,23 @@ class IndexTTS:
         skipped whenever remove_long_silence left the codes untouched.
         Generated tokens deviate slightly from reference generate()
         (positions differ); OFF by default for parity."""
+        # persistent XLA compile cache (opt-in; env INDEXTTS_COMPILE_CACHE):
+        # first compiles are minutes on this platform, but cached
+        # executables reload in seconds — with warmup() a RESTARTED server
+        # reaches steady state almost immediately. Process-global jax
+        # config, set before any engine graph is traced.
+        compile_cache_dir = compile_cache_dir or os.environ.get("INDEXTTS_COMPILE_CACHE")
+        if compile_cache_dir:
+            os.makedirs(compile_cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", compile_cache_dir)
+            # the cache backend binds its directory lazily on first use and
+            # then sticks — reset so a dir configured after earlier compiles
+            # (e.g. under pytest's global cache) still takes effect
+            from jax.experimental.compilation_cache import compilation_cache as _cc
+
+            _cc.reset_cache()
+            print(">> XLA compile cache:", compile_cache_dir)
+
         self.device = jax.devices()[0].platform
         self.is_fp16 = bool(is_fp16) and self.device != "cpu"
         self.dtype = jnp.bfloat16 if self.is_fp16 else jnp.float32

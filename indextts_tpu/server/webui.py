@@ -953,6 +953,12 @@ def main(argv=None):
         "single-chip)",
     )
     parser.add_argument(
+        "--compile-cache", type=str, default=None, metavar="DIR",
+        help="persistent XLA compile cache directory (also env "
+        "INDEXTTS_COMPILE_CACHE): with --warmup, a restarted server reaches "
+        "steady state in seconds instead of recompiling for minutes",
+    )
+    parser.add_argument(
         "--warmup", action="store_true",
         help="pre-compile the serving graphs for this server's mode and the "
         "web form's default sampling config before binding the port (first "
@@ -974,7 +980,7 @@ def main(argv=None):
             cfg_path=args.config, model_dir=args.model_dir,
             allow_random_init=args.random_init,
             fast_latents=args.fast_latents, quant_kv=args.quant_kv,
-            tp=args.tp,
+            tp=args.tp, compile_cache_dir=args.compile_cache,
         )
         print("Successfully initialized IndexTTS TPU engine.")
     except Exception as e:

@@ -293,6 +293,33 @@ class TestWarmup:
         assert _graph_keys(eng) == before
 
 
+class TestCompileCache:
+    def test_compile_cache_dir_populated(self, tmp_path):
+        """compile_cache_dir routes XLA executables into a persistent
+        on-disk cache (the restart-speed half of the --warmup story)."""
+        cache = tmp_path / "xla_cache"
+        cfg_path = str(tmp_path / "config.yaml")
+        save_config(tiny_config(), cfg_path)
+        eng = IndexTTS(cfg_path=cfg_path, model_dir=str(tmp_path),
+                       is_fp16=False, allow_random_init=True,
+                       compile_cache_dir=str(cache))
+        assert cache.is_dir()
+        import jax
+
+        # tiny-config graphs compile in < 1 s, under the persistent cache's
+        # default min-compile-time threshold — lower it for this test only
+        prev = jax.config.jax_persistent_cache_min_compile_time_secs
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        try:
+            prompt = np.random.default_rng(11).standard_normal(
+                (1, 100, 100)).astype(np.float32)
+            eng.infer(prompt, "HI THERE.", None, do_sample=False, num_beams=1,
+                      max_mel_tokens=8, repetition_penalty=1.0)
+        finally:
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", prev)
+        assert any(cache.iterdir()), "no cache entries written"
+
+
 class TestRemoveLongSilence:
     """Direct case-table tests for remove_long_silence (reference semantics:
     infer.py:244-298). Key behaviors pinned: (a) the COMPACTION TRIGGER is the
