@@ -61,14 +61,9 @@ from indextts_tpu.ops.antialias import kaiser_sinc_filter1d
 PAD = 16  # halo rows on each side; covers all shifted reads below
 KERNEL_SIZE = 12
 
-
-def _taps():
-    f = kaiser_sinc_filter1d(0.25, 0.3, KERNEL_SIZE).astype(np.float32)
-    tap_e = [float(f[15 - 2 * d]) for d in range(2, 8)]  # f11 f9 f7 f5 f3 f1
-    tap_o = [float(f[16 - 2 * d]) for d in range(3, 9)]  # f10 f8 f6 f4 f2 f0
-    tap_ye = [float(f[2 * j + 1]) for j in range(6)]  # weights on s_even
-    tap_yo = [float(f[2 * j]) for j in range(6)]  # weights on s_odd
-    return tap_e, tap_o, tap_ye, tap_yo
+# ONE tap-table definition shared by both Pallas kernels: a tap/index fix
+# must not be able to land in one kernel and miss the other
+from indextts_tpu.ops.pallas.antialias import _taps
 
 
 def _bands(tile_t: int):

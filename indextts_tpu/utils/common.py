@@ -47,10 +47,17 @@ def de_tokenized_by_CJK_char(line: str, do_lower_case: bool = False) -> str:
     space is removed, then the runs are swapped back in (lower-cased when
     requested).
     """
-    runs = _LATIN_RUN_RE.findall(line)
-    masked = line
-    for idx, run in enumerate(runs):
-        masked = masked.replace(run, f"<sent_{idx}>")
+    # positional stash (re.sub replaces each MATCH in place): str.replace
+    # would also rewrite the run's text wherever else it appears — inside an
+    # already-inserted marker ("sent" itself) or inside a longer
+    # not-yet-stashed run — corrupting the restoration map
+    runs: list = []
+
+    def _stash(m):
+        runs.append(m.group())
+        return f"<sent_{len(runs) - 1}>"
+
+    masked = _LATIN_RUN_RE.sub(_stash, line)
 
     joined = []
     for chunk in masked.split():

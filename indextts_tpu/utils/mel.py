@@ -136,7 +136,9 @@ class MelSpectrogramFeatures:
             raise NotImplementedError("normalized spectrogram not used by the reference")
 
     def __call__(self, audio: np.ndarray) -> np.ndarray:
-        """[..., T] float audio -> log-mel [..., n_mels, frames]."""
+        """[..., T] float audio -> log-mel [..., n_mels, frames] (a 1-D
+        input returns [n_mels, frames] — no spurious batch axis)."""
+        unbatched = np.ndim(audio) == 1
         if self.padding == "same":
             pad = self.win_length - self.hop_length
             audio = np.pad(
@@ -159,6 +161,8 @@ class MelSpectrogramFeatures:
             self.n_fft // 2 + 1, self.f_min, self.f_max, self.n_mels, self.sample_rate, self.norm
         )
         mel = np.einsum("fm,bft->bmt", fb, spec)
+        if unbatched:
+            mel = mel[0]
         return safe_log(mel, self.log_clip).astype(np.float32)
 
 

@@ -70,6 +70,7 @@ def zh_integer(num_str: str, simplify_teen: bool = True) -> str:
         # IndexError-ing out of the whole normalize() call
         return ("负" if neg else "") + zh_digits(str(int(num_str)))
     out = []
+    prev_gi = None  # most recent EMITTED group index
     for gi in range(len(groups) - 1, -1, -1):
         g = groups[gi]
         if g == 0:
@@ -78,10 +79,13 @@ def zh_integer(num_str: str, simplify_teen: bool = True) -> str:
         # a bare 2 directly before 万/亿 reads 两 (20000 -> 两万)
         if text == "二" and gi > 0:
             text = "两"
-        # inter-group zero: e.g. 100001 -> 十万零一
-        if out and groups[gi] < 1000 and gi != len(groups) - 1:
+        # inter-group zero, two cases: leading zeros inside this group
+        # (100001 -> 十万零一) or whole zero group(s) skipped since the
+        # last emitted group (100005000 -> 一亿零五千)
+        if out and (groups[gi] < 1000 or prev_gi - gi > 1):
             out.append("零")
         out.append(text + ZH_GROUPS[gi])
+        prev_gi = gi
     res = "".join(out)
     # 一十X -> 十X for standalone 10..19
     if simplify_teen and res.startswith("一十"):
@@ -110,7 +114,10 @@ EN_UNITS = [
     "sixteen", "seventeen", "eighteen", "nineteen",
 ]
 EN_TENS = ["", "", "twenty", "thirty", "forty", "fifty", "sixty", "seventy", "eighty", "ninety"]
-EN_SCALES = [(10**9, "billion"), (10**6, "million"), (10**3, "thousand"), (100, "hundred")]
+EN_SCALES = [
+    (10**12, "trillion"), (10**9, "billion"), (10**6, "million"),
+    (10**3, "thousand"), (100, "hundred"),
+]
 
 
 def en_integer(n: int) -> str:

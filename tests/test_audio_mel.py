@@ -89,6 +89,15 @@ class TestMel:
         assert out.shape == (1, 100, 1 + 24000 // 256)
         assert np.allclose(out, np.log(1e-7))  # silence hits the safe_log clip
 
+    def test_unbatched_input_unbatched_output(self):
+        """[T] in -> [n_mels, frames] out, per the documented [..., T]
+        contract (previously returned a spurious [1, n_mels, frames])."""
+        mel = MelSpectrogramFeatures()
+        x1 = np.zeros(24000, dtype=np.float32)
+        out1 = mel(x1)
+        assert out1.shape == (100, 1 + 24000 // 256)
+        np.testing.assert_array_equal(out1, mel(x1[None])[0])
+
     def test_filterbank_properties(self):
         fb = mel_filterbank(513, 0.0, 12000.0, 100, 24000, None)
         assert fb.shape == (513, 100)

@@ -292,10 +292,39 @@ class TestCJK:
         assert de_tokenized_by_CJK_char("你 好 DON'T 世 界") == "你好DON'T世界"
         assert "<sent_" not in de_tokenized_by_CJK_char("A'B'C D E")
 
+    def test_run_text_colliding_with_marker(self):
+        """A Latin run whose TEXT collides with the stash markers ('sent'
+        is a substring of '<sent_N>') or is a substring of another run must
+        not corrupt the restoration map — stashing is positional, not
+        string-replace based."""
+        assert de_tokenized_by_CJK_char("HELLO 你 sent 好") == "HELLO你sent好"
+        assert de_tokenized_by_CJK_char("sent 你 sent") == "sent你sent"
+        # short run that is a substring of a LATER longer run
+        assert de_tokenized_by_CJK_char("LO 你 HELLO") == "LO你HELLO"
+        assert "<sent_" not in de_tokenized_by_CJK_char("sent absent consent")
+
 
 class TestNormalizerReviewRegressions:
     """Cases from the round-3 normalizer review, each verified by execution
     against the pre-fix behavior quoted in the finding."""
+
+    def test_skipped_middle_group_reads_ling(self):
+        """A whole zero 万-group between emitted groups needs 零: 100005000
+        read 一亿五千 pre-fix (wrong amount out loud)."""
+        from indextts_tpu.utils.zh_num import zh_integer
+
+        assert zh_integer("100005000") == "一亿零五千"
+        assert zh_integer("100000001") == "一亿零一"
+        assert zh_integer("100010000") == "一亿零一万"
+        # no spurious 零 when groups are adjacent and full-width
+        assert zh_integer("12345678") == "一千二百三十四万五千六百七十八"
+        assert zh_integer("100001") == "十万零一"
+
+    def test_en_trillion_scale(self):
+        from indextts_tpu.utils.zh_num import en_integer
+
+        assert en_integer(2 * 10**12) == "two trillion"
+        assert en_integer(1_200_000_000_000) == "one trillion two hundred billion"
 
     def test_huge_number_no_crash(self, normalizer):
         # >= 10^16 exceeds the 万/亿/万亿 group table: digit-by-digit, not
