@@ -45,8 +45,17 @@ def load_native_lib() -> Optional[ctypes.CDLL]:
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
-            _build_failed = True
-            return None
+            # an existing .so can be unloadable on THIS host (checked-out
+            # binary from another arch/glibc): rebuild from source once
+            # before giving up on the native path
+            if not _build():
+                _build_failed = True
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+            except OSError:
+                _build_failed = True
+                return None
         lib.bpe_create.restype = ctypes.c_void_p
         lib.bpe_create.argtypes = [
             ctypes.POINTER(ctypes.c_char_p),
@@ -80,16 +89,21 @@ class NativeBPE:
         ty = (ctypes.c_uint8 * n)(*types)
         self.handle = self.lib.bpe_create(arr, sc, ty, n, unk_id)
         self._out = (ctypes.c_int32 * 65536)()
+        # the output buffer is shared per instance — serialize encode()
+        # so concurrent callers (the server is threaded) can't read each
+        # other's ids out of it
+        self._encode_lock = threading.Lock()
 
     def encode(self, text: str):
         # bpe_encode returns the TOTAL token count (snprintf convention);
         # grow the buffer and retry instead of silently dropping the tail
         raw = text.encode("utf-8")
-        n = self.lib.bpe_encode(self.handle, raw, self._out, len(self._out))
-        while n > len(self._out):
-            self._out = (ctypes.c_int32 * (2 * n))()
+        with self._encode_lock:
             n = self.lib.bpe_encode(self.handle, raw, self._out, len(self._out))
-        return list(self._out[:n])
+            while n > len(self._out):
+                self._out = (ctypes.c_int32 * (2 * n))()
+                n = self.lib.bpe_encode(self.handle, raw, self._out, len(self._out))
+            return list(self._out[:n])
 
     def __del__(self):
         try:

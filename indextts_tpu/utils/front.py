@@ -255,8 +255,17 @@ class TextNormalizer:
                     + "月" + zh_num.zh_integer(d) + "日")
 
         t = re.sub(
-            r"(\d{2,4})\s*年\s*(\d{1,2})\s*月\s*(\d{1,2})\s*[日号]?",
+            r"(\d{2,4})\s*年\s*(\d{1,2})\s*月\s*(\d{1,2})\s*[日号]",
             lambda m: _full_date(m.group(1), m.group(2), m.group(3)),
+            t,
+        )
+        # marker-less day (2025年1月2): only when the digits STOP there and
+        # form a real day — otherwise 年N月 followed by a count (2025年3月
+        # 1000米) would eat the count's first digits as a bogus 日
+        t = re.sub(
+            r"(\d{2,4})\s*年\s*(\d{1,2})\s*月\s*(\d{1,2})(?!\d)",
+            lambda m: (_full_date(m.group(1), m.group(2), m.group(3))
+                       if 1 <= int(m.group(3)) <= 31 else m.group(0)),
             t,
         )
         t = re.sub(
@@ -302,6 +311,10 @@ class TextNormalizer:
             if mm and int(mm) > 0:
                 # zero-padded minutes keep the 零: 1:02 -> 一点零二分
                 out += ("零" if mm.startswith("0") else "") + zh_num.zh_integer(mm) + "分"
+            elif mm and ss and int(ss) > 0:
+                # 08:00:30 keeps the zero minutes (八点零分三十秒) — dropping
+                # them reads adjacent to 八点三十 (8:30)
+                out += "零分"
             if ss and int(ss) > 0:
                 out += ("零" if ss.startswith("0") else "") + zh_num.zh_integer(ss) + "秒"
             return out
@@ -396,27 +409,40 @@ class TextNormalizer:
         )
         # ordinals: 第3 -> 第三 (第 always selects 二, never 两)
         t = re.sub(r"第(\d+)", lambda m: "第" + zh_num.zh_integer(m.group(1)).replace("两", "二"), t)
+        # amounts may carry a scale suffix (¥2万, ¥3000万): the unit word
+        # goes AFTER the scale (两万元, not 二元万元); bare 2 before a scale
+        # reads 两 like the standalone 两-scale rule
+        _sc = r"(万亿|亿|万)?"
+
+        def _amt(num, scale):
+            txt = zh_num.zh_number(num)
+            if scale:
+                if txt == "二":
+                    txt = "两"
+                txt += scale
+            return txt
+
         # currency ranges first (else the single-money rule eats the left
         # endpoint and leaves "-5000" to the negative rule): ¥3000-5000
         t = re.sub(
-            r"[¥￥]\s*(\d+(?:\.\d+)?)\s*[-~～]\s*[¥￥]?\s*(\d+(?:\.\d+)?)",
-            lambda m: zh_num.zh_number(m.group(1)) + "到" + zh_num.zh_number(m.group(2)) + "元",
+            r"[¥￥]\s*(\d+(?:\.\d+)?)" + _sc + r"\s*[-~～]\s*[¥￥]?\s*(\d+(?:\.\d+)?)" + _sc,
+            lambda m: _amt(m.group(1), m.group(2)) + "到" + _amt(m.group(3), m.group(4)) + "元",
             t,
         )
         t = re.sub(
-            r"\$\s*(\d+(?:\.\d+)?)\s*[-~～]\s*\$?\s*(\d+(?:\.\d+)?)",
-            lambda m: zh_num.zh_number(m.group(1)) + "到" + zh_num.zh_number(m.group(2)) + "美元",
+            r"\$\s*(\d+(?:\.\d+)?)" + _sc + r"\s*[-~～]\s*\$?\s*(\d+(?:\.\d+)?)" + _sc,
+            lambda m: _amt(m.group(1), m.group(2)) + "到" + _amt(m.group(3), m.group(4)) + "美元",
             t,
         )
-        # money: ¥12999 / ￥12999 / $12.5
+        # money: ¥12999 / ￥12999 / $12.5 / ¥2万
         t = re.sub(
-            r"[¥￥]\s*(\d+(?:\.\d+)?)",
-            lambda m: zh_num.zh_number(m.group(1)) + "元",
+            r"[¥￥]\s*(\d+(?:\.\d+)?)" + _sc,
+            lambda m: _amt(m.group(1), m.group(2)) + "元",
             t,
         )
         t = re.sub(
-            r"\$\s*(\d+(?:\.\d+)?)",
-            lambda m: zh_num.zh_number(m.group(1)) + "美元",
+            r"\$\s*(\d+(?:\.\d+)?)" + _sc,
+            lambda m: _amt(m.group(1), m.group(2)) + "美元",
             t,
         )
         # trailing plus: 3000+ -> 三千多 (not when another number follows —
@@ -516,6 +542,19 @@ class TextNormalizer:
             lambda m: zh_num.en_number(m.group(1)) + " to " + zh_num.en_number(m.group(2)),
             t,
         )
+        # ISO dates YYYY-MM-DD read as dates, not numeric ranges: rewrite to
+        # 'month DAYth YEAR' BEFORE the dash->to pass; the ordinal and year
+        # rules below then verbalize the pieces (WeTextProcessing's
+        # tn.english date FST is the behavior being matched)
+        _MONTHS = ("january", "february", "march", "april", "may", "june",
+                   "july", "august", "september", "october", "november",
+                   "december")
+        t = re.sub(
+            r"\b((?:19|20)\d{2})-(0?[1-9]|1[0-2])-(0?[1-9]|[12]\d|3[01])\b",
+            lambda m: (f"{_MONTHS[int(m.group(2)) - 1]} "
+                       f"{int(m.group(3))}th {m.group(1)}"),
+            t,
+        )
         # generic numeric ranges: rewrite the dash to " to " BEFORE unit
         # rules consume the endpoints (1990-1995, 50%-60%, $300-$500 — the
         # zh path rewrites ranges first for the same reason); the endpoints
@@ -602,12 +641,8 @@ class TextNormalizer:
             return " ".join(words)
 
         t = re.sub(r"\b(\d+)(?:st|nd|rd|th)\b", _ordinal, t)
-        # ranges: pages 3-5 -> three to five
-        t = re.sub(
-            r"(\d+(?:\.\d+)?)\s*[-~]\s*(\d+(?:\.\d+)?)",
-            lambda m: zh_num.en_number(m.group(1)) + " to " + zh_num.en_number(m.group(2)),
-            t,
-        )
+        # (plain digit ranges like 'pages 3-5' were already rewritten to
+        # ' to ' by the dash pre-pass above — no second range rule needed)
         # negatives: -5 -> minus five (ranges consumed above)
         t = re.sub(
             r"(?<![\dA-Za-z])-(\d+(?:\.\d+)?)",

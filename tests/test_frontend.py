@@ -308,6 +308,35 @@ class TestNormalizerReviewRegressions:
     """Cases from the round-3 normalizer review, each verified by execution
     against the pre-fix behavior quoted in the finding."""
 
+    def test_year_month_count_not_a_date(self, normalizer):
+        """年N月 followed by a plain count must not eat the count's first
+        digits as a bogus 日 (was: '2025年3月1000米' -> '…三月十日零米')."""
+        assert normalizer.normalize("2025年3月1000米比赛开始") == \
+            "二零二五年三月一千米比赛开始"
+        assert normalizer.normalize("2025年1月15000名学生") == \
+            "二零二五年一月一万五千名学生"
+        # marker-less real days still read as dates
+        assert normalizer.normalize("2025年1月2") == "二零二五年一月二日"
+
+    def test_money_with_scale_suffix(self, normalizer):
+        """¥N万: the unit goes AFTER the scale (was: '¥2万' -> 二元万)."""
+        assert normalizer.normalize("价格是¥2万") == "价格是两万元"
+        assert normalizer.normalize("市值¥3000万") == "市值三千万元"
+        assert normalizer.normalize("$1.5亿") == "一点五亿美元"
+        assert normalizer.normalize("预算¥3-5万") == "预算三到五万元"
+
+    def test_zero_minutes_with_seconds(self, normalizer):
+        """08:00:30 keeps 零分 (was: '八点三十秒', adjacent to 8:30)."""
+        out = normalizer.normalize("时间是08:00:30")
+        assert "八点零分三十秒" in out
+
+    def test_en_iso_date_not_a_range(self, normalizer):
+        """YYYY-MM-DD reads as a date (was: 'twenty twenty three to three
+        to twenty seven')."""
+        out = normalizer.normalize("released on 2023-03-27 worldwide")
+        assert "march third" in out or "march twenty" in out  # day ordinal
+        assert " to three to " not in out
+
     def test_skipped_middle_group_reads_ling(self):
         """A whole zero 万-group between emitted groups needs 零: 100005000
         read 一亿五千 pre-fix (wrong amount out loud)."""

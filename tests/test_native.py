@@ -61,6 +61,32 @@ class TestNativeBPE:
         text = " ".join(rng.choice(words) for _ in range(300))
         assert sp_native.EncodeAsIds(text) == sp_python.EncodeAsIds(text)
 
+    def test_concurrent_encode_no_corruption(self, lib):
+        """encode() shares a per-instance output buffer; concurrent callers
+        (the server is threaded) must get their OWN ids back, not another
+        thread's (the buffer is lock-guarded)."""
+        import threading
+
+        vocab = _vocab()
+        sp = SentencePieceProcessor(vocab=vocab, use_native=True)
+        assert sp._native is not None
+        texts = ["HELLO WORLD", "你好 HELLO", "HELD LOW HELLO", "H"] * 8
+        expected = {t: sp.EncodeAsIds(t) for t in set(texts)}
+        errors = []
+
+        def worker(t):
+            for _ in range(50):
+                if sp.EncodeAsIds(t) != expected[t]:
+                    errors.append(t)
+                    return
+
+        threads = [threading.Thread(target=worker, args=(t,)) for t in texts]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errors, f"corrupted encodes for {set(errors)}"
+
     def test_unigram_skips_native(self):
         vocab = _vocab()
         vocab.model_type = 1
