@@ -225,4 +225,5 @@ def save_config(cfg: IndexTTSConfig, path: str) -> None:
 
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "w", encoding="utf-8") as f:
-        yaml.safe_dump(_to_plain(dataclasses.asdict(cfg) if dataclasses.is_dataclass(cfg) else cfg), f, sort_keys=False)
+        # _to_plain handles dataclasses itself (asdict inside) — one walk
+        yaml.safe_dump(_to_plain(cfg), f, sort_keys=False)

@@ -33,7 +33,7 @@ from indextts_tpu.config import IndexTTSConfig, load_config
 from indextts_tpu.models.bigvgan import bigvgan_apply, init_bigvgan
 from indextts_tpu.models.gpt import get_conditioning, init_unified_voice, unified_voice_forward
 from indextts_tpu.models.gpt_decode import GenerationConfig, generate_speech, generate_speech_beam
-from indextts_tpu.utils.audio import read_wav, resample, write_wav
+from indextts_tpu.utils.audio import decode_audio, read_wav, resample, write_wav
 from indextts_tpu.utils.front import TextNormalizer, TextTokenizer
 from indextts_tpu.utils.mel import MelSpectrogramFeatures
 
@@ -256,6 +256,7 @@ class IndexTTS:
         self._latent_cache: Dict[Any, Callable] = {}
         self._vocoder_cache: Dict[Any, Callable] = {}
         self._cond_cache: Dict[Any, Callable] = {}
+        self._feature_cache: Dict[Any, np.ndarray] = {}  # prompt path -> mel
         self._rng = jax.random.PRNGKey(seed)
 
     # ------------------------------------------------------------------
@@ -281,15 +282,30 @@ class IndexTTS:
             self.gr_progress(value, desc)
 
     def extract_features(self, audio_prompt_path: str) -> np.ndarray:
-        """Prompt wav -> log-mel [1, 100, frames] (reference: infer.py:82-93;
-        mixes to mono by mean, resamples to 24 kHz)."""
+        """Prompt audio -> log-mel [1, 100, frames] (reference: infer.py:82-93;
+        mixes to mono by mean, resamples to 24 kHz). Decodes via decode_audio
+        (the same acceptance the web server has: PCM WAV natively, mp3/ogg/
+        flac through ffmpeg — the reference CLI accepts whatever torchaudio
+        loads), so a non-PCM prompt gives a clear error, not a wave.Error
+        traceback. Memoized by (path, mtime): a batch TSV reusing one voice
+        featurizes it once, not once per row."""
+        try:
+            key = (audio_prompt_path, os.path.getmtime(audio_prompt_path))
+        except OSError:
+            key = (audio_prompt_path, None)
+        cached = self._feature_cache.get(key)
+        if cached is not None:
+            return cached
         print(f">> extracting prompt mel spectrogram: {audio_prompt_path}")
-        audio, sr = read_wav(audio_prompt_path)
+        audio, sr = decode_audio(audio_prompt_path)
         audio = audio.mean(axis=0, keepdims=True)
         if sr != 24000:
             audio = resample(audio, sr, 24000)
-        cond_mel = self.wav2mel(np.clip(audio, -1, 1))
-        return cond_mel.astype(np.float32)
+        cond_mel = self.wav2mel(np.clip(audio, -1, 1)).astype(np.float32)
+        if len(self._feature_cache) >= 16:  # tiny LRU-ish bound
+            self._feature_cache.pop(next(iter(self._feature_cache)))
+        self._feature_cache[key] = cond_mel
+        return cond_mel
 
     # ------------------------------------------------------------------
     # host-side helpers (reference: infer.py:244-329)

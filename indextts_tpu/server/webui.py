@@ -343,6 +343,14 @@ def create_app(engine=None, base_dir: Optional[str] = None,
                 return None, ({"error": "invalid crop range"}, 400)
             if start < end and start < waveform.shape[1]:
                 waveform = waveform[:, start:end]
+        # reference prompts are seconds long (zero-shot voice cloning);
+        # featurizing an hour-long upload is never intentional and wastes
+        # minutes of host CPU per request — clean 400 instead
+        max_s = 300
+        if waveform.shape[1] > max_s * target_sr:
+            return None, ({"error": f"reference audio too long "
+                           f"(max {max_s}s; crop it with cropStart/cropEnd)"},
+                          400)
         mel = MelSpectrogramFeatures()(np.clip(waveform.mean(axis=0, keepdims=True), -1, 1))
         return mel.astype(np.float32), None
 

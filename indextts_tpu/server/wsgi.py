@@ -31,7 +31,11 @@ class Request:
         self.environ = environ
         self.method = environ["REQUEST_METHOD"].upper()
         self.path = environ.get("PATH_INFO", "/")
-        self.query = {k: v[0] for k, v in parse_qs(environ.get("QUERY_STRING", "")).items()}
+        # keep_blank_values: Flask (the layer this replaces) keeps
+        # present-but-empty params as '' — dropping them would make
+        # "field cleared" indistinguishable from "field absent"
+        self.query = {k: v[0] for k, v in parse_qs(
+            environ.get("QUERY_STRING", ""), keep_blank_values=True).items()}
         self._body: Optional[bytes] = None
         self.too_large = False
         self.form: Dict[str, str] = {}
@@ -73,7 +77,9 @@ class Request:
                 # "replace", not strict: a non-UTF-8 body must yield a clean
                 # app-level error, not a UnicodeDecodeError during Request
                 # construction (multipart headers already decode this way)
-                self.form = {k: v[0] for k, v in parse_qs(self.body.decode("utf-8", "replace")).items()}
+                self.form = {k: v[0] for k, v in parse_qs(
+                    self.body.decode("utf-8", "replace"),
+                    keep_blank_values=True).items()}
             elif ctype.startswith("multipart/form-data"):
                 m = re.search(r'boundary="?([^";]+)"?', ctype)
                 if m:

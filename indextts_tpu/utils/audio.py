@@ -131,9 +131,14 @@ def decode_audio(path: str) -> Tuple[np.ndarray, int]:
             pass
 
 
-def load_audio(path: str, sampling_rate: int) -> Optional[np.ndarray]:
+def load_audio(path: str, sampling_rate: int) -> np.ndarray:
     """Load -> mono [1, T] float32 at `sampling_rate`, clipped to [-1, 1]
-    (reference: indextts/utils/common.py:11-26 — takes channel 0, resamples, clips)."""
+    (reference: indextts/utils/common.py:11-26 — takes channel 0, resamples,
+    clips). NOTE the channel policy deliberately differs from
+    engine.extract_features (mean-mix, mirroring ref infer.py:82-93): the
+    reference itself uses channel-0 for eval-side loading and mean for
+    prompt conditioning, and this helper serves the eval path
+    (tools/eval_fidelity.py). Raises on undecodable input (never None)."""
     audio, sr = decode_audio(path)
     if audio.shape[0] > 1:
         audio = audio[:1]

@@ -28,6 +28,9 @@ def hann_window(win_length: int, periodic: bool = True) -> np.ndarray:
     return w[:win_length].astype(np.float64)
 
 
+_STFT_FRAME_CHUNK = 8192  # frames per STFT transient (tests shrink this)
+
+
 def stft_magnitude(
     audio: np.ndarray,
     n_fft: int,
@@ -58,13 +61,22 @@ def stft_magnitude(
         pad = n_fft // 2
         x = np.pad(x, ((0, 0), (pad, pad)), mode="reflect")
     n_frames = 1 + (x.shape[-1] - n_fft) // hop_length
-    idx = np.arange(n_fft)[None, :] + hop_length * np.arange(n_frames)[:, None]
-    frames = x[:, idx] * window[None, None, :]  # [B, frames, n_fft]
-    spec = np.fft.rfft(frames, axis=-1)  # [B, frames, n_fft//2+1]
-    mag = np.abs(spec).transpose(0, 2, 1)  # [B, freq, frames]
-    if power != 1.0:
-        mag = mag**power
-    out = mag.astype(np.float32)
+    # chunk over frames: the materialized [B, chunk, n_fft] float64 windows
+    # + complex128 rfft are the peak transient — unchunked, a long upload
+    # (the server caps bodies at 64 MB ≈ an hour of 8 kHz audio) allocates
+    # multiple GB at once and can OOM the serving process. 8192 frames
+    # ≈ 67 MB per transient; numerics are identical (same float64 math).
+    chunk = _STFT_FRAME_CHUNK
+    out = np.empty((x.shape[0], n_fft // 2 + 1, n_frames), dtype=np.float32)
+    for f0 in range(0, n_frames, chunk):
+        f1 = min(f0 + chunk, n_frames)
+        idx = np.arange(n_fft)[None, :] + hop_length * np.arange(f0, f1)[:, None]
+        frames = x[:, idx] * window[None, None, :]  # [B, f1-f0, n_fft]
+        spec = np.fft.rfft(frames, axis=-1)  # [B, f1-f0, n_fft//2+1]
+        mag = np.abs(spec).transpose(0, 2, 1)  # [B, freq, f1-f0]
+        if power != 1.0:
+            mag = mag**power
+        out[:, :, f0:f1] = mag
     return out[0] if squeeze else out
 
 

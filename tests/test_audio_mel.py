@@ -89,6 +89,16 @@ class TestMel:
         assert out.shape == (1, 100, 1 + 24000 // 256)
         assert np.allclose(out, np.log(1e-7))  # silence hits the safe_log clip
 
+    def test_chunked_stft_matches_unchunked(self, monkeypatch):
+        """Frame chunking (the long-upload OOM guard) is bit-identical to a
+        single-chunk pass — same float64 math, just bounded transients."""
+        from indextts_tpu.utils import mel as mel_mod
+
+        x = np.random.default_rng(3).standard_normal((1, 24000)).astype(np.float32)
+        ref = MelSpectrogramFeatures()(x)  # 94 frames: single chunk
+        monkeypatch.setattr(mel_mod, "_STFT_FRAME_CHUNK", 7)  # force many chunks
+        np.testing.assert_array_equal(MelSpectrogramFeatures()(x), ref)
+
     def test_unbatched_input_unbatched_output(self):
         """[T] in -> [n_mels, frames] out, per the documented [..., T]
         contract (previously returned a spurious [1, n_mels, frames])."""

@@ -293,6 +293,24 @@ class TestWarmup:
         assert _graph_keys(eng) == before
 
 
+class TestExtractFeatures:
+    def test_memoized_by_path(self, engine):
+        """A batch TSV reusing one voice featurizes it once — the second
+        call returns the cached mel, not a recomputed one."""
+        a = engine.extract_features("tests/sample_prompt.wav")
+        b = engine.extract_features("tests/sample_prompt.wav")
+        assert a is b
+        assert a.shape[0] == 1 and a.shape[1] == 100
+
+    def test_clear_error_on_non_audio(self, engine, tmp_path):
+        from indextts_tpu.utils.audio import UnsupportedAudioFormat
+
+        p = tmp_path / "not_audio.mp3"
+        p.write_bytes(b"definitely not audio")
+        with pytest.raises(UnsupportedAudioFormat):
+            engine.extract_features(str(p))
+
+
 class TestCompileCache:
     def test_compile_cache_dir_populated(self, tmp_path):
         """compile_cache_dir routes XLA executables into a persistent

@@ -202,6 +202,25 @@ class TestSynthesis:
         status, data = client.multipart("/api/synthesize", {"text": "hi"})
         assert status == 400
 
+    def test_overlong_prompt_400(self, server):
+        """A reference upload past the duration cap answers a clean 400
+        instead of featurizing a giant STFT (OOM guard)."""
+        client, _, _, _ = server
+        import io
+        import wave as wave_mod
+
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:  # 301 s of 8 kHz silence
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(b"\x00\x00" * (301 * 8000))
+        status, data = client.multipart(
+            "/api/synthesize", {"text": "hi"},
+            files={"referenceAudioFile": ("long.wav", buf.getvalue())},
+        )
+        assert status == 400 and "too long" in data["error"]
+
     def test_empty_text_400(self, server):
         client, _, _, _ = server
         status, data = client.multipart(
