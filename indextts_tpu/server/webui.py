@@ -88,9 +88,12 @@ def create_app(engine=None, base_dir: Optional[str] = None,
     SlotSession where a new request joins the live decode at the next chunk
     boundary rather than waiting for the running batch — no head-of-line
     blocking (indextts_tpu/serving.py). num_beams must be 1 for the slot
-    path; beam requests fall back to the solo worker. Sessions are keyed by
-    static generation knobs (bounded at 2 — each holds a device-resident
-    circular KV cache); per-request dynamic knobs merge per-row."""
+    path; beam requests (the web form's DEFAULT, num_beams=3) ride a
+    gather-window batch lane (same machinery as batch_requests, wave size =
+    slot_requests) so concurrent default-form requests still share decode
+    batches. Sessions are keyed by static generation knobs (bounded at 2 —
+    each holds a device-resident circular KV cache); per-request dynamic
+    knobs merge per-row."""
     base_dir = base_dir or os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..")
     base_dir = os.path.abspath(base_dir)
     static_dir = os.path.join(base_dir, "static")
@@ -354,9 +357,11 @@ def create_app(engine=None, base_dir: Optional[str] = None,
         mel = MelSpectrogramFeatures()(np.clip(waveform.mean(axis=0, keepdims=True), -1, 1))
         return mel.astype(np.float32), None
 
-    def _run_batch(jobs):
+    def _run_batch(jobs, wave_size=None):
         """Run a group of same-signature jobs as ONE engine.infer_batch call
         (single job falls back to the solo worker for identical behavior)."""
+        if wave_size is None:
+            wave_size = batch_requests
         if len(jobs) == 1:
             j = jobs[0]
             synthesis_worker(j["task_id"], j["text"], j["prompt_mel"], j["output"],
@@ -384,7 +389,7 @@ def create_app(engine=None, base_dir: Optional[str] = None,
                     # wave decodes in slices of 8 and loses the weight-
                     # stream amortization batching exists for (SERVING.md:
                     # 128 reqs at bucket 8 measured 4.6x the bucket-128 wall)
-                    sentences_bucket_max_size=max(8, batch_requests),
+                    sentences_bucket_max_size=max(8, wave_size),
                     max_text_tokens_per_sentence=int(jobs[0]["max_tokens"]),
                     verbose=any(j["verbose"] for j in jobs),
                     per_request_kwargs=[
@@ -404,21 +409,26 @@ def create_app(engine=None, base_dir: Optional[str] = None,
             finally:
                 engine.set_gr_progress_callback(None)
 
-    def batch_dispatcher():
+    def batch_dispatcher(pending=batch_pending, cond=batch_cond, wave_size=None):
+        """Gather-window batching loop over `pending`. Runs as the main
+        dispatcher in --batch-requests mode, AND as the slot dispatcher's
+        beam lane (see below) — ONE loop definition so the two modes cannot
+        drift on signature grouping or failure handling."""
+        wave = wave_size or batch_requests
         while True:
-            with batch_cond:
-                while not batch_pending:
-                    batch_cond.wait()
+            with cond:
+                while not pending:
+                    cond.wait()
             time.sleep(batch_window_s)  # gather window for concurrent arrivals
-            with batch_cond:
-                if not batch_pending:
+            with cond:
+                if not pending:
                     continue
-                sig0 = _job_sig(batch_pending[0])
-                take = [j for j in batch_pending if _job_sig(j) == sig0][:batch_requests]
+                sig0 = _job_sig(pending[0])
+                take = [j for j in pending if _job_sig(j) == sig0][:wave]
                 for j in take:
-                    batch_pending.remove(j)
+                    pending.remove(j)
             try:
-                _run_batch(take)
+                _run_batch(take, wave_size=wave)
             except Exception as e:
                 # the dispatcher is the ONLY consumer: if it dies, every
                 # future request queues forever — never let a job kill it
@@ -432,6 +442,21 @@ def create_app(engine=None, base_dir: Optional[str] = None,
     if batch_requests > 1:
         threading.Thread(target=batch_dispatcher, daemon=True).start()
 
+    # slot mode's BEAM lane: requests the slot path cannot decode
+    # (num_beams != 1 — the web form's DEFAULT is 3, matching the reference's
+    # infer.py:122) ride the SAME gather-window batcher as --batch-requests
+    # instead of serializing solo. Wave size = slot_requests, the operator's
+    # stated concurrency budget. Beam batches and slot ticks interleave on
+    # worker_lock at whole-batch vs chunk granularity.
+    beam_cond = threading.Condition()
+    beam_pending: list = []
+    if slot_requests > 0:
+        threading.Thread(
+            target=batch_dispatcher,
+            args=(beam_pending, beam_cond, max(2, slot_requests)),
+            daemon=True,
+        ).start()
+
     def _solo_fallback(j):
         threading.Thread(
             target=synthesis_worker,
@@ -443,11 +468,12 @@ def create_app(engine=None, base_dir: Optional[str] = None,
     def slot_dispatcher():
         """Rolling-admission loop: drain queued jobs into per-signature
         SlotSessions, run one decode chunk per busy session, publish
-        completions. Sessions never block each other's admission; a job the
-        slot path cannot serve (beams, or a third distinct static signature
-        while both live sessions are busy — idle sessions are evicted to
-        make room) falls back to the solo worker so it is never silently
-        dropped."""
+        completions. Sessions never block each other's admission. Jobs the
+        slot path cannot serve are never silently dropped: beam jobs go to
+        the gather-window beam lane above (concurrent ones merge into
+        batched decodes); a third distinct static signature while both live
+        sessions are busy (idle sessions are evicted to make room) falls
+        back to the solo worker."""
         from indextts_tpu.serving import SLOT_DYNAMIC_PARAMS as _SLOT_DYN
 
         sessions: Dict[Any, Any] = {}
@@ -482,7 +508,13 @@ def create_app(engine=None, base_dir: Optional[str] = None,
                         j["stream_done"].set()  # client left before admission
                         continue
                     if int(j["kwargs"].get("num_beams", 3)) != 1:
-                        _solo_fallback(j)  # beams aren't slot-decodable
+                        # beams aren't slot-decodable — hand them to the
+                        # gather-window batch lane (concurrent beam requests
+                        # merge into one infer_batch call; a lone one runs
+                        # solo), never to serialized solo-only inference
+                        with beam_cond:
+                            beam_pending.append(j)
+                            beam_cond.notify()
                         continue
                     sig = _sig(j)
                     sess = sessions.get(sig)
