@@ -278,6 +278,27 @@ class TestWarmup:
                            if k != "num_beams"})
         assert _graph_keys(eng) == before
 
+    def test_slot_stream_burst_covered(self, tmp_path):
+        """A warmed slot+streaming server's FIRST concurrent stream burst
+        (n_slots streams at once) must add zero new jit keys: the interim
+        window vocoder batches across active streams and pads sub-batches
+        to powers of 2 — shapes a sequential warmup never compiles (the
+        round-3 gap where each power-of-2 stream count paid ~70 s at
+        flagship scale on first use, docs/SERVING.md)."""
+        eng = self._fresh_engine(tmp_path, fast_latents=True)
+        eng.warmup(texts=("HI THERE.",), n_slots=4, streaming=True,
+                   verbose=False, **self.KW)
+        before = _graph_keys(eng)
+        prompt = np.random.default_rng(10).standard_normal(
+            (1, 100, 100)).astype(np.float32)
+        sess = eng.slot_session(
+            n_slots=4, **{k: v for k, v in self.KW.items()
+                          if k != "num_beams"})
+        for _ in range(4):  # concurrent burst: all four stream at once
+            sess.submit(prompt, "HI THERE.", on_chunk=lambda r, c: None)
+        sess.drain()
+        assert _graph_keys(eng) == before
+
     @pytest.mark.parametrize("batch", [2, 9], ids=["small", "over8"])
     def test_batch_mode_covered(self, tmp_path, batch):
         """batch=9 pins the serving-wave bucket contract: warmup must use
