@@ -246,6 +246,17 @@ class TextNormalizer:
         t = re.sub(r"(?<=\d)\s*\+\s*(?=\d)", "加", t)
         t = re.sub(r"(?<=\d)\s*=\s*(?=[-\d])", "等于", t)
         t = re.sub(r"±(?=\d)", "正负", t)
+        # same-measure-word ranges: 2倍-3倍 -> 2倍到3倍 (the dash sits after
+        # the measure char, so the generic digit-range rule never sees it and
+        # the negative rule would read 负三倍). 年 covers both duration
+        # (5年-7年) and year ranges (2021年-2023年, before the year rule
+        # converts the digits)
+        t = re.sub(
+            r"(?<=\d)(倍|次|个|天|年|层|只|条|人|岁|届|站|元|米|克|页|章|集|期|轮|局)"
+            r"\s*[-~～]\s*(?=\d+(?:\.\d+)?\1)",
+            r"\1到",
+            t,
+        )
         # dates: 2025年01月11日 / 2025/1/2 / 2025-01-11 (only full dates).
         # The 年-form requires a literal 月 and the separator form requires
         # the SAME separator twice: a mixed class would swallow year+month
@@ -338,6 +349,25 @@ class TextNormalizer:
             lambda m: zh_num.zh_digits(m.group(0).replace("-", ""), tel=True),
             t,
         )
+        # landlines with area code: 010-12345678 -> 零幺零幺二三四五六七八
+        # (the generic range rule would read the dash as 到)
+        t = re.sub(
+            r"(?<!\d)0\d{2,3}-\d{7,8}(?!\d)",
+            lambda m: zh_num.zh_digits(m.group(0).replace("-", ""), tel=True),
+            t,
+        )
+        # mobile numbers, optionally +86-prefixed and space/dash-grouped:
+        # +86 138 0013 8000 -> 加八六幺三八零零幺三八零零零
+        t = re.sub(
+            r"(?<![\d])(\+86[\s-]*)?(1[3-9]\d)[\s-]?(\d{4})[\s-]?(\d{4})(?!\d)",
+            lambda m: (("加八六" if m.group(1) else "")
+                       + zh_num.zh_digits(m.group(2) + m.group(3) + m.group(4),
+                                          tel=True)),
+            t,
+        )
+        # leading plus as a sign: +15 -> 正十五 (digit+digit addition was
+        # consumed by the operator pass above; phone prefixes just above)
+        t = re.sub(r"(?<![\d])\+(?=\d)", "正", t)
         # dotted sequences (versions / IPs): 16.4.1 -> 十六点四点一,
         # 192.168.1.1 -> 一九二点一六八点一点一 (short clean groups read as
         # integers, long or zero-padded ones digit-by-digit)
@@ -482,6 +512,24 @@ class TextNormalizer:
             lambda m: "负" + zh_num.zh_number(m.group(1)),
             t,
         )
+        # ID-context digit runs (4-7 digits after an identifier noun) read
+        # digit-by-digit: 邮编100080 -> 邮编幺零零零八零 (the cardinal
+        # reading 十万零八十 is never how a postcode is spoken; >= 8 digits
+        # are covered unconditionally below)
+        t = re.sub(
+            r"(邮编|验证码|编号|工号|账号|卡号|证号|代码)([:：是为]?\s*)(\d{4,7})(?!\d)",
+            lambda m: m.group(1) + m.group(2) + zh_num.zh_digits(m.group(3), tel=True),
+            t,
+        )
+        # leading-zero digit runs are codes, not cardinals: 0755 -> 零七五五
+        # (a cardinal reading silently drops the zero). Min 3 digits and not
+        # before date/time markers so zero-padded 05月-style fragments keep
+        # their calendar reading.
+        t = re.sub(
+            r"(?<![\d.])0\d{2,}(?![\d.月日号年时点分秒])",
+            lambda m: zh_num.zh_digits(m.group(0), tel=True),
+            t,
+        )
         # long digit identifiers (8+ digits) read digit-by-digit with 幺
         t = re.sub(r"\d{8,}", lambda m: zh_num.zh_digits(m.group(0), tel=True), t)
         # letter-attached digit runs are IDs, not cardinals: 京A12345 ->
@@ -512,6 +560,13 @@ class TextNormalizer:
         t = re.sub(r"(?<=\d)\s*×\s*(?=\d)", " times ", t)
         t = re.sub(r"(?<=\d)\s*\+\s*(?=\d)", " plus ", t)
         t = re.sub(r"(?<=\d)\s*=\s*(?=[-\d])", " equals ", t)
+        # dashed phone numbers read digit-by-digit BEFORE any dash->to
+        # rewrite: 1-800-555-0199 -> one eight zero zero five five five...
+        t = re.sub(
+            r"(?<!\d)(?:\d-)?\d{3}-\d{3}-\d{4}(?!\d)",
+            lambda m: zh_num.en_digits(m.group(0).replace("-", "")),
+            t,
+        )
         # dotted sequences (versions / IPs): 16.4.1 -> sixteen point four
         # point one; zero-padded or long groups read digit-by-digit
         def _dotted(m):
@@ -535,6 +590,16 @@ class TextNormalizer:
                 out += " " + zh_num.en_integer(int(mm))
             return out
 
+        # H:M:S durations before the clock rule (whose (?!\d) guard lets it
+        # eat the H:M of "3:59:58" and leak ",fifty eight"):
+        # 3:59:58 -> three fifty nine and fifty eight seconds
+        t = re.sub(
+            r"(?<!\d)(\d{1,2}):(\d{2}):(\d{2})(?!\d)",
+            lambda m: (zh_num.en_integer(int(m.group(1))) + " "
+                       + zh_num.en_integer(int(m.group(2))) + " and "
+                       + zh_num.en_integer(int(m.group(3))) + " seconds"),
+            t,
+        )
         t = re.sub(r"(?<!\d)(\d{1,2}):(\d{2})(?!\d)", _time, t)
         # leftover digit colons are scores/ratios (clock times consumed above)
         t = re.sub(
@@ -604,10 +669,12 @@ class TextNormalizer:
         # Only whole letters-then-digits tokens split, so identifiers with
         # interleaved digits (sha1 hashes, serials like "a94a8f") stay intact.
         t = re.sub(r"(?<![A-Za-z0-9])([A-Za-z]+)(\d+)(?![A-Za-z0-9])", r"\1 \2", t)
-        # percent
+        # percent (sign-aware: the negative rule runs LAST, after this rule
+        # has consumed the digits — "-2.5%" must keep its minus here)
         t = re.sub(
-            r"(\d+(?:\.\d+)?)\s*%",
-            lambda m: zh_num.en_number(m.group(1)) + " percent",
+            r"(-?)(\d+(?:\.\d+)?)\s*%",
+            lambda m: ("minus " if m.group(1) else "")
+            + zh_num.en_number(m.group(2)) + " percent",
             t,
         )
         # (money rules run earlier, before the year rule — see above)
@@ -622,6 +689,15 @@ class TextNormalizer:
             lambda m: ("minus " if m.group(1) else "") + zh_num.en_number(m.group(2)) + " degrees Fahrenheit",
             t,
         )
+        # bare degree sign (no C/F): -40° -> minus forty degrees
+        t = re.sub(
+            r"(-?)(\d+(?:\.\d+)?)\s*°(?![CcFf])",
+            lambda m: ("minus " if m.group(1) else "") + zh_num.en_number(m.group(2)) + " degrees",
+            t,
+        )
+        # ordinal ranges: 2nd-3rd -> second to third (the generic dash->to
+        # pre-pass requires a digit before the dash and cannot see these)
+        t = re.sub(r"\b(\d{1,2})(st|nd|rd|th)\s*-\s*(?=\d)", r"\1\2 to ", t)
         # ordinals 1st/2nd/3rd/4th...
         ord_map = {
             "one": "first", "two": "second", "three": "third", "five": "fifth",

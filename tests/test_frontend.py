@@ -278,6 +278,123 @@ class TestNormalizerWextCategories:
             assert frag in out, f"{text!r} -> {out!r} missing {frag!r}"
 
 
+class TestNormalizerAdversarialCorpus:
+    """Round-4 adversarial ITN corpus (verdict #6): nested/ambiguous ranges,
+    decimals inside units, ID/phone format variants, mixed-script sentences,
+    year-vs-number ambiguity, signed quantities in context — curated beyond
+    the reference's own self-test corpus. Behavioral surface being matched:
+    the WeTextProcessing pynini grammars the reference delegates to
+    (ref front.py:100-111). Intentional deltas are documented at the end."""
+
+    @pytest.mark.parametrize(
+        "text,must_contain",
+        [
+            # nested / ambiguous ranges
+            ("上涨了3%-5%之间", ["百分之三到百分之五"]),
+            ("跌幅在-3%到-5%之间", ["负百分之三到负百分之五"]),
+            ("收益率从-1.5%升至2.8%", ["负百分之一点五", "百分之二点八"]),
+            ("每天工作8-10小时,休息2-3次", ["八到十小时", "二到三次"]),
+            ("价格在¥99-¥199之间", ["九十九到一百九十九元"]),
+            ("温度从-10℃升到-2℃", ["零下十摄氏度", "零下二摄氏度"]),
+            ("增长2倍-3倍", ["二倍到三倍"]),
+            ("3~5万元的预算", ["三到五万元"]),
+            ("2021年-2023年的数据", ["二零二一年到二零二三年"]),
+            # the measure-word 两 rule composes with the range rewrite
+            ("服药2次-3次", ["两次到三次"]),
+            # decimals inside units
+            ("速度是1.5km/h", ["每小时一点五千米"]),
+            ("重量0.5kg以上", ["零点五千克"]),
+            ("每小时3.6km", ["三点六千米"]),
+            ("镜头35mm焦距", ["三十五毫米"]),
+            ("降雨量12.5mm", ["十二点五毫米"]),
+            ("屏幕6.1英寸", ["六点一英寸"]),
+            # ID / phone format variants
+            ("电话010-12345678转801", ["零幺零幺二三四五六七八"]),
+            ("手机号+86 138 0013 8000", ["加八六幺三八零零幺三八零零零"]),
+            ("热线400-800-8888", ["四零零八零零八八八八"]),
+            ("身份证号110101199003077513",
+             ["幺幺零幺零幺幺九九零零三零七七五幺三"]),
+            ("邮编100080", ["幺零零零八零"]),
+            ("代码是0755", ["零七五五"]),
+            ("订单号SF1234567890123", ["SF幺二三四五六七八九零幺二三"]),
+            ("工号A0042号员工", ["A零零四二号"]),
+            # mixed-script sentences
+            ("他用iPhone 15 Pro拍了4K视频", ["十五", "四K"]),
+            ("这款CPU有8核16线程,主频3.5GHz", ["八核十六线程", "三点五GHz"]),
+            ("第5代iPad Air售价$599", ["第五代", "五百九十九美元"]),
+            ("维生素B12每天2.4微克", ["B十二", "二点四微克"]),
+            ("USB 3.0接口传输500MB/s", ["三点零", "五百MB"]),
+            # year-vs-number ambiguity (年份 digit-read vs 计数 cardinal)
+            ("1998年发生了很多事", ["一九九八年"]),
+            ("他跑了1998米", ["一千九百九十八米"]),
+            ("公元前221年统一六国", ["二二一年"]),
+            ("这本书有2024页", ["两千零二十四页"]),
+            ("今年是2024年,距离1949年已有75年",
+             ["二零二四年", "一九四九年", "七十五年"]),
+            ("1200年历史的古寺", ["一二零零年"]),
+            ("90年代的歌曲", ["九十年代"]),
+            ("存了5年定期", ["五年"]),
+            ("2008年奥运会有10500名运动员", ["二零零八年", "一万零五百名"]),
+            # signed quantities in context
+            ("净利润-1200万元", ["负一千二百万元"]),
+            ("误差范围±0.05毫米", ["正负零点零五毫米"]),
+            ("得分+15和-7", ["正十五", "负七"]),
+            ("账户余额-500元", ["负五百元"]),
+            ("增速由+5%转为-2%", ["正百分之五", "负百分之二"]),
+            ("坐标'-3,4'处", ["负三,四"]),
+        ],
+    )
+    def test_zh_adversarial(self, normalizer, text, must_contain):
+        out = normalizer.normalize(text)
+        for frag in must_contain:
+            assert frag in out, f"{text!r} -> {out!r} missing {frag!r}"
+
+    @pytest.mark.parametrize(
+        "text,must_contain",
+        [
+            ("It rose from -2.5% to 3.7% overnight",
+             ["minus two point five percent", "three point seven percent"]),
+            ("Call 1-800-555-0199 now",
+             ["one eight zero zero five five five zero one nine nine"]),
+            ("The meeting is 9:30-11:45 AM",
+             ["nine thirty to eleven forty five"]),
+            ("He ran 26.2 miles in 3:59:58",
+             ["twenty six point two miles",
+              "three fifty nine and fifty eight seconds"]),
+            ("Prices range $1,299-$1,499",
+             ["one thousand two hundred ninety nine dollars to "
+              "one thousand four hundred ninety nine dollars"]),
+            ("The 2nd-3rd floors are closed", ["second to third"]),
+            ("Temperatures hit -40° yesterday", ["minus forty degrees"]),
+            ("A 7.5% APR on $10,000",
+             ["seven point five percent", "ten thousand dollars"]),
+        ],
+    )
+    def test_en_adversarial(self, normalizer, text, must_contain):
+        out = normalizer.normalize(text)
+        for frag in must_contain:
+            assert frag in out, f"{text!r} -> {out!r} missing {frag!r}"
+
+    @pytest.mark.parametrize(
+        "text,must_contain",
+        [
+            # intentional deltas, pinned so drift is deliberate:
+            # context-free counting nouns keep cardinal readings (the
+            # WeText grammars have no discourse model either)
+            ("房间号1203", ["一千二百零三"]),
+            # letter-dash-model names keep the dash (punct map is
+            # deliberately conservative around product names)
+            ("GPT-4有1.8万亿参数", ["一点八万亿"]),
+            # caret exponents are out of scope for both implementations
+            ("电荷-1.6×10^-19库仑", ["负一点六乘十", "负十九"]),
+        ],
+    )
+    def test_documented_deltas(self, normalizer, text, must_contain):
+        out = normalizer.normalize(text)
+        for frag in must_contain:
+            assert frag in out, f"{text!r} -> {out!r} missing {frag!r}"
+
+
 class TestCJK:
     def test_round_trip(self):
         s = tokenize_by_CJK_char("你好世界是 hello world 的中文")
