@@ -236,14 +236,14 @@ def slot_steps(
     admission so requests with different knobs share the batch.
 
     Per-row mel position i_b + pos_off rides a [B] gather into the
-    positional table; codes/latent writes are one-element scatters with
-    OOB-drop indices for inactive rows. The KV write is the shared
-    one-column DUS at cursor (mod S applied in-loop)."""
+    positional table; codes/seen/latent writes are dense masked selects
+    (per-row-index scatters serialize on XLA:TPU — see body comment). The
+    KV write is the shared one-column DUS at cursor (mod S applied
+    in-loop)."""
     b = state.i_b.shape[0]
     s_len = state.mask.shape[1]
     max_new = state.codes.shape[1]
     stop = cfg.stop_mel_token
-    rows = jnp.arange(b)
 
     def sample_from(logits, seen, key, tick):
         lf = process_logits(
@@ -276,15 +276,24 @@ def slot_steps(
             )
         nxt = sample_from(logits, st.seen, rng, st.tick).astype(jnp.int32)
         nxt = jnp.where(st.active, nxt, stop)
-        # per-row writes; inactive rows get an OOB index and are dropped
-        widx = jnp.where(st.active, st.i_b + 1, max_new)
-        codes = st.codes.at[rows, widx].set(nxt, mode="drop")
-        seen = st.seen.at[rows, jnp.where(st.active, nxt, st.seen.shape[1])].set(
-            True, mode="drop"
+        # per-row writes as DENSE masked selects. The index differs PER ROW
+        # (rows admitted at different times sit at different i_b), so an
+        # .at[rows, widx] form is a true scatter — and XLA:TPU serializes
+        # scatters (the same pathology as the measured ~0.5 s per-admission
+        # cache scatter, tools/profile_slots.py). The dense selects stream
+        # the small codes/seen/lat buffers once, which is noise next to the
+        # step's weight reads.
+        wsel = st.active[:, None] & (
+            jnp.arange(max_new)[None, :] == (st.i_b + 1)[:, None]
+        )  # [B, max_new]
+        codes = jnp.where(wsel, nxt[:, None], st.codes)
+        seen = st.seen | (
+            st.active[:, None]
+            & (jnp.arange(st.seen.shape[1])[None, :] == nxt[:, None])
         )
         lat = st.lat
         if lat is not None:
-            lat = lat.at[rows, widx].set(hnorm.astype(lat.dtype), mode="drop")
+            lat = jnp.where(wsel[:, :, None], hnorm[:, None, :].astype(lat.dtype), lat)
         # the cursor column becomes attendable for rows that really wrote
         mask = st.mask.at[:, wp].set(st.active)
         newly_done = st.active & (
