@@ -133,6 +133,15 @@ class SlotSession:
         # zeroed to match _vocode_many's own zero-padding semantics (the
         # caller clamps start host-side so the slice never clips)
         self._win_w = min(chunk_steps + self.stream_overlap + 1, gen.max_new_tokens)
+        skey = ("slot_snap",)
+        if skey not in engine._decode_cache:
+            # identity jit = device-side copy of the scheduler's tiny
+            # snapshot (done/i_b/codes): jit outputs are fresh buffers, so
+            # the snapshot survives the next chunk's donation of the state
+            # (holding the state leaves themselves raises "Array has been
+            # deleted" after the donating dispatch)
+            engine._decode_cache[skey] = jax.jit(lambda d, i, c: (d, i, c))
+        self._snap_fn = engine._decode_cache[skey]
         wkey = ("slot_win", self._win_w)
         if wkey not in engine._decode_cache:
             def _win(lat, slot, start, n_valid, _w=self._win_w):
@@ -152,6 +161,17 @@ class SlotSession:
         self.requests: Dict[int, Dict[str, Any]] = {}
         self._next_rid = 0
         self._warned_max = False
+        # one-chunk scheduler pipeline (round 4): handles to the PREVIOUS
+        # chunk's done/i_b/codes, whose host copies were started at dispatch
+        # so the ~30 ms tunnel round trip hides behind the next chunk's
+        # execution (tools/trace_slots.py: chunk exec 55 ms, measured tick
+        # wall 85 ms — the gap was one synchronous fetch per tick).
+        # _seq counts dispatched chunks; a row records the seq of the first
+        # chunk that includes it, and a fetch only harvests rows with
+        # admit_seq <= its seq — a stale done flag from before a slot was
+        # REUSED must never harvest the new occupant.
+        self._fetch = None  # (seq, done_dev, i_b_dev, codes_dev)
+        self._seq = 0
 
     # ------------------------------------------------------------------
 
@@ -246,28 +266,35 @@ class SlotSession:
         self.state = self._admit_fn(self.state, prod, slot)
         for k, col in self.dyn_cols.items():
             col[slot] = row["dyn"][k]
+        row["admit_seq"] = self._seq + 1  # first chunk that includes this row
         self.slots[slot] = row
 
-    def _harvest(self) -> List[Tuple[int, Any]]:
+    def _harvest(self, fetch) -> List[Tuple[int, Any]]:
         """Read finished rows off the device, resolve their latents
         (captured or a batched teacher-forced pass), vocode every request
-        completed this tick in one batched call, and return the results."""
+        completed this tick in one batched call, and return the results.
+
+        `fetch` is the pipelined (seq, done, i_b, codes) host copies from a
+        PREVIOUS dispatch (or None on the first tick of a burst). Reading a
+        one-chunk-old snapshot is exact for finished rows: a done row is
+        inert — later chunks never touch its codes or captured latents —
+        and the admit_seq guard skips slots reused since that snapshot."""
         eng = self.engine
-        occupied = [i for i, r in enumerate(self.slots) if r is not None]
         fin: List[int] = []
-        if occupied:
-            done = np.asarray(self.state.done)
-            fin = [i for i in occupied if done[i]]
+        if fetch is not None:
+            seq, done, _ib, codes_all = fetch
+            fin = [i for i, r in enumerate(self.slots)
+                   if r is not None and done[i] and r["admit_seq"] <= seq]
         if not fin and not any(
             len(req["rows"]) == req["n_rows"] for req in self.requests.values()
         ):
             # nothing finished this tick and nothing completable (a
             # cancelled request can become completable with no live rows)
             return []
-        codes_all = np.asarray(self.state.codes)
-        # lengths on host from the buffer just fetched (slot_lengths
-        # semantics; a device call here would pay the ~32 ms fixed
-        # dispatch+fetch overhead every harvesting tick)
+        if fetch is None:
+            codes_all = np.asarray(self.state.codes)
+        # lengths from the pipelined host copy (a synchronous device fetch
+        # here cost the ~30 ms tunnel round trip every harvesting tick)
         is_stop = codes_all == eng.stop_mel_token
         lens_all = np.where(is_stop.any(axis=1),
                             is_stop.argmax(axis=1) + 1, codes_all.shape[1])
@@ -426,20 +453,22 @@ class SlotSession:
             req["on_chunk"](row["rid"], chunk)
             row["emitted"] = n_now
 
-    def _stream_emit(self) -> None:
-        """Interim streaming pass, once per tick after the decode chunk:
-        vocode every ACTIVE streaming row's newly decoded window (rows that
-        finished this chunk are finalized by _harvest with stop-length
-        semantics)."""
+    def _stream_emit(self, fetch) -> None:
+        """Interim streaming pass, once per tick: vocode every ACTIVE
+        streaming row's newly decoded window (rows that finished are
+        finalized by _harvest with stop-length semantics). Works off the
+        pipelined (seq, done, i_b, codes) snapshot: positions below a row's
+        fetched i_b were each written exactly once and never change, so the
+        window content read from the LIVE latent buffer is exact even while
+        the next chunk advances the row."""
         rows = [(s, r) for s, r in enumerate(self.slots)
                 if r is not None and r.get("stream")]
-        if not rows:
+        if not rows or fetch is None:
             return
-        done = np.asarray(self.state.done)
-        i_b = np.asarray(self.state.i_b)
+        seq, done, i_b, _codes = fetch
         todo = []
         for slot, row in rows:
-            if done[slot]:
+            if done[slot] or row["admit_seq"] > seq:
                 continue
             n_now = int(i_b[slot]) + 1
             if n_now <= row["emitted"]:
@@ -451,11 +480,19 @@ class SlotSession:
     # ------------------------------------------------------------------
 
     def tick(self) -> List[Tuple[int, Any]]:
-        """One scheduler cycle: admit pending rows into free slots, run one
-        decode chunk, harvest. Returns requests completed this tick."""
+        """One scheduler cycle: admit pending rows into free slots, DISPATCH
+        one decode chunk (without waiting for it), then process the PREVIOUS
+        chunk's pipelined host snapshot — stream emission and harvest. The
+        one-chunk pipeline hides the ~30 ms host round trip behind the next
+        chunk's device execution (measured: tick wall 85 ms for 55 ms of
+        chunk exec before; see docs/SERVING.md). Completion/stream delivery
+        lags one chunk; admission latency is unchanged (a row admitted this
+        tick is in this tick's chunk)."""
         free = [i for i, r in enumerate(self.slots) if r is None]
         while free and self.pending:
             self._admit_one(self.pending.popleft(), free.pop(0))
+        prev = self._fetch
+        self._fetch = None
         if any(r is not None for r in self.slots):
             cols = {k: jnp.asarray(v) for k, v in self.dyn_cols.items()}
             self.rng, sub = jax.random.split(self.rng)
@@ -465,8 +502,22 @@ class SlotSession:
                 repetition_penalty=cols["repetition_penalty"],
                 typical_mass=cols["typical_mass"],
             )
-            self._stream_emit()
-        return self._harvest()
+            self._seq += 1
+            handles = self._snap_fn(self.state.done, self.state.i_b,
+                                    self.state.codes)
+            for a in handles:
+                try:
+                    a.copy_to_host_async()  # overlap with the chunk's exec
+                except Exception:
+                    pass  # backends without async host copies still work
+            self._fetch = (self._seq,) + handles
+        if prev is not None:
+            # materialize the previous dispatch's snapshot (the transfer has
+            # been in flight since that dispatch)
+            prev = (prev[0], np.asarray(prev[1]), np.asarray(prev[2]),
+                    np.asarray(prev[3]))
+            self._stream_emit(prev)
+        return self._harvest(prev)
 
     @property
     def busy(self) -> bool:
