@@ -204,6 +204,12 @@ def _activation(p_act: Params, x: jnp.ndarray, h: BigVGANConfig, use_pallas: boo
 
         return fused_anti_alias_snake_tmajor(
             x, p_act["alpha"], p_act.get("beta"), alpha_logscale=h.snake_logscale,
+            # round-4 ablation knobs: the BEST slope-timed body (MXU banded
+            # taps + poly sin, 1.69 ms/op vs VPU+exact-sin 3.2) was never
+            # measured IN-GRAPH, where composed acts cost ~2.9 ms each
+            mxu=_os.environ.get("INDEXTTS_WIDE_TMAJOR_MXU", "") == "1",
+            poly_sin=(True if _os.environ.get("INDEXTTS_WIDE_TMAJOR_POLY", "") == "1"
+                      else None),
             interpret=jax.default_backend() == "cpu",
         )
     # the WIDE_* measurement knobs are wide-stage-only forms (>=128 lanes,

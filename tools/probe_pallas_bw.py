@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 import numpy as np
 
-N1, N2 = 4, 12
+N1, N2 = int(os.environ.get("N1", 4)), int(os.environ.get("N2", 24))
 
 
 def main():
@@ -117,11 +117,12 @@ def main():
 
     results = {}
 
-    # XLA materialized-pass baseline
-    results["xla_scale_btc"] = slope(lambda y: y * dtype(1.0000001), x_btc)
+    # XLA materialized-pass baseline: tanh chains cannot be folded into
+    # one pass the way a multiply chain constant-folds (x*c^N = one fusion)
+    results["xla_tanh_btc"] = slope(lambda y: jnp.tanh(y), x_btc)
 
-    for tile_t in (128, 256, 512, 1024):
-        for par in (True, False):
+    for tile_t in (256, 512):
+        for par in (True,):
             tag = f"btc_t{tile_t}_{'par' if par else 'arb'}"
             try:
                 k = copy_btc(tile_t, par)
@@ -133,7 +134,7 @@ def main():
             print(f"{tag}: {results[tag]*1e3:.3f} ms/op "
                   f"({2*nbytes/results[tag]/1e9:.0f} GB/s)", flush=True)
 
-    for tile_t in (256, 512, 1024):
+    for tile_t in (256,):
         tag = f"tbc_t{tile_t}_par"
         try:
             k = copy_tbc(tile_t, True)
@@ -148,7 +149,7 @@ def main():
     for lanes in (128, 512):
         total = B * T * C
         x_flat[lanes] = jnp.reshape(x_btc, (total // lanes, lanes))
-        for rows in (512, 2048, 8192):
+        for rows in (8192,):
             tag = f"flat_{lanes}l_r{rows}_par"
             try:
                 k = copy_flat(rows, lanes, True)
