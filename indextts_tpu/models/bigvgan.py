@@ -285,6 +285,26 @@ def _amp_block1(
     """[act -> dilated conv -> act -> conv]×3 with residuals (models.py:65-74)."""
     acts1 = p["acts"][::2]
     acts2 = p["acts"][1::2]
+    # round-4 wide-stage attack: fuse each (activation, conv) half-branch into
+    # ONE pallas_call (ops/pallas/aa_conv_branch.py) so the per-invocation
+    # materialization floor is paid once per PAIR and the activation output
+    # never round-trips HBM — the amortization the reference's CUDA kernel
+    # exists for (anti_alias_activation_cuda.cu:35-41)
+    if _os.environ.get("INDEXTTS_WIDE_BRANCH", "") == "1" and x.shape[-1] >= 128:
+        from indextts_tpu.ops.pallas.aa_conv_branch import fused_aa_snake_dconv_tmajor
+
+        interp = jax.default_backend() == "cpu"
+        for c1, c2, a1, a2, d in zip(p["convs1"], p["convs2"], acts1, acts2, dilations):
+            xt = fused_aa_snake_dconv_tmajor(
+                x, a1["alpha"], a1.get("beta"), c1["weight"], c1["bias"],
+                dilation=d, alpha_logscale=h.snake_logscale, interpret=interp,
+            )
+            xt = fused_aa_snake_dconv_tmajor(
+                xt, a2["alpha"], a2.get("beta"), c2["weight"], c2["bias"],
+                dilation=1, alpha_logscale=h.snake_logscale, interpret=interp,
+            )
+            x = xt + x
+        return x
     for c1, c2, a1, a2, d in zip(p["convs1"], p["convs2"], acts1, acts2, dilations):
         xt = _activation(a1, x, h, use_pallas)
         pad = (kernel_size * d - d) // 2
