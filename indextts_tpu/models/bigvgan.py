@@ -227,6 +227,33 @@ def _activation(p_act: Params, x: jnp.ndarray, h: BigVGANConfig, use_pallas: boo
         return anti_aliased_activation_phase(
             x, p_act["alpha"], p_act.get("beta"), alpha_logscale=h.snake_logscale
         )
+    # Round-4 DEFAULT for wide bf16 stages: the time-major MXU kernel. Slope
+    # timing had flattered the composed path (chained activations cross-fuse
+    # in XLA; a pallas_call's slope is its true cost) — IN-GRAPH the kernel
+    # wins: 455-460 -> 415-419 ms/iter pre dtype-fix, 310-327 with the bf16
+    # trunk (tools/ablate_vocoder.py, docs/PERF.md round 4). Dispatch by
+    # LOWERING platform so the same jitted graph stays correct on the CPU
+    # oracle leg of bench.py's flagship verify (kernel on tpu/axon, composed
+    # on cpu). INDEXTTS_WIDE_COMPOSED=1 restores the composed path for A/B.
+    if (
+        x.shape[-1] >= 128
+        and x.dtype == jnp.bfloat16
+        and _os.environ.get("INDEXTTS_WIDE_COMPOSED", "") != "1"
+    ):
+        from indextts_tpu.ops.pallas.antialias_tmajor import fused_anti_alias_snake_tmajor
+
+        def _kern(v):
+            return fused_anti_alias_snake_tmajor(
+                v, p_act["alpha"], p_act.get("beta"),
+                alpha_logscale=h.snake_logscale, mxu=True,
+            )
+
+        def _comp(v):
+            return anti_aliased_activation(
+                v, p_act["alpha"], p_act.get("beta"), alpha_logscale=h.snake_logscale
+            )
+
+        return jax.lax.platform_dependent(x, cpu=_comp, default=_kern)
     return anti_aliased_activation(
         x, p_act["alpha"], p_act.get("beta"), alpha_logscale=h.snake_logscale
     )
@@ -345,7 +372,11 @@ def bigvgan_apply(
     """
     if speaker_embedding is None:
         speaker_embedding = ecapa_apply(params["speaker_encoder"], mel_ref, lens)
-    spk = speaker_embedding  # [B, 1, spk_dim]
+    # ecapa_apply computes in f32; without this cast the cond adds below
+    # promote the ENTIRE vocoder trunk to f32 — 2x the HBM bytes of the bf16
+    # serving policy on a memory-bound graph (measured with the wide-stage
+    # kernel: 415-419 -> 310-327 ms/iter at batch 8, docs/PERF.md round 4)
+    spk = speaker_embedding.astype(x.dtype)  # [B, 1, spk_dim]
 
     if h.feat_upsample:
         x = linear_interp_x4(x)

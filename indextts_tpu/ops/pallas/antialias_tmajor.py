@@ -189,6 +189,10 @@ def fused_anti_alias_snake_tmajor(
         a, bt = alpha, beta
 
     tile_c = min(tile_c, c)
+    # batch-adaptive clamp: the f32 phase arrays scale with tile_t*B, and the
+    # serving path sub-batches the vocoder at up to 32 rows — keep the block
+    # inside scoped VMEM at any B (B=8 keeps the measured tile_t=256)
+    tile_t = min(tile_t, max(64, 2048 // max(b, 1)))
     tile_t = min(tile_t, max(64, t))
     c_pad = -c % tile_c
     n_tb = -(-t // tile_t)

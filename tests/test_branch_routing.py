@@ -28,6 +28,24 @@ def _cfg():
     )
 
 
+def test_bf16_wide_default_flip_traces_on_cpu():
+    """The round-4 default (wide bf16 stages -> tmajor MXU kernel, dispatched
+    by LOWERING platform) must trace and lower cleanly on CPU, where
+    platform_dependent selects the composed branch. Also pins that the bf16
+    trunk stays bf16 (the ecapa f32 speaker-embedding promotion fix)."""
+    h = _cfg()
+    p = bv.init_bigvgan(jax.random.PRNGKey(0), h)
+    pb = jax.tree_util.tree_map(
+        lambda v: v.astype(jnp.bfloat16) if jnp.issubdtype(v.dtype, jnp.floating) else v, p
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 8, 16)), jnp.bfloat16)
+    mel = jnp.asarray(rng.standard_normal((1, 40, 100)), jnp.bfloat16)
+    out = jax.jit(lambda p_, x_, m_: bv.bigvgan_apply(p_, h, x_, m_))(pb, x, mel)
+    assert out.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
 def test_amp_block1_branch_matches_composed(monkeypatch):
     h = _cfg()
     c, k, dil = 128, 3, (1, 3, 5)
