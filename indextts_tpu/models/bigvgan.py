@@ -227,33 +227,15 @@ def _activation(p_act: Params, x: jnp.ndarray, h: BigVGANConfig, use_pallas: boo
         return anti_aliased_activation_phase(
             x, p_act["alpha"], p_act.get("beta"), alpha_logscale=h.snake_logscale
         )
-    # Round-4 DEFAULT for wide bf16 stages: the time-major MXU kernel. Slope
-    # timing had flattered the composed path (chained activations cross-fuse
-    # in XLA; a pallas_call's slope is its true cost) — IN-GRAPH the kernel
-    # wins: 455-460 -> 415-419 ms/iter pre dtype-fix, 310-327 with the bf16
-    # trunk (tools/ablate_vocoder.py, docs/PERF.md round 4). Dispatch by
-    # LOWERING platform so the same jitted graph stays correct on the CPU
-    # oracle leg of bench.py's flagship verify (kernel on tpu/axon, composed
-    # on cpu). INDEXTTS_WIDE_COMPOSED=1 restores the composed path for A/B.
-    if (
-        x.shape[-1] >= 128
-        and x.dtype == jnp.bfloat16
-        and _os.environ.get("INDEXTTS_WIDE_COMPOSED", "") != "1"
-    ):
-        from indextts_tpu.ops.pallas.antialias_tmajor import fused_anti_alias_snake_tmajor
-
-        def _kern(v):
-            return fused_anti_alias_snake_tmajor(
-                v, p_act["alpha"], p_act.get("beta"),
-                alpha_logscale=h.snake_logscale, mxu=True,
-            )
-
-        def _comp(v):
-            return anti_aliased_activation(
-                v, p_act["alpha"], p_act.get("beta"), alpha_logscale=h.snake_logscale
-            )
-
-        return jax.lax.platform_dependent(x, cpu=_comp, default=_kern)
+    # Round-4 in-graph verdict on the tmajor MXU kernel (docs/PERF.md):
+    # slope timing had flattered the composed path (chained activations
+    # cross-fuse in XLA; a pallas_call's slope is its true cost) — in-graph
+    # the kernel beat the f32-trunk composed path 455-460 -> 415-419
+    # ms/iter, but once the ecapa bf16 cast above fixed the trunk dtype the
+    # two TIE (composed 313-320 vs kernel 310-327, cross-run noise).
+    # Composed stays the default: zero pallas compile time per vocoder
+    # bucket and one fewer moving part. The measured-win knobs remain
+    # INDEXTTS_WIDE_TMAJOR(_MXU/_POLY)=1 above.
     return anti_aliased_activation(
         x, p_act["alpha"], p_act.get("beta"), alpha_logscale=h.snake_logscale
     )

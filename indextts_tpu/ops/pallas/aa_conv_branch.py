@@ -205,6 +205,20 @@ def fused_aa_snake_dconv_tmajor(
     xt = jnp.transpose(x, (1, 0, 2))  # [T, B, C] — bitcast under {2,0,1}
     xp = jnp.pad(xt, ((hin, total - t - hin), (0, 0), (0, 0)), mode="edge")
 
+    # Mosaic needs the lane (minor) dim at 128-multiples to lower the 3D
+    # dot_generals (C=192 fails with a tpu.reshape diagnostic): pad channels.
+    # Padded inputs are zero, padded alpha/beta are 1 -> activation(0) = 0,
+    # and the conv's padded INPUT-channel weight rows are zero, so the fused
+    # output is exact on the first `c` output channels.
+    cin_pad = -c % 128
+    wk = w
+    if cin_pad:
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, cin_pad)))
+        a = jnp.pad(a, (0, cin_pad), constant_values=1.0)
+        bt = jnp.pad(bt, (0, cin_pad), constant_values=1.0)
+        wk = jnp.pad(w, ((0, 0), (0, cin_pad), (0, 0)))
+    cp = c + cin_pad
+
     xc = xp[: n_tb * tile_t]
     halo = jnp.stack(
         [
@@ -219,16 +233,19 @@ def fused_aa_snake_dconv_tmajor(
     eo = jnp.asarray(np.stack([E, O]), x.dtype)
     yb = jnp.asarray(np.stack([Ye, Yo]), x.dtype)
 
-    tile_co = min(tile_co, c)
+    tile_co = min(tile_co, cp)
     n_co = -(-c // tile_co)
     co_pad = n_co * tile_co - c
-    wv = w.astype(x.dtype)
+    wv = wk.astype(x.dtype)
     bv = bias.astype(x.dtype)
     if co_pad:
         wv = jnp.pad(wv, ((0, 0), (0, 0), (0, co_pad)))
         bv = jnp.pad(bv, (0, co_pad))
 
-    act_chunk = min(c, 256)
+    # the f32 phase arrays are the in-kernel VMEM peak: [l, B, act_chunk] f32
+    # x2 phases; halving the chunk at C=768 brings the k=11,d=5 instance from
+    # 17.2M (scoped OOM) under the 16M limit
+    act_chunk = 128 if cp >= 768 else min(cp, 256)
     ps = (x.dtype == jnp.bfloat16) if poly_sin is None else poly_sin
 
     grid = (n_tb, n_co)
@@ -244,20 +261,24 @@ def fused_aa_snake_dconv_tmajor(
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile_t, b, c), lambda ti, co: (ti, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * hin, b, c), lambda ti, co: (ti, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda ti, co: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda ti, co: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_t, b, cp), lambda ti, co: (ti, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * hin, b, cp), lambda ti, co: (ti, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cp), lambda ti, co: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cp), lambda ti, co: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, l, ts), lambda ti, co: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, text, l), lambda ti, co: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, c, tile_co), lambda ti, co: (0, 0, co), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, cp, tile_co), lambda ti, co: (0, 0, co), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_co), lambda ti, co: (0, co), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (tile_t, b, tile_co), lambda ti, co: (ti, 0, co), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_tb * tile_t, b, n_co * tile_co), x.dtype),
-        scratch_shapes=[pltpu.VMEM((text, b, c), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((text, b, cp), x.dtype)],
+        # raise the 16 MB default scoped-VMEM limit (v5e has 128 MB): the
+        # full-C scratch + double-buffered operands peak ~17 MB at the widest
+        # (k, d, C) instances
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(xc, halo, a[None, :], bt[None, :], eo, yb, wv, bv[None, :])
     out = jnp.transpose(out[:t, :, :c], (1, 0, 2))  # [B, T, Co]

@@ -28,11 +28,11 @@ def _cfg():
     )
 
 
-def test_bf16_wide_default_flip_traces_on_cpu():
-    """The round-4 default (wide bf16 stages -> tmajor MXU kernel, dispatched
-    by LOWERING platform) must trace and lower cleanly on CPU, where
-    platform_dependent selects the composed branch. Also pins that the bf16
-    trunk stays bf16 (the ecapa f32 speaker-embedding promotion fix)."""
+def test_bf16_trunk_stays_bf16():
+    """Pins the ecapa f32 speaker-embedding promotion fix: a bf16 generator
+    call must keep the trunk (and output) bf16 — before the cast in
+    bigvgan_apply, the f32 cond adds silently promoted every stage to f32
+    (2x HBM bytes on the memory-bound vocoder, docs/PERF.md round 4)."""
     h = _cfg()
     p = bv.init_bigvgan(jax.random.PRNGKey(0), h)
     pb = jax.tree_util.tree_map(

@@ -61,14 +61,26 @@ def main():
     mel_ref = jnp.asarray(npr.standard_normal((BATCH, 300, h.num_mels)), dtype)
     mark("inputs ready")
 
-    fn = jax.jit(lambda p, lat, m: bv.bigvgan_apply(p, h, lat, m))
+    if os.environ.get("INDEXTTS_ABLATE_PRESPK", "") == "1":
+        # how much of the iter is the per-call ECAPA recompute: precompute
+        # the speaker embedding once (the engine-level amortization
+        # bigvgan_apply's docstring describes) and pass it in
+        from indextts_tpu.models.ecapa import ecapa_apply
+
+        spk = jax.jit(lambda p, m: ecapa_apply(p["speaker_encoder"], m))(params, mel_ref)
+        spk = jax.block_until_ready(spk)
+        fn = jax.jit(lambda p, lat, m, s: bv.bigvgan_apply(p, h, lat, m, speaker_embedding=s))
+        call = lambda lat: fn(params, lat, mel_ref, spk)
+    else:
+        fn = jax.jit(lambda p, lat, m: bv.bigvgan_apply(p, h, lat, m))
+        call = lambda lat: fn(params, lat, mel_ref)
     red = jax.jit(lambda w: jnp.sum(w.astype(jnp.float32)))
-    float(red(fn(params, latent, mel_ref)))
+    float(red(call(latent)))
     mark(f"compiled (WIDE_PHASE={os.environ.get('INDEXTTS_WIDE_PHASE', '0')})")
     times = []
     for i in range(4):
         t0 = time.perf_counter()
-        float(red(fn(params, latent + jnp.asarray(0.0001 * i, dtype), mel_ref)))
+        float(red(call(latent + jnp.asarray(0.0001 * i, dtype))))
         times.append(time.perf_counter() - t0)
     mark(f"exec ms per iter: {[round(1e3 * t, 1) for t in times]} (incl. ~32ms dispatch+reduce)")
 
