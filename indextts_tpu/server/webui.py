@@ -42,6 +42,26 @@ from indextts_tpu.server.wsgi import App, Request, Response, SSEResponse, Stream
 from indextts_tpu.utils.audio import UnsupportedAudioFormat, decode_audio, resample, write_wav
 from indextts_tpu.utils.mel import MelSpectrogramFeatures
 
+# Every app whose dispatcher threads are still alive. The reference's Flask
+# app leaks a raw thread per request and has no teardown at all
+# (reference webui.py:224-283); here each create_app() registers itself so
+# callers (tests, embedding servers) can reap ALL dispatcher threads with
+# one shutdown_all() — a leaked daemon thread pins its engine and every
+# compiled executable the engine holds for the life of the process.
+_LIVE_APPS: "list" = []
+_LIVE_APPS_LOCK = threading.Lock()
+
+
+def shutdown_all(timeout: float = 2.0) -> None:
+    """Stop the dispatcher threads of every live app (idempotent)."""
+    with _LIVE_APPS_LOCK:
+        apps, _LIVE_APPS[:] = list(_LIVE_APPS), []
+    for a in apps:
+        try:
+            a.shutdown(timeout=timeout)
+        except Exception:
+            traceback.print_exc()
+
 
 def apply_replacements(text: str, raw) -> str:
     """Apply the SPA's regex ruleset (JSON list of {original, replacement})
@@ -116,6 +136,8 @@ def create_app(engine=None, base_dir: Optional[str] = None,
     worker_lock = threading.Lock()  # serializes engine use across tasks
     batch_cond = threading.Condition()
     batch_pending: list = []  # queued jobs awaiting the batching dispatcher
+    stop_event = threading.Event()  # app.shutdown(): dispatcher loops exit
+    _disp_threads: list = []  # dispatcher threads, joined by shutdown()
 
     # ------------------------------------------------------------------
     @app.route("/")
@@ -415,10 +437,12 @@ def create_app(engine=None, base_dir: Optional[str] = None,
         beam lane (see below) — ONE loop definition so the two modes cannot
         drift on signature grouping or failure handling."""
         wave = wave_size or batch_requests
-        while True:
+        while not stop_event.is_set():
             with cond:
-                while not pending:
+                while not pending and not stop_event.is_set():
                     cond.wait()
+                if stop_event.is_set():
+                    return
             time.sleep(batch_window_s)  # gather window for concurrent arrivals
             with cond:
                 if not pending:
@@ -440,7 +464,9 @@ def create_app(engine=None, base_dir: Optional[str] = None,
                                                   "finished_at": time.time()})
 
     if batch_requests > 1:
-        threading.Thread(target=batch_dispatcher, daemon=True).start()
+        t = threading.Thread(target=batch_dispatcher, daemon=True)
+        t.start()
+        _disp_threads.append(t)
 
     # slot mode's BEAM lane: requests the slot path cannot decode
     # (num_beams != 1 — the web form's DEFAULT is 3, matching the reference's
@@ -451,11 +477,13 @@ def create_app(engine=None, base_dir: Optional[str] = None,
     beam_cond = threading.Condition()
     beam_pending: list = []
     if slot_requests > 0:
-        threading.Thread(
+        t = threading.Thread(
             target=batch_dispatcher,
             args=(beam_pending, beam_cond, max(2, slot_requests)),
             daemon=True,
-        ).start()
+        )
+        t.start()
+        _disp_threads.append(t)
 
     def _solo_fallback(j):
         threading.Thread(
@@ -496,10 +524,12 @@ def create_app(engine=None, base_dir: Optional[str] = None,
                                {"status": "failed", "message": msg,
                                 "finished_at": time.time()})
 
-        while True:
+        while not stop_event.is_set():
             with batch_cond:
                 if not batch_pending and not any(s.busy for s in sessions.values()):
                     batch_cond.wait()
+                if stop_event.is_set():
+                    return
                 take = list(batch_pending)
                 batch_pending.clear()
             for j in take:
@@ -600,7 +630,9 @@ def create_app(engine=None, base_dir: Optional[str] = None,
                                        _completed_fields(j["text"], j["output"]))
 
     if slot_requests > 0:
-        threading.Thread(target=slot_dispatcher, daemon=True).start()
+        t = threading.Thread(target=slot_dispatcher, daemon=True)
+        t.start()
+        _disp_threads.append(t)
 
     @app.route("/api/synthesize", methods=["POST"])
     def synthesize(req: Request):
@@ -952,6 +984,27 @@ def create_app(engine=None, base_dir: Optional[str] = None,
 
     app._tasks_status = tasks_status  # exposed for tests
     app._temp_features_cache = temp_features_cache
+
+    def _shutdown(timeout: float = 2.0) -> None:
+        """Stop the dispatcher threads (idempotent). Without this every
+        create_app(batch_requests>1 / slot_requests>0) leaks a daemon thread
+        parked in cond.wait() that pins the engine — and through it every
+        compiled XLA executable — for the life of the process (the round-4
+        suite accumulated dozens across server tests)."""
+        stop_event.set()
+        for cond in (batch_cond, beam_cond):
+            with cond:
+                cond.notify_all()
+        for t in _disp_threads:
+            t.join(timeout=timeout)
+        with _LIVE_APPS_LOCK:
+            if app in _LIVE_APPS:
+                _LIVE_APPS.remove(app)
+
+    app.shutdown = _shutdown
+    if _disp_threads:
+        with _LIVE_APPS_LOCK:
+            _LIVE_APPS.append(app)
     return app
 
 
@@ -1053,7 +1106,10 @@ def main(argv=None):
                      slot_requests=args.slot_batching)
     if engine is None:
         print("\nFATAL: TTS Engine could not be initialized; serving API errors only.")
-    app.run(args.host, args.port)
+    try:
+        app.run(args.host, args.port)
+    finally:
+        app.shutdown()
 
 
 if __name__ == "__main__":

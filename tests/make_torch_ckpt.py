@@ -236,10 +236,16 @@ def make_dvae_state_dict(cfg, rng=None):
 
     import jax
 
+    # shapes only — force the init onto CPU: under the container's pinned
+    # axon platform this otherwise pays a minutes-long remote TPU compile
+    # (and ties up the one TPU) just to read shapes
+    jax.config.update("jax_platforms", "cpu")
+
     from indextts_tpu.models.dvae import init_dvae
 
     rng = rng or np.random.default_rng(3)
-    params = init_dvae(jax.random.PRNGKey(11), cfg)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = init_dvae(jax.random.PRNGKey(11), cfg)
     L, R = cfg.num_layers, cfg.num_resnet_blocks
     sd = {}
 
