@@ -553,15 +553,59 @@ class TextNormalizer:
         t = re.sub(r"\d+(?:\.\d+)?", lambda m: zh_num.zh_number(m.group(0)), t)
         return t
 
+    @staticmethod
+    def _en_ordinal_words(n: int) -> str:
+        """Ordinalize the last word: 21 -> twenty first, 40 -> fortieth
+        (shared by the Nst/Nnd ordinal rule and the fraction denominators)."""
+        ord_map = {
+            "one": "first", "two": "second", "three": "third", "five": "fifth",
+            "eight": "eighth", "nine": "ninth", "twelve": "twelfth",
+        }
+        words = zh_num.en_integer(n).split(" ")
+        last = words[-1]
+        if last in ord_map:
+            words[-1] = ord_map[last]
+        elif last.endswith("y"):
+            words[-1] = last[:-1] + "ieth"
+        else:
+            words[-1] = last + "th"
+        return " ".join(words)
+
     def _normalize_en(self, text: str) -> str:
-        """English ITN: numbers/times/money/percent -> words."""
+        """English ITN: numbers/times/money/percent -> words (the behavioral
+        surface matched is WeTextProcessing's tn.english FST pipeline the
+        reference delegates to, ref front.py:100-111)."""
         t = text
+        # abbreviation whitelist (tn.english whitelist.tsv behavior): titles
+        # before a capitalized name; No. before a number; etc./vs. anywhere
+        t = re.sub(r"\bMr\.(?=\s+[A-Z])", "Mister", t)
+        t = re.sub(r"\bMrs\.(?=\s+[A-Z])", "Misses", t)
+        t = re.sub(r"\bDr\.(?=\s+[A-Z])", "Doctor", t)
+        t = re.sub(r"\betc\.", "et cetera", t)
+        t = re.sub(r"\bvs\.?(?=\s)", "versus", t)
+        t = re.sub(r"\bNo\.\s*(?=\d)", "number ", t)
         # math operators between digits: 5×3 -> 5 times 3, 1+1=2 -> plus/equals
         t = re.sub(r"(?<=\d)\s*×\s*(?=\d)", " times ", t)
         t = re.sub(r"(?<=\d)\s*\+\s*(?=\d)", " plus ", t)
         t = re.sub(r"(?<=\d)\s*=\s*(?=[-\d])", " equals ", t)
-        # dashed phone numbers read digit-by-digit BEFORE any dash->to
-        # rewrite: 1-800-555-0199 -> one eight zero zero five five five...
+        # phone/ID formats read digit-by-digit BEFORE any dash->to rewrite:
+        # +1 (212) 555-0123 / (800) 555-0199 / SSN 123-45-6789 /
+        # 1-800-555-0199 -> one eight zero zero five five five...
+        t = re.sub(
+            r"\+(\d{1,2})[\s-]?\(?(\d{3})\)?[\s-]?(\d{3})[-.\s]?(\d{4})(?!\d)",
+            lambda m: "plus " + zh_num.en_digits("".join(m.groups())),
+            t,
+        )
+        t = re.sub(
+            r"\(\s*(\d{3})\s*\)\s*(\d{3})[-.\s]?(\d{4})(?!\d)",
+            lambda m: zh_num.en_digits("".join(m.groups())),
+            t,
+        )
+        t = re.sub(
+            r"(?<!\d)(\d{3})-(\d{2})-(\d{4})(?!\d)",
+            lambda m: zh_num.en_digits("".join(m.groups())),
+            t,
+        )
         t = re.sub(
             r"(?<!\d)(?:\d-)?\d{3}-\d{3}-\d{4}(?!\d)",
             lambda m: zh_num.en_digits(m.group(0).replace("-", "")),
@@ -614,12 +658,58 @@ class TextNormalizer:
         _MONTHS = ("january", "february", "march", "april", "may", "june",
                    "july", "august", "september", "october", "november",
                    "december")
+
+        def _ord_suffix(n):
+            if n % 100 in (11, 12, 13):
+                return "th"
+            return {1: "st", 2: "nd", 3: "rd"}.get(n % 10, "th")
+
         t = re.sub(
             r"\b((?:19|20)\d{2})-(0?[1-9]|1[0-2])-(0?[1-9]|[12]\d|3[01])\b",
             lambda m: (f"{_MONTHS[int(m.group(2)) - 1]} "
                        f"{int(m.group(3))}th {m.group(1)}"),
             t,
         )
+        # US slash dates M/D/YYYY -> 'month DAYth YEAR' (same downstream
+        # verbalization as the ISO rule)
+        t = re.sub(
+            r"\b(0?[1-9]|1[0-2])/(0?[1-9]|[12]\d|3[01])/((?:19|20)\d{2})\b",
+            lambda m: (f"{_MONTHS[int(m.group(1)) - 1]} {int(m.group(2))}"
+                       f"{_ord_suffix(int(m.group(2)))} {m.group(3)}"),
+            t,
+        )
+
+        # month-name dates: 'July 4, 1776' -> 'July 4th 1776' (day
+        # ordinalized, comma dropped, year left for the year rule); a day
+        # that already carries a suffix is normalized to the correct one
+        def _month_day(m):
+            day = int(m.group(2))
+            out = f"{m.group(1)} {day}{_ord_suffix(day)}"
+            if m.group(3):
+                out += f" {m.group(3)}"
+            return out
+
+        t = re.sub(
+            r"\b(" + "|".join(_MONTHS) + r")\s+(\d{1,2})(?:st|nd|rd|th)?\b"
+            r"(?:,?\s*((?:1[5-9]|20)\d{2})\b)?",
+            _month_day, t, flags=re.IGNORECASE,
+        )
+        # fractions (tn.english fraction FST): 1/2 -> one half, 3/4 ->
+        # three quarters, 2/3 -> two thirds; 24/7 is read as-is; slash
+        # dates were consumed above, multi-part slashes are left alone
+        t = re.sub(r"\b24/7\b", "twenty four seven", t)
+
+        def _fraction(m):
+            num, den = int(m.group(1)), int(m.group(2))
+            if den == 2:
+                word = "half" if num == 1 else "halves"
+            elif den == 4:
+                word = "quarter" + ("" if num == 1 else "s")
+            else:
+                word = self._en_ordinal_words(den) + ("" if num == 1 else "s")
+            return zh_num.en_integer(num) + " " + word
+
+        t = re.sub(r"(?<![\d./])([1-9]\d?)/(1[0-2]|[2-9])(?![\d/])", _fraction, t)
         # generic numeric ranges: rewrite the dash to " to " BEFORE unit
         # rules consume the endpoints (1990-1995, 50%-60%, $300-$500 — the
         # zh path rewrites ranges first for the same reason); the endpoints
@@ -631,6 +721,20 @@ class TextNormalizer:
         # amounts must be consumed first. Comma-aware ("$1,990") because the
         # generic comma strip runs only after the year rule.
         _MONEY_NUM = r"(\d{1,3}(?:,\d{3})+|\d+(?:\.\d+)?)"
+
+        # scaled money FIRST: '$5 million' -> 'five million dollars' (the
+        # unit migrates past the scale word), '$1.5B' -> 'one point five
+        # billion dollars'
+        def _money_scale(m):
+            num = m.group(1).replace(",", "")
+            scale = {"K": "thousand", "M": "million", "B": "billion",
+                     "T": "trillion"}.get(m.group(2), m.group(2).lower())
+            return f"{zh_num.en_number(num)} {scale} dollars"
+
+        t = re.sub(r"\$\s*" + _MONEY_NUM
+                   + r"\s*(thousand|million|billion|trillion)\b",
+                   _money_scale, t, flags=re.IGNORECASE)
+        t = re.sub(r"\$\s*" + _MONEY_NUM + r"\s*([KMBT])\b", _money_scale, t)
 
         def _dollars_cents(m):
             d, c = int(m.group(1).replace(",", "")), int(m.group(2))
@@ -649,6 +753,45 @@ class TextNormalizer:
             return f"{word} {unit}"
 
         t = re.sub(r"\$\s*" + _MONEY_NUM, _dollars, t)
+
+        # euro / sterling with sub-units (tn.english money FST covers the
+        # major currency symbols): €19.99 -> nineteen euros and ninety nine
+        # cents; £3.50 -> three pounds and fifty pence
+        def _currency(sym, unit_one, unit_many, cent_one, cent_many):
+            def whole(m):
+                num = m.group(1).replace(",", "")
+                unit = unit_one if num in ("1", "1.0") else unit_many
+                return f"{zh_num.en_number(num)} {unit}"
+
+            def cents(m):
+                d, c = int(m.group(1).replace(",", "")), int(m.group(2))
+                cc = zh_num.en_integer(c) + " " + (cent_one if c == 1 else cent_many)
+                if d == 0:
+                    return cc
+                dd = zh_num.en_integer(d) + " " + (unit_one if d == 1 else unit_many)
+                return f"{dd} and {cc}"
+
+            nonlocal t
+            t = re.sub(sym + r"\s*(\d{1,3}(?:,\d{3})+|\d+)\.(\d{2})(?!\d)", cents, t)
+            t = re.sub(sym + r"\s*" + _MONEY_NUM, whole, t)
+
+        _currency(r"€", "euro", "euros", "cent", "cents")
+        _currency(r"£", "pound", "pounds", "penny", "pence")
+
+        # decades BEFORE the year rule ('1990' inside '1990s' is not a
+        # standalone year, and the generic number rule would read the
+        # trailing s as a stray letter): the 1990s -> the nineteen
+        # nineties; the '90s / 90s -> the nineties
+        def _decadeify(words):
+            parts = words.split(" ")
+            parts[-1] = (parts[-1][:-1] + "ies" if parts[-1].endswith("y")
+                         else parts[-1] + "s")
+            return " ".join(parts)
+
+        t = re.sub(r"\b(1[5-9]\d0|20\d0)s\b",
+                   lambda m: _decadeify(zh_num.en_year(int(m.group(1)))), t)
+        t = re.sub(r"['’]?\b([2-9]0)s\b",
+                   lambda m: _decadeify(zh_num.en_integer(int(m.group(1)))), t)
         # years (4-digit standalone, 1500-2099) BEFORE the comma strip:
         # an explicitly comma-grouped "1,990" is a cardinal, and stripping
         # its comma first would let this rule misread it as a year. Unit
@@ -663,6 +806,51 @@ class TextNormalizer:
             r"(?<![\d.])\d{1,3}(?:,\d{3})+(?![\d,])",
             lambda m: m.group(0).replace(",", ""),
             t,
+        )
+        # measures (tn.english measure FST): digit + unit symbol -> spoken
+        # unit, singular at exactly 1, '/s' -> 'per second'. Longest symbols
+        # first so km/h does not stop at km; single-letter 'g' keeps a word
+        # boundary so serials like 'a94a8f' stay intact.
+        _UNIT_WORDS = [
+            ("km/h", "kilometer per hour", "kilometers per hour"),
+            ("kWh", "kilowatt hour", "kilowatt hours"),
+            ("mAh", "milliamp hour", "milliamp hours"),
+            ("mph", "mile per hour", "miles per hour"),
+            ("GHz", "gigahertz", "gigahertz"),
+            ("MHz", "megahertz", "megahertz"),
+            ("kHz", "kilohertz", "kilohertz"),
+            ("Hz", "hertz", "hertz"),
+            ("GB", "gigabyte", "gigabytes"),
+            ("MB", "megabyte", "megabytes"),
+            ("TB", "terabyte", "terabytes"),
+            ("KB", "kilobyte", "kilobytes"),
+            ("km", "kilometer", "kilometers"),
+            ("cm", "centimeter", "centimeters"),
+            ("mm", "millimeter", "millimeters"),
+            ("kg", "kilogram", "kilograms"),
+            ("mg", "milligram", "milligrams"),
+            ("ml", "milliliter", "milliliters"),
+            ("ms", "millisecond", "milliseconds"),
+            ("lbs", "pound", "pounds"),
+            ("lb", "pound", "pounds"),
+            ("oz", "ounce", "ounces"),
+            ("g", "gram", "grams"),
+        ]
+        _UNIT_MAP = {sym: (one, many) for sym, one, many in _UNIT_WORDS}
+
+        def _measure(m):
+            num = m.group(1)
+            one, many = _UNIT_MAP[m.group(2)]
+            out = zh_num.en_number(num) + " " + (one if num in ("1", "1.0") else many)
+            if m.group(3):
+                out += " per second"
+            return out
+
+        t = re.sub(
+            r"(\d+(?:\.\d+)?)\s*("
+            + "|".join(re.escape(s) for s, _, _ in _UNIT_WORDS)
+            + r")(/s)?\b(?![A-Za-z])",
+            _measure, t,
         )
         # version/model suffixes: CosyVoice2 -> CosyVoice 2 (read as a word +
         # a number, the reference FSTs' behavior per front.py:470 comments).
@@ -699,24 +887,8 @@ class TextNormalizer:
         # pre-pass requires a digit before the dash and cannot see these)
         t = re.sub(r"\b(\d{1,2})(st|nd|rd|th)\s*-\s*(?=\d)", r"\1\2 to ", t)
         # ordinals 1st/2nd/3rd/4th...
-        ord_map = {
-            "one": "first", "two": "second", "three": "third", "five": "fifth",
-            "eight": "eighth", "nine": "ninth", "twelve": "twelfth",
-        }
-
-        def _ordinal(m):
-            # ordinalize the last word: 21 -> twenty first, 40 -> fortieth
-            words = zh_num.en_integer(int(m.group(1))).split(" ")
-            last = words[-1]
-            if last in ord_map:
-                words[-1] = ord_map[last]
-            elif last.endswith("y"):
-                words[-1] = last[:-1] + "ieth"
-            else:
-                words[-1] = last + "th"
-            return " ".join(words)
-
-        t = re.sub(r"\b(\d+)(?:st|nd|rd|th)\b", _ordinal, t)
+        t = re.sub(r"\b(\d+)(?:st|nd|rd|th)\b",
+                   lambda m: self._en_ordinal_words(int(m.group(1))), t)
         # (plain digit ranges like 'pages 3-5' were already rewritten to
         # ' to ' by the dash pre-pass above — no second range rule needed)
         # negatives: -5 -> minus five (ranges consumed above)
@@ -725,6 +897,10 @@ class TextNormalizer:
             lambda m: "minus " + zh_num.en_number(m.group(1)),
             t,
         )
+        # zero-leading codes/IDs read digit-by-digit (agent 007, code 0042 —
+        # a leading zero is never a cardinal)
+        t = re.sub(r"(?<![\d.])0\d+(?![\d.])",
+                   lambda m: zh_num.en_digits(m.group(0)), t)
         # remaining numbers
         t = re.sub(r"\d+(?:\.\d+)?", lambda m: zh_num.en_number(m.group(0)), t)
         return t

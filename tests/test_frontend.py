@@ -375,6 +375,113 @@ class TestNormalizerAdversarialCorpus:
         for frag in must_contain:
             assert frag in out, f"{text!r} -> {out!r} missing {frag!r}"
 
+
+class TestEnAdversarialCorpusR5:
+    """Round-5 English ITN adversarial corpus (VERDICT r4 #5): dates incl.
+    ordinals/decades, currencies with sub-units and scale words, phone/ID
+    formats, measures, fractions, abbreviations, ranges, and mixed en-zh
+    routing — mirroring round 4's zh corpus. Behavioral surface matched:
+    WeTextProcessing's tn.english FST pipeline (ref front.py:100-111)."""
+
+    @pytest.mark.parametrize(
+        "text,must_contain",
+        [
+            # dates: month-name, slash, ISO-equivalent, ordinals, decades
+            ("Independence Day is July 4, 1776",
+             ["July fourth", "seventeen seventy six"]),
+            ("She was born on March 3", ["March third"]),
+            ("The deadline is 4/15/2023",
+             ["april fifteenth", "twenty twenty three"]),
+            ("Released on 12/25/1999",
+             ["december twenty fifth", "nineteen ninety nine"]),
+            ("on the 22nd of June, 1941",
+             ["twenty second", "nineteen forty one"]),
+            ("January 1st, 2000 celebrations", ["January first two thousand"]),
+            ("the meeting is on May 31", ["May thirty first"]),
+            ("The 1990s were wild", ["nineteen nineties"]),
+            ("Born in the '80s", ["eighties"]),
+            ("music of the 2000s", ["two thousands"]),
+            ("The 1939-1945 war",
+             ["nineteen thirty nine to nineteen forty five"]),
+            # currencies: scale words, suffix scales, sub-units, €/£
+            ("It cost $5 million to build", ["five million dollars"]),
+            ("a $1.5B valuation", ["one point five billion dollars"]),
+            ("raised $250K last year", ["two hundred fifty thousand dollars"]),
+            ("a $7 billion deal", ["seven billion dollars"]),
+            ("€19.99 for the basic plan",
+             ["nineteen euros and ninety nine cents"]),
+            ("it costs just €1 today", ["one euro"]),
+            ("£3.50 for a pint", ["three pounds and fifty pence"]),
+            ("a £20 note", ["twenty pounds"]),
+            ("only £0.01 left", ["one penny"]),
+            ("$0.50 each", ["fifty cents"]),
+            # phone / ID formats
+            ("Call +1 (212) 555-0123 today",
+             ["plus one two one two five five five zero one two three"]),
+            ("Dial (800) 555-0199 for support",
+             ["eight zero zero five five five zero one nine nine"]),
+            ("SSN 123-45-6789 is fake",
+             ["one two three four five six seven eight nine"]),
+            ("agent 007 reporting", ["zero zero seven"]),
+            ("error code 0042", ["zero zero four two"]),
+            # measures
+            ("The car hit 120km/h on the highway",
+             ["one hundred twenty kilometers per hour"]),
+            ("a 5kg dumbbell", ["five kilograms"]),
+            ("just 1km to go", ["one kilometer"]),
+            ("a 16GB stick of RAM", ["sixteen gigabytes"]),
+            ("transfers at 500MB/s", ["five hundred megabytes per second"]),
+            ("a 3.5GHz processor", ["three point five gigahertz"]),
+            ("the speed limit is 65mph", ["sixty five miles per hour"]),
+            ("add 250ml of water", ["two hundred fifty milliliters"]),
+            ("latency under 20ms", ["twenty milliseconds"]),
+            ("weighs 180lbs", ["one hundred eighty pounds"]),
+            ("an 8oz steak", ["eight ounces"]),
+            ("0.5mg of melatonin", ["zero point five milligrams"]),
+            # fractions
+            ("add 1/2 cup of sugar", ["one half"]),
+            ("3/4 of voters agree", ["three quarters"]),
+            ("a 2/3 majority is required", ["two thirds"]),
+            ("a 1/4 turn", ["one quarter"]),
+            ("a 5/8 inch wrench", ["five eighths"]),
+            ("open 24/7 every day", ["twenty four seven"]),
+            # abbreviations (whitelist)
+            ("Dr. Smith will see you", ["Doctor Smith"]),
+            ("Mr. Jones and Mrs. Jones", ["Mister Jones", "Misses Jones"]),
+            ("apples, oranges, etc.", ["et cetera"]),
+            ("Alien vs. Predator", ["versus"]),
+            ("No. 5 on the list", ["number five"]),
+            # ranges
+            ("scores of 98-100", ["ninety eight to one hundred"]),
+            ("a 3-5 day delivery window", ["three to five day"]),
+            # mixed en-zh sentences (router picks the zh path on any CJK,
+            # and the zh rules still verbalize the embedded western forms)
+            ("GDP增长了3%", ["百分之三"]),
+            ("这款laptop只要$999", ["九百九十九美元"]),
+            ("iPhone 15售价$799起", ["十五", "七百九十九美元"]),
+        ],
+    )
+    def test_en_adversarial_r5(self, normalizer, text, must_contain):
+        out = normalizer.normalize(text)
+        for frag in must_contain:
+            assert frag in out, f"{text!r} -> {out!r} missing {frag!r}"
+
+    def test_en_no_digits_left_r5(self, normalizer):
+        """Every en-routed r5 case must come out fully verbalized."""
+        import re as _re
+
+        cases = [
+            "Independence Day is July 4, 1776", "The deadline is 4/15/2023",
+            "The 1990s were wild", "It cost $5 million to build",
+            "€19.99 for the basic plan", "£3.50 for a pint",
+            "Call +1 (212) 555-0123 today", "The car hit 120km/h on the highway",
+            "add 1/2 cup of sugar", "open 24/7 every day",
+            "No. 5 on the list", "scores of 98-100",
+        ]
+        for text in cases:
+            out = normalizer.normalize(text)
+            assert _re.search(r"\d", out) is None, f"{text!r} -> {out!r} has digits left"
+
     @pytest.mark.parametrize(
         "text,must_contain",
         [
