@@ -23,20 +23,43 @@ import numpy as np
 
 from indextts_tpu.config import DVAEConfig
 from indextts_tpu.ops.activations import relu, silu
-from indextts_tpu.ops.conv import conv1d
+from indextts_tpu.ops.conv import conv1d, conv2d
 
 Params = Dict[str, Any]
 
 
-from indextts_tpu.models.conformer import _conv_init_1d as _conv_init
+from indextts_tpu.models.conformer import _conv_init_1d
 
 
-def _resblock_init(rng, chan):
+def _conv_init_2d(rng, k, cin, cout):
+    """torch nn.Conv2d default init (kaiming_uniform a=sqrt(5)):
+    uniform(+-1/sqrt(fan_in)), fan_in = cin*k*k. Weight layout HWIO
+    (channels-last, matching ops/conv.conv2d)."""
+    kw, kb = jax.random.split(rng)
+    bound = 1.0 / np.sqrt(cin * k * k)
+    return {
+        "weight": jax.random.uniform(kw, (k, k, cin, cout), jnp.float32, -bound, bound),
+        "bias": jax.random.uniform(kb, (cout,), jnp.float32, -bound, bound),
+    }
+
+
+def _conv_init_for(cfg: DVAEConfig):
+    """positional_dims routes Conv1d vs Conv2d (xtts_dvae.py:234-240)."""
+    return _conv_init_2d if cfg.positional_dims == 2 else _conv_init_1d
+
+
+def _conv(cfg: DVAEConfig, x, p, stride=1, padding=0):
+    if cfg.positional_dims == 2:
+        return conv2d(x, p["weight"], p["bias"], stride=stride, padding=padding)
+    return conv1d(x, p["weight"], p["bias"], stride=stride, padding=padding)
+
+
+def _resblock_init(rng, chan, conv_init=_conv_init_1d):
     r = jax.random.split(rng, 3)
     return {
-        "conv0": _conv_init(r[0], 3, chan, chan),
-        "conv1": _conv_init(r[1], 3, chan, chan),
-        "conv2": _conv_init(r[2], 1, chan, chan),
+        "conv0": conv_init(r[0], 3, chan, chan),
+        "conv1": conv_init(r[1], 3, chan, chan),
+        "conv2": conv_init(r[2], 1, chan, chan),
     }
 
 
@@ -56,25 +79,26 @@ def _arch(cfg: DVAEConfig):
 
 def init_dvae(rng: jax.Array, cfg: DVAEConfig) -> Params:
     enc_chans, dec_chans, innermost = _arch(cfg)
+    conv_init = _conv_init_for(cfg)
     rngs = jax.random.split(rng, 6 + 2 * cfg.num_layers + 2 * cfg.num_resnet_blocks)
     ri = iter(rngs)
     params: Params = {"enc_convs": [], "enc_res": [], "dec_convs": [], "dec_res": []}
     if cfg.num_layers == 0:
         # the reference's layer-less encoder entry (xtts_dvae.py:276)
-        params["enc_in0"] = _conv_init(next(ri), 1, cfg.channels, cfg.hidden_dim)
+        params["enc_in0"] = conv_init(next(ri), 1, cfg.channels, cfg.hidden_dim)
     for cin, cout in zip(enc_chans[:-1], enc_chans[1:]):
-        params["enc_convs"].append(_conv_init(next(ri), cfg.kernel_size, cin, cout))
+        params["enc_convs"].append(conv_init(next(ri), cfg.kernel_size, cin, cout))
     for _ in range(cfg.num_resnet_blocks):
-        params["enc_res"].append(_resblock_init(next(ri), innermost))
-    params["enc_out"] = _conv_init(next(ri), 1, innermost, cfg.codebook_dim)
+        params["enc_res"].append(_resblock_init(next(ri), innermost, conv_init))
+    params["enc_out"] = conv_init(next(ri), 1, innermost, cfg.codebook_dim)
     if cfg.num_resnet_blocks > 0:
-        params["dec_in"] = _conv_init(next(ri), 1, cfg.codebook_dim, innermost)
+        params["dec_in"] = conv_init(next(ri), 1, cfg.codebook_dim, innermost)
         for _ in range(cfg.num_resnet_blocks):
-            params["dec_res"].append(_resblock_init(next(ri), innermost))
+            params["dec_res"].append(_resblock_init(next(ri), innermost, conv_init))
     for cin, cout in zip(dec_chans[:-1], dec_chans[1:]):
-        params["dec_convs"].append(_conv_init(next(ri), cfg.kernel_size, cin, cout))
+        params["dec_convs"].append(conv_init(next(ri), cfg.kernel_size, cin, cout))
     dec_out_chans = dec_chans[-1] if dec_chans else innermost
-    params["dec_out"] = _conv_init(next(ri), 1, dec_out_chans, cfg.channels)
+    params["dec_out"] = conv_init(next(ri), 1, dec_out_chans, cfg.channels)
     embed = jax.random.normal(next(ri), (cfg.codebook_dim, cfg.num_tokens), jnp.float32)
     params["codebook"] = {
         "embed": embed,
@@ -90,42 +114,55 @@ def _act(cfg: DVAEConfig, x):
 
 def _resblock(cfg, p, x):
     """conv3-act-conv3-act-conv1 with residual (xtts_dvae.py:171-183)."""
-    h = _act(cfg, conv1d(x, p["conv0"]["weight"], p["conv0"]["bias"], padding=1))
-    h = _act(cfg, conv1d(h, p["conv1"]["weight"], p["conv1"]["bias"], padding=1))
-    h = conv1d(h, p["conv2"]["weight"], p["conv2"]["bias"])
+    h = _act(cfg, _conv(cfg, x, p["conv0"], padding=1))
+    h = _act(cfg, _conv(cfg, h, p["conv1"], padding=1))
+    h = _conv(cfg, h, p["conv2"])
     return h + x
 
 
 def dvae_encode(params: Params, cfg: DVAEConfig, mel: jnp.ndarray) -> jnp.ndarray:
-    """mel [B, T, channels] -> pre-quant logits [B, T/2^L, codebook_dim]."""
+    """mel [B, T, channels] -> pre-quant logits [B, T/2^L, codebook_dim].
+    With positional_dims=2 (xtts_dvae.py:234-240): image [B, H, W, channels]
+    -> [B, H/2^L, W/2^L, codebook_dim]."""
     pad = (cfg.kernel_size - 1) // 2
     h = mel
     if "enc_in0" in params:  # num_layers == 0 (xtts_dvae.py:276)
-        h = _act(cfg, conv1d(h, params["enc_in0"]["weight"], params["enc_in0"]["bias"]))
+        h = _act(cfg, _conv(cfg, h, params["enc_in0"]))
     for p in params["enc_convs"]:
-        h = _act(cfg, conv1d(h, p["weight"], p["bias"], stride=cfg.stride, padding=pad))
+        h = _act(cfg, _conv(cfg, h, p, stride=cfg.stride, padding=pad))
     for p in params["enc_res"]:
         h = _resblock(cfg, p, h)
-    return conv1d(h, params["enc_out"]["weight"], params["enc_out"]["bias"])
+    return _conv(cfg, h, params["enc_out"])
 
 
 def _nearest_up(x: jnp.ndarray, factor: int) -> jnp.ndarray:
-    return jnp.repeat(x, factor, axis=1)
+    """torch nn.Upsample(scale_factor, mode='nearest') on channels-last data:
+    time axis for 1D [B, T, C], both spatial axes for 2D [B, H, W, C]."""
+    x = jnp.repeat(x, factor, axis=1)
+    if x.ndim == 4:
+        x = jnp.repeat(x, factor, axis=2)
+    return x
 
 
 def dvae_decode_embeds(params: Params, cfg: DVAEConfig, h: jnp.ndarray) -> jnp.ndarray:
-    """code embeddings [B, T', codebook_dim] -> mel [B, T'*2^L, channels]."""
+    """code embeddings [B, T', codebook_dim] -> mel [B, T'*2^L, channels].
+    With positional_dims=2, a FLAT [B, N, codebook_dim] sequence is folded
+    to the square sqrt(N) x sqrt(N) grid first — the reference decodes 2D
+    code sequences the same way (xtts_dvae.py:341-348)."""
+    if cfg.positional_dims == 2 and h.ndim == 3:
+        side = int(round(float(np.sqrt(h.shape[1]))))
+        h = h.reshape(h.shape[0], side, side, h.shape[2])
     pad = (cfg.kernel_size - 1) // 2
     if cfg.num_resnet_blocks > 0:
-        h = conv1d(h, params["dec_in"]["weight"], params["dec_in"]["bias"])
+        h = _conv(cfg, h, params["dec_in"])
         for p in params["dec_res"]:
             h = _resblock(cfg, p, h)
     for p in params["dec_convs"]:
         if cfg.use_transposed_convs:
             raise NotImplementedError("IndexTTS DVAE uses nearest-upsample convs")
         h = _nearest_up(h, cfg.stride)
-        h = _act(cfg, conv1d(h, p["weight"], p["bias"], padding=pad))
-    return conv1d(h, params["dec_out"]["weight"], params["dec_out"]["bias"])
+        h = _act(cfg, _conv(cfg, h, p, padding=pad))
+    return _conv(cfg, h, params["dec_out"])
 
 
 def quantize(codebook: Params, flat: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -168,7 +205,12 @@ def dvae_forward(params: Params, cfg: DVAEConfig, mel: jnp.ndarray):
     commitment = jnp.mean((jax.lax.stop_gradient(quantized) - logits) ** 2)
     quantized_st = logits + jax.lax.stop_gradient(quantized - logits)
     out = dvae_decode_embeds(params, cfg, quantized_st)
-    out = out[:, : mel.shape[1]]
+    # reference crops the LAST positional dim only (out[..., :img.shape[-1]]
+    # in NCHW, xtts_dvae.py:377): time for 1D, width for 2D
+    if cfg.positional_dims == 2:
+        out = out[:, :, : mel.shape[2]]
+    else:
+        out = out[:, : mel.shape[1]]
     recon = jnp.mean((mel - out) ** 2)
     return recon, commitment, out
 

@@ -827,16 +827,14 @@ def inference_speech(
     )
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     if num_beams > 1:
-        if input_tokens is not None:
-            # the beam drivers have no forced-prefix prefill; failing loudly
-            # beats the previous behavior (prefix silently ignored)
-            raise NotImplementedError(
-                "input_tokens prefixes are not supported with num_beams > 1"
-            )
+        # forced prefixes ride the per-row shared prefill of the lineage
+        # beam (ref model.py:690-703 reaches the same through HF generate's
+        # input_ids; round-5 close of the last loud parity delta)
         return generate_speech_beam(
             params, cfg, gen, conds, text_inputs, text_lengths, rng,
             temperature=temperature, top_p=top_p, repetition_penalty=repetition_penalty,
             length_penalty=length_penalty, typical_mass=typical_mass,
+            input_tokens=input_tokens,
         )
     return generate_speech(
         params, cfg, gen, conds, text_inputs, text_lengths, rng,
@@ -863,6 +861,7 @@ def _generate_speech_beam_dense(
     repetition_penalty=10.0,
     length_penalty=0.0,
     typical_mass=0.9,
+    input_tokens: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Reference implementation of beam decode: the whole (prefill +
     generated) KV cache is gathered on every beam reorder (replaces HF
@@ -889,6 +888,20 @@ def _generate_speech_beam_dense(
     text_e = expand(text_tokens)
     len_e = expand(text_lengths)
     emb, prefill_mask = prepare_gpt_inputs(params, cfg, conds_e, text_e, len_e)
+    # forced mel-code prefixes (ref model.py:690-703): expanded per beam
+    # like the text, appended at mel positions 1..S0
+    if input_tokens is not None:
+        s0 = input_tokens.shape[1]
+        it_e = expand(input_tokens.astype(jnp.int32))
+        prefix_emb = (
+            params["mel_embedding"][it_e]
+            + params["mel_pos_embedding"][1 : s0 + 1][None]
+        )
+        emb = jnp.concatenate([emb, prefix_emb.astype(emb.dtype)], axis=1)
+        prefill_mask = jnp.concatenate(
+            [prefill_mask, jnp.ones((emb.shape[0], s0), bool)], axis=1)
+    else:
+        s0 = 0
     p = emb.shape[1]
     max_new = gen.max_new_tokens
     s_max = p + max_new
@@ -896,6 +909,8 @@ def _generate_speech_beam_dense(
 
     logits0, cache = _prefill(params, cfg, emb, prefill_mask, s_max)
     seen0 = jnp.zeros((bb, v), bool).at[:, 1].set(True).at[:, cfg.start_mel_token].set(True)
+    if input_tokens is not None:
+        seen0 = seen0.at[jnp.arange(bb)[:, None], it_e].set(True)
 
     cache_positions = jnp.arange(s_max)[None, :]
     prefill_valid = jnp.pad(prefill_mask, ((0, 0), (0, s_max - p)))
@@ -942,7 +957,7 @@ def _generate_speech_beam_dense(
         # prefill masks are identical across beams of one batch row, so the
         # pre-gather mask stays valid after beam reordering
         valid = prefill_valid | ((cache_positions >= p) & (cache_positions < write_pos))
-        logits, cache2 = _decode_step(params, cfg, cur, i + 2, cache, write_pos, valid)
+        logits, cache2 = _decode_step(params, cfg, cur, i + 2 + s0, cache, write_pos, valid)
         codes, beam_scores, seen, done_best, flat_src, nxt = step_beams(
             i + 1, logits, (codes, beam_scores, seen, done_best)
         )
@@ -1137,6 +1152,7 @@ def generate_speech_beam(
     quant_kv: bool = False,
     capture_latents: bool = False,
     pos_off: int = 2,
+    input_tokens: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Beam decode with a split, NEVER-REORDERED KV cache: the prefill runs
     once per batch row (not per beam) and is shared read-only across beams;
@@ -1172,6 +1188,20 @@ def generate_speech_beam(
     layers = cfg.layers
 
     emb, prefill_mask = prepare_gpt_inputs(params, cfg, conds, text_tokens, text_lengths)
+    # forced mel-code prefixes (ref model.py:690-703, HF generate input_ids):
+    # the prefix rides the per-ROW prefill — it is identical across a row's
+    # beams, exactly like the text, so the shared read-only prefill cache
+    # covers it with no per-beam duplication
+    if input_tokens is not None:
+        s0 = input_tokens.shape[1]
+        prefix_emb = (
+            params["mel_embedding"][input_tokens.astype(jnp.int32)]
+            + params["mel_pos_embedding"][1 : s0 + 1][None]
+        )
+        emb = jnp.concatenate([emb, prefix_emb.astype(emb.dtype)], axis=1)
+        prefill_mask = jnp.concatenate([prefill_mask, jnp.ones((b, s0), bool)], axis=1)
+    else:
+        s0 = 0
     p = emb.shape[1]
     # prefill on B rows only; packed cache stays [L, B, H, P, 2*Dh]
     # (int8 + per-column scales under quant_kv)
@@ -1185,6 +1215,9 @@ def generate_speech_beam(
     kvg = _empty_beam_cache(layers, bb, heads // 2, max_new, 2 * dh, emb.dtype, quant_kv)
 
     seen0 = jnp.zeros((bb, v), bool).at[:, 1].set(True).at[:, cfg.start_mel_token].set(True)
+    if input_tokens is not None:
+        it_bb = jnp.repeat(input_tokens.astype(jnp.int32), nb, axis=0)
+        seen0 = seen0.at[jnp.arange(bb)[:, None], it_bb].set(True)
     bias_p = jnp.where(prefill_mask, 0.0, NEG_INF).astype(jnp.float32)  # [B, P]
     gen_positions = jnp.arange(max_new)[None, :]
 
@@ -1228,7 +1261,7 @@ def generate_speech_beam(
 
     def body_fn(state):
         i, codes, beam_scores, kvg, lin, seen, cur, done_best, *lat_s = state
-        x = params["mel_embedding"][cur] + params["mel_pos_embedding"][i + pos_off]
+        x = params["mel_embedding"][cur] + params["mel_pos_embedding"][i + pos_off + s0]
         bias_g = jnp.where(gen_positions < i, 0.0, NEG_INF).astype(jnp.float32)  # [1, N]
         # lin_masks[delta][r, 1, s]: 1 iff query row r = (b, m) takes
         # position s from the sibling cache row with beam (m - delta) % nb

@@ -225,6 +225,50 @@ class TestBeamOracle:
         )
         np.testing.assert_array_equal(np.asarray(a), np.asarray(bcodes))
 
+    def test_split_matches_dense_with_prefix(self, setup):
+        """Forced mel-code prefixes (ref model.py:690-703): split-cache and
+        dense drivers must agree token-for-token, greedy and sampled."""
+        cfg, params, conds = setup
+        text = jnp.asarray([[5, 6, 7, 8, 9, 1]], jnp.int32)
+        lens = jnp.asarray([5])
+        prefix = jnp.asarray([[3, 4, 7]], jnp.int32)
+        for do_sample in (False, True):
+            gen = GenerationConfig(do_sample=do_sample, num_beams=2,
+                                   top_k=30, max_new_tokens=10)
+            a, la = _generate_speech_beam_dense(
+                params, cfg, gen, conds, text, lens, jax.random.PRNGKey(3),
+                repetition_penalty=2.0, input_tokens=prefix,
+            )
+            bcodes, lb = generate_speech_beam(
+                params, cfg, gen, conds, text, lens, jax.random.PRNGKey(3),
+                repetition_penalty=2.0, input_tokens=prefix,
+            )
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(bcodes))
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+    def test_prefix_first_token_matches_greedy(self, setup):
+        """Absolute anchor for the beam prefix prefill: at max_new=1 with
+        deterministic decode, the best beam's single token is the argmax of
+        the post-prefix logits — exactly greedy's first token, whose prefix
+        prefill is oracled against full recompute in test_gpt.py."""
+        from indextts_tpu.models.gpt_decode import generate_speech
+
+        cfg, params, conds = setup
+        text = jnp.asarray([[5, 6, 7, 8, 9, 1]], jnp.int32)
+        lens = jnp.asarray([5])
+        prefix = jnp.asarray([[3, 4, 7]], jnp.int32)
+        gen_b = GenerationConfig(do_sample=False, num_beams=2, max_new_tokens=1)
+        bc, _ = generate_speech_beam(
+            params, cfg, gen_b, conds, text, lens, jax.random.PRNGKey(0),
+            repetition_penalty=1.0, input_tokens=prefix,
+        )
+        gen_g = GenerationConfig(do_sample=False, num_beams=1, max_new_tokens=1)
+        gc, _ = generate_speech(
+            params, cfg, gen_g, conds, text, lens, jax.random.PRNGKey(0),
+            repetition_penalty=1.0, input_tokens=prefix,
+        )
+        assert int(bc[0, 0]) == int(gc[0, 0])
+
     def test_split_batched(self, setup):
         cfg, params, conds = setup
         texts = jnp.asarray([[5, 6, 7, 8, 9, 1], [10, 11, 12, 1, 1, 1]], jnp.int32)

@@ -173,19 +173,27 @@ class TestInferenceSpeech:
                 num_return_sequences=4, max_generate_length=6, rng=jax.random.PRNGKey(7),
             )
 
-    def test_input_tokens_with_beams_raises(self):
-        """Beam drivers have no forced-prefix prefill; the prefix must not be
-        silently dropped (round-3 review finding)."""
+    def test_input_tokens_with_beams(self):
+        """Forced prefixes compose with beam decode (ref model.py:690-703
+        reaches this through HF generate's input_ids; round-5 close of the
+        last loud parity delta). The prefix must influence the result —
+        round 3's driver silently dropped it."""
         cfg = cfg_with("conformer_perceiver")
         params = init_unified_voice(jax.random.PRNGKey(0), cfg)
         mel = jnp.asarray(rng_np.standard_normal((1, 40, 100)).astype(np.float32))
         text = jnp.asarray([[5, 6, 7, 8, 9, 1]], jnp.int32)
-        with pytest.raises(NotImplementedError, match="num_beams"):
-            inference_speech(
-                params, cfg, mel, text, jnp.asarray([5]),
-                input_tokens=jnp.asarray([[3, 4]], jnp.int32), num_beams=2,
-                max_generate_length=6, rng=jax.random.PRNGKey(1),
-            )
+        codes_p, lens_p = inference_speech(
+            params, cfg, mel, text, jnp.asarray([5]),
+            input_tokens=jnp.asarray([[3, 4]], jnp.int32), num_beams=2,
+            do_sample=False, max_generate_length=6, rng=jax.random.PRNGKey(1),
+        )
+        codes_n, lens_n = inference_speech(
+            params, cfg, mel, text, jnp.asarray([5]), num_beams=2,
+            do_sample=False, max_generate_length=6, rng=jax.random.PRNGKey(1),
+        )
+        assert codes_p.shape == codes_n.shape
+        assert not (np.array_equal(np.asarray(codes_p), np.asarray(codes_n))
+                    and np.array_equal(np.asarray(lens_p), np.asarray(lens_n)))
 
     def test_input_tokens_prefix_caps_max_new(self):
         """A forced prefix shifts decode mel positions by s0; max_new must be
