@@ -25,6 +25,75 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+
+# Warm state lives OUTSIDE /tmp (container restarts wipe /tmp, which silently
+# cold-started the round-4 driver run and skipped every extra — VERDICT r4
+# weak #1). /root/.cache survives restarts on this host; the XLA compile
+# cache and the last-live-result store both default there.
+DEFAULT_CACHE_DIR = os.environ.get(
+    "JAX_CACHE_DIR", "/root/.cache/indextts_bench/xla")
+try:
+    os.makedirs(DEFAULT_CACHE_DIR, exist_ok=True)
+except OSError:
+    DEFAULT_CACHE_DIR = "/tmp/jax_bench_cache"
+
+
+class ResultsCache:
+    """Last-live-result store for every bench extra (VERDICT r4 next #1).
+
+    Each extra that completes a LIVE measurement is recorded (value +
+    timestamp) to a restart-surviving JSON, plus a snapshot committed into
+    the repo as a last-resort fallback for a fully fresh machine. When the
+    driver's budgeted run must skip an extra, the last live result is
+    embedded in the output JSON instead of a null — explicitly marked in
+    "cached_extras" {name: ran_at} so live and cached numbers are never
+    conflated. Extends the round-4 vf_result_v4.json pattern to every row.
+    """
+
+    def __init__(self):
+        self.path = os.path.join(os.path.dirname(DEFAULT_CACHE_DIR), "results.json")
+        self.repo_path = os.path.join(REPO_DIR, "bench_results_snapshot.json")
+        self.data = {}
+        # repo snapshot first so the machine-local store (fresher) wins
+        for p in (self.repo_path, self.path):
+            try:
+                with open(p) as f:
+                    self.data.update(json.load(f))
+            except (OSError, ValueError):
+                pass
+        self.cached_used = {}
+
+    def record(self, name, value):
+        """Store a live measurement; None (extra failed) is not recorded."""
+        if value is None:
+            return None
+        self.data[name] = {"value": value, "ran_at": time.time()}
+        self._save()
+        return value
+
+    def _save(self):
+        for p in (self.path, self.repo_path):
+            try:
+                tmp = p + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(self.data, f, indent=1, sort_keys=True)
+                os.replace(tmp, p)
+            except OSError:
+                pass
+
+    def fill(self, name, live_value):
+        """Live value if the extra ran; else the last live result, noted in
+        cached_used so the output JSON can mark it."""
+        if live_value is not None:
+            return live_value
+        ent = self.data.get(name)
+        if ent is None:
+            return None
+        self.cached_used[name] = ent["ran_at"]
+        return ent["value"]
+
+
 BATCH = int(os.environ.get("BENCH_BATCH", 8))
 TEXT_LEN = int(os.environ.get("BENCH_TEXT_LEN", 64))
 GEN_TOKENS = int(os.environ.get("BENCH_GEN_TOKENS", 200))
@@ -319,7 +388,7 @@ def run_verify_flagship(jax, jnp):
     import dataclasses
 
     npr = np.random.default_rng(7)
-    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_bench_cache")
+    cache_dir = DEFAULT_CACHE_DIR
     oracle_path = os.path.join(cache_dir, "vf_oracle_v4.npz")
     cpu_dev = jax.devices("cpu")[0]
 
@@ -563,9 +632,7 @@ def main():
     # persistent XLA compile cache (same pattern as tests/conftest.py): the
     # remote TPU compiler costs minutes per executable and round 2 burned 179s
     # of the driver's 580s budget on recompiles of unchanged graphs
-    jax.config.update(
-        "jax_compilation_cache_dir", os.environ.get("JAX_CACHE_DIR", "/tmp/jax_bench_cache")
-    )
+    jax.config.update("jax_compilation_cache_dir", DEFAULT_CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     if os.environ.get("BENCH_VERIFY", "0") == "1":
@@ -574,6 +641,7 @@ def main():
         _mark("verify start")
         v = run_verify(jax, jnp)
         _mark("verify done")
+        ResultsCache().record("verify", v)
         print(json.dumps({"metric": "tpu_backend_verify", "value": 1.0 if v["verify_ok"] else 0.0,
                           "unit": "bool", "vs_baseline": 1.0 if v["verify_ok"] else 0.0, "extra": v}))
         if not v["verify_ok"]:
@@ -586,6 +654,7 @@ def main():
         _mark("verify-flagship start")
         v = run_verify_flagship(jax, jnp)
         _mark("verify-flagship done")
+        ResultsCache().record("verify_flagship", v)
         print(json.dumps({
             "metric": "tpu_backend_verify_flagship",
             "value": 1.0 if v["verify_flagship_ok"] else 0.0,
@@ -705,21 +774,20 @@ def main():
     rtf_inv = float(np.median(ratios))  # audio-seconds per wall-second per chip
     audio_sec = rtf_inv * wall  # representative audio/iter for the JSON extras
 
-    # time-to-first-audio: conditioning + 25-token decode + 1-chunk vocoder.
-    # Needs one extra decode compile (minutes on this platform), so it is
-    # skipped when the run is close to the driver's time budget.
-    ttfa_ms = None
+    rc = ResultsCache()
+    rc.record("headline_audio_s_per_s", round(rtf_inv, 3))
+
     budget_s = float(os.environ.get("BENCH_BUDGET_S", 520))
     bench_start = globals().get("_BENCH_START", None)
     # each extra below needs its own executables; with a COLD compile cache
     # those are minutes each and the try/except cannot catch the driver's
     # SIGKILL, which would lose the headline too — so margins widen when the
-    # persistent cache looks cold
-    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_bench_cache")
+    # persistent cache looks cold. Skipped extras are embedded from the
+    # last-live-result store (marked in cached_extras) instead of nulled.
 
     def _cache_warm():
         try:
-            return len(os.listdir(cache_dir)) > 30
+            return len(os.listdir(DEFAULT_CACHE_DIR)) > 30
         except OSError:
             return False
 
@@ -733,24 +801,55 @@ def main():
         else {"verify": 200, "verify_flagship": 480, "ttfa": 240, "beam": 330, "beam_default": 420, "quant_kv": 400, "serve": 420, "b16": 360, "b32": 360, "stream": 450, "slot": 420, "slot_e2e": 450}
     )
 
+    # decode-only greedy ms/step at the headline config (the roofline-tracked
+    # number, VERDICT r4 next #3): decode_fn is already compiled by the
+    # headline pipeline, so this costs only the timed runs. Wall includes the
+    # prefill dispatch, normalized by the longest row's step count.
+    decode_ms_per_step = None
+    try:
+        _mark("decode-only ms/step start")
+        conds_h = cond_fn(gpt_params, cond_mel, jnp.asarray([COND_FRAMES]))
+        conds_hb = jnp.broadcast_to(conds_h, (BATCH,) + conds_h.shape[1:])
+        vals = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            codes_h, lens_h = decode_fn(
+                params=gpt_params, conds=conds_hb, text_tokens=text,
+                text_lengths=text_lens, rng=jax.random.PRNGKey(100 + i),
+                temperature=jnp.float32(1.0), top_p=jnp.float32(0.8),
+                repetition_penalty=jnp.float32(10.0),
+            )
+            codes_h.block_until_ready()
+            w_d = time.perf_counter() - t0
+            steps = max(int(np.asarray(lens_h).max()), 1)
+            vals.append(1000.0 * w_d / steps)
+        decode_ms_per_step = round(float(np.median(vals)), 2)
+        _mark(f"decode-only: {decode_ms_per_step} ms/step")
+    except Exception:
+        decode_ms_per_step = None
+    rc.record("decode_ms_per_step", decode_ms_per_step)
+
     # TPU-vs-CPU numerical gate (VERDICT round-2 missing #2): every parity
     # test runs on forced-CPU; this is the only check of the TPU lowering
-    verify = None
+    verify_small = None
     elapsed = time.perf_counter() - (bench_start or 0)
     if bench_start is not None and elapsed < budget_s - margin["verify"]:
         try:
             _mark("verify start")
-            verify = run_verify(jax, jnp)
-            _mark(f"verify done: {verify}")
+            verify_small = run_verify(jax, jnp)
+            _mark(f"verify done: {verify_small}")
         except Exception as e:
-            verify = {"verify_ok": False, "verify_error": repr(e)[:200]}
+            verify_small = {"verify_ok": False, "verify_error": repr(e)[:200]}
+    if verify_small is not None and "verify_error" not in verify_small:
+        rc.record("verify", verify_small)
+
     # flagship-shape verify (round-3 verdict Weak #1): the executables that
     # actually serve, compared against the CPU oracle. A mismatch rides the
     # JSON as verify_flagship_ok=false — loud to the judge and the driver.
     # Even warm, the check costs minutes of serialized-executable reloads
     # through this host's tunnel, so when the remaining budget cannot cover
-    # a live run the last live result is embedded, marked cached (rerun any
-    # time with BENCH_VERIFY_FLAGSHIP=1).
+    # a live run the last live result is embedded at emit time, marked
+    # cached (rerun any time with BENCH_VERIFY_FLAGSHIP=1).
     elapsed = time.perf_counter() - (bench_start or 0)
     vf = None
     if bench_start is not None and elapsed < budget_s - margin["verify_flagship"]:
@@ -761,15 +860,13 @@ def main():
         except Exception as e:
             vf = {"verify_flagship_ok": False,
                   "verify_flagship_error": repr(e)[:200]}
-    else:
-        try:
-            with open(os.path.join(cache_dir, "vf_result_v4.json")) as f:
-                vf = {**json.load(f), "verify_flagship_cached": True}
-            _mark("verify-flagship: embedded cached result")
-        except OSError:
-            vf = None
-    if vf is not None:
-        verify = {**(verify or {}), **vf}
+    if vf is not None and "verify_flagship_error" not in vf:
+        rc.record("verify_flagship", vf)
+
+    # time-to-first-audio: conditioning + 25-token decode + 1-chunk vocoder.
+    # Needs one extra decode compile (minutes on this platform), so it is
+    # skipped when the run is close to the driver's time budget.
+    ttfa_ms = None
     elapsed = time.perf_counter() - (bench_start or 0)
     if bench_start is not None and elapsed < budget_s - margin["ttfa"]:
         try:
@@ -799,132 +896,7 @@ def main():
             ttfa_ms = round(1000.0 * float(np.median(samples)), 1)
         except Exception:
             ttfa_ms = None
-
-    # beam-3 end-to-end throughput (the engine/reference DEFAULT config,
-    # infer.py:122-124) — round 1 reported only ms/step for beams; report
-    # audio-s/s too when budget allows (VERDICT weak #4)
-    beam3_rtf_inv = None
-    beam3_quant_decode_rtf_inv = None
-    beam3_decode_rtf_inv = None
-    elapsed = time.perf_counter() - (bench_start or 0)
-    if bench_start is not None and elapsed < budget_s - margin["beam"]:
-        try:
-            _mark("beam start")
-            from indextts_tpu.models.gpt_decode import generate_speech_beam
-
-            gen_b = GenerationConfig(do_sample=True, num_beams=3, top_k=30, max_new_tokens=GEN_TOKENS)
-            beam_fn = jax.jit(partial(generate_speech_beam, cfg=gpt_cfg, gen=gen_b))
-
-            def pipeline_beam(key):
-                conds = cond_fn(gpt_params, cond_mel, jnp.asarray([COND_FRAMES]))
-                conds_b = jnp.broadcast_to(conds, (BATCH,) + conds.shape[1:])
-                codes, code_lens = beam_fn(
-                    params=gpt_params, conds=conds_b, text_tokens=text, text_lengths=text_lens,
-                    rng=key, temperature=jnp.float32(1.0), top_p=jnp.float32(0.8),
-                    repetition_penalty=jnp.float32(10.0),
-                )
-                latent = latent_fn(gpt_params, conds_b, text, text_lens, codes,
-                                   code_lens * gpt_cfg.mel_length_compression)
-                wav = voc_fn(bv_params, latent, jnp.broadcast_to(cond_mel, (BATCH,) + cond_mel.shape[1:]))
-                return wav, code_lens
-
-            wav_b, lens_b = pipeline_beam(jax.random.PRNGKey(20))
-            wav_b.block_until_ready()  # compile
-            t0 = time.perf_counter()
-            wav_b, lens_b = pipeline_beam(jax.random.PRNGKey(21))
-            wav_b.block_until_ready()
-            wall_b = time.perf_counter() - t0
-            audio_b = int(np.asarray(lens_b).sum()) * SAMPLES_PER_CODE / SAMPLE_RATE
-            beam3_rtf_inv = round(audio_b / wall_b, 2)
-        except Exception:
-            beam3_rtf_inv = None
-    # conds_b feeds the decode-only + quant-beam extras below. Prepared in
-    # its OWN try AFTER beam3_rtf_inv is final: a failure here must not
-    # wipe the already-measured e2e beam number.
-    conds_b = None
-    if beam3_rtf_inv is not None:
-        try:
-            conds = cond_fn(gpt_params, cond_mel, jnp.asarray([COND_FRAMES]))
-            conds_b = jnp.broadcast_to(conds, (BATCH,) + conds.shape[1:])
-        except Exception:
-            conds_b = None
-    # decode-only figure for comparison with beam3_default below — its OWN
-    # try: a late failure here must not wipe the already-measured e2e beam
-    # number (which also gates the quant-beam extra)
-    if beam3_rtf_inv is not None and conds_b is not None:
-        try:
-            t0 = time.perf_counter()
-            codes_d, lens_d = beam_fn(
-                params=gpt_params, conds=conds_b, text_tokens=text, text_lengths=text_lens,
-                rng=jax.random.PRNGKey(22), temperature=jnp.float32(1.0),
-                top_p=jnp.float32(0.8), repetition_penalty=jnp.float32(10.0),
-            )
-            codes_d.block_until_ready()
-            wall_d = time.perf_counter() - t0
-            beam3_decode_rtf_inv = round(
-                int(np.asarray(lens_d).sum()) * SAMPLES_PER_CODE / SAMPLE_RATE / wall_d, 2
-            )
-        except Exception:
-            pass  # beam3_decode_rtf_inv stays None
-    # int8-KV beam decode (the lineage attention reads the cache nb
-    # times/step, so quant pays MORE here: 4.39 -> 3.69 ms/step slope-timed,
-    # docs/PERF.md). Own budget gate + try: this adds a SECOND beam-graph
-    # compile, and a failure here must not wipe the bf16 beam numbers.
-    elapsed = time.perf_counter() - (bench_start or 0)
-    if (beam3_rtf_inv is not None and conds_b is not None
-            and bench_start is not None and elapsed < budget_s - margin["beam"]):
-        try:
-            _mark("beam quant start")
-            beam_fn_q = jax.jit(partial(generate_speech_beam, cfg=gpt_cfg, gen=gen_b,
-                                        quant_kv=True))
-            codes_q, lens_q = beam_fn_q(
-                params=gpt_params, conds=conds_b, text_tokens=text, text_lengths=text_lens,
-                rng=jax.random.PRNGKey(22), temperature=jnp.float32(1.0),
-                top_p=jnp.float32(0.8), repetition_penalty=jnp.float32(10.0),
-            )
-            codes_q.block_until_ready()  # compile
-            t0 = time.perf_counter()
-            codes_q, lens_q = beam_fn_q(
-                params=gpt_params, conds=conds_b, text_tokens=text, text_lengths=text_lens,
-                rng=jax.random.PRNGKey(23), temperature=jnp.float32(1.0),
-                top_p=jnp.float32(0.8), repetition_penalty=jnp.float32(10.0),
-            )
-            codes_q.block_until_ready()
-            wall_q = time.perf_counter() - t0
-            beam3_quant_decode_rtf_inv = round(
-                int(np.asarray(lens_q).sum()) * SAMPLES_PER_CODE / SAMPLE_RATE / wall_q, 2
-            )
-        except Exception:
-            beam3_quant_decode_rtf_inv = None
-
-    # int8 KV cache decode-only comparison (VERDICT r2 #4): cache reads are
-    # ~0.9 of the 2.53 ms/step at B8; per-column int8 halves that traffic.
-    quant_kv_rtf_inv = None
-    elapsed = time.perf_counter() - (bench_start or 0)
-    if bench_start is not None and elapsed < budget_s - margin["quant_kv"]:
-        try:
-            _mark("quant_kv decode start")
-            decode_q = jax.jit(partial(generate_speech, cfg=gpt_cfg, gen=gen, quant_kv=True))
-
-            def decode_only_q(key):
-                conds = cond_fn(gpt_params, cond_mel, jnp.asarray([COND_FRAMES]))
-                cb = jnp.broadcast_to(conds, (BATCH,) + conds.shape[1:])
-                return decode_q(
-                    params=gpt_params, conds=cb, text_tokens=text, text_lengths=text_lens,
-                    rng=key, temperature=jnp.float32(1.0), top_p=jnp.float32(0.8),
-                    repetition_penalty=jnp.float32(10.0),
-                )
-
-            decode_only_q(jax.random.PRNGKey(50))[0].block_until_ready()  # compile
-            t0 = time.perf_counter()
-            codes_q, lens_q = decode_only_q(jax.random.PRNGKey(51))
-            codes_q.block_until_ready()
-            wall_q = time.perf_counter() - t0
-            quant_kv_rtf_inv = round(
-                int(np.asarray(lens_q).sum()) * SAMPLES_PER_CODE / SAMPLE_RATE / wall_q, 2
-            )
-        except Exception:
-            quant_kv_rtf_inv = None
+    rc.record("ttfa_ms", ttfa_ms)
 
     # serving-mode e2e: int8 KV cache + decode-time latent capture (skips
     # the teacher-forced latent pass entirely; consistent-positions mode,
@@ -985,161 +957,7 @@ def main():
             serving_mode_rtf_inv = serve_at_batch(BATCH, 60)
         except Exception:
             serving_mode_rtf_inv = None
-
-    # beam-3 at the ENGINE DEFAULT config (max_mel_tokens=600 -> the
-    # segmented lineage driver; reference defaults infer.py:122-124). Round 2
-    # silently measured only the non-segmented 200-token path while the
-    # production path paid a per-step cache gather; the lineage port makes
-    # this number meaningful — it must land near the 200-token figure.
-    beam3_default_rtf_inv = None
-    elapsed = time.perf_counter() - (bench_start or 0)
-    if bench_start is not None and elapsed < budget_s - margin["beam_default"]:
-        try:
-            _mark("beam default (segmented, 600) start")
-            from indextts_tpu.models.gpt_decode import generate_speech_beam_segmented
-
-            gen_bd = GenerationConfig(do_sample=True, num_beams=3, top_k=30, max_new_tokens=600)
-            seg_cache = {}
-
-            def pipeline_beam_default(key):
-                conds = cond_fn(gpt_params, cond_mel, jnp.asarray([COND_FRAMES]))
-                conds_b = jnp.broadcast_to(conds, (BATCH,) + conds.shape[1:])
-                codes, code_lens = generate_speech_beam_segmented(
-                    gpt_params, gpt_cfg, gen_bd, conds_b, text, text_lens, key,
-                    temperature=jnp.float32(1.0), top_p=jnp.float32(0.8),
-                    repetition_penalty=jnp.float32(10.0), jit_cache=seg_cache,
-                )
-                return codes, code_lens
-
-            pipeline_beam_default(jax.random.PRNGKey(40))[0].block_until_ready()  # compile
-            t0 = time.perf_counter()
-            codes_bd, lens_bd = pipeline_beam_default(jax.random.PRNGKey(41))
-            codes_bd.block_until_ready()
-            wall_bd = time.perf_counter() - t0
-            audio_bd = int(np.asarray(lens_bd).sum()) * SAMPLES_PER_CODE / SAMPLE_RATE
-            # decode-only ratio (the latent+vocoder stages are identical to
-            # the beam extra above; this isolates the segmented driver)
-            beam3_default_rtf_inv = round(audio_bd / wall_bd, 2)
-        except Exception:
-            beam3_default_rtf_inv = None
-
-    # beam-3 SERVING decode at the same default config: int8 KV cache +
-    # decode-time latent capture (pos_off=1). Apples-to-apples with
-    # beam3_default above — same segmented lineage driver, but the decode
-    # ALSO emits the winner's latents (_gather_beam_latents), so the
-    # teacher-forced latent stage disappears from the serving pipeline
-    # (late round 3; engine flags quant_kv=True, fast_latents=True).
-    beam3_serving_rtf_inv = None
-    elapsed = time.perf_counter() - (bench_start or 0)
-    if (bench_start is not None and beam3_default_rtf_inv is not None
-            and elapsed < budget_s - margin["beam_default"]):
-        try:
-            _mark("beam serving decode (segmented, capture+quant_kv) start")
-            seg_cache_s = {}
-
-            def pipeline_beam_serving(key):
-                conds = cond_fn(gpt_params, cond_mel, jnp.asarray([COND_FRAMES]))
-                conds_b = jnp.broadcast_to(conds, (BATCH,) + conds.shape[1:])
-                codes, code_lens, lat = generate_speech_beam_segmented(
-                    gpt_params, gpt_cfg, gen_bd, conds_b, text, text_lens, key,
-                    temperature=jnp.float32(1.0), top_p=jnp.float32(0.8),
-                    repetition_penalty=jnp.float32(10.0), jit_cache=seg_cache_s,
-                    quant_kv=True, capture_latents=True, pos_off=1,
-                )
-                return codes, code_lens, lat
-
-            pipeline_beam_serving(jax.random.PRNGKey(50))[0].block_until_ready()  # compile
-            t0 = time.perf_counter()
-            codes_bs, lens_bs, lat_bs = pipeline_beam_serving(jax.random.PRNGKey(51))
-            codes_bs.block_until_ready()
-            lat_bs.block_until_ready()
-            wall_bs = time.perf_counter() - t0
-            audio_bs = int(np.asarray(lens_bs).sum()) * SAMPLES_PER_CODE / SAMPLE_RATE
-            beam3_serving_rtf_inv = round(audio_bs / wall_bs, 2)
-        except Exception:
-            beam3_serving_rtf_inv = None
-
-    # end-to-end batch scaling (VERDICT round-2 #7): decode-side B=16/32 won
-    # 1.8x/2.6x, but the vocoder scales linearly — report e2e so the serving
-    # batch can be chosen on real numbers. Each point needs a fresh compile
-    # of every stage, so they are budget-gated hardest.
-    # Timing methodology: block_until_ready is cross-validated for THESE
-    # pipeline graphs against the in-graph scalar-reduce + float() recipe
-    # (b32: 3.049 s vs 3.061 s incl. one extra dispatch) — the round-2
-    # "returned early" artifact does not affect the multi-dispatch pipeline.
-    def e2e_at_batch(bb):
-        text_b = jnp.asarray(npr.integers(2, 8000, (bb, TEXT_LEN)), jnp.int32)
-        lens_b = jnp.full((bb,), TEXT_LEN, jnp.int32)
-        # reuse the HEADLINE decode fn (jit re-specializes per batch shape):
-        # a separately-built partial would drop the BENCH_QUANT_KV flag and
-        # make the batch-scaling extras apples-to-oranges vs the headline
-        decode_b = decode_fn
-
-        def pipe(key):
-            conds = cond_fn(gpt_params, cond_mel, jnp.asarray([COND_FRAMES]))
-            cb = jnp.broadcast_to(conds, (bb,) + conds.shape[1:])
-            codes, code_lens = decode_b(
-                params=gpt_params, conds=cb, text_tokens=text_b, text_lengths=lens_b,
-                rng=key, temperature=jnp.float32(1.0), top_p=jnp.float32(0.8),
-                repetition_penalty=jnp.float32(10.0),
-            )
-            latent = latent_fn(gpt_params, cb, text_b, lens_b, codes,
-                               code_lens * gpt_cfg.mel_length_compression)
-            wav = voc_fn(bv_params, latent, jnp.broadcast_to(cond_mel, (bb,) + cond_mel.shape[1:]))
-            return wav, code_lens
-
-        wav_b, lens_out = pipe(jax.random.PRNGKey(30 + bb))
-        wav_b.block_until_ready()  # compile
-        # median of 3 when the cache is warm (chip is ±10% run-to-run;
-        # single-iteration extras were noticeably noisier than the headline)
-        vals = []
-        for it in range(3 if _cache_warm() else 1):
-            t0 = time.perf_counter()
-            wav_b, lens_out = pipe(jax.random.PRNGKey(31 + bb + 100 * it))
-            wav_b.block_until_ready()
-            wall_b = time.perf_counter() - t0
-            audio_b = int(np.asarray(lens_out).sum()) * SAMPLES_PER_CODE / SAMPLE_RATE
-            vals.append(audio_b / wall_b)
-        return round(float(np.median(vals)), 2)
-
-    b16 = b32 = None
-    for bb, gate in ((16, margin["b16"]), (32, margin["b32"])):
-        elapsed = time.perf_counter() - (bench_start or 0)
-        if bench_start is None or elapsed >= budget_s - gate:
-            break
-        try:
-            _mark(f"e2e batch {bb} start")
-            val = e2e_at_batch(bb)
-        except Exception:
-            break
-        if bb == 16:
-            b16 = val
-        else:
-            b32 = val
-
-    # serving mode at the recommended throughput batches (docs/SERVING.md):
-    # quant_kv + captured latents at B=32 (the plain-extra comparison point)
-    # and B=64 (measured best: ~119 audio-s/s, +8% over B=32). Runs after
-    # the legacy extras so it can only starve itself; needs the serve block
-    # above to have built serve_at_batch.
-    serving_b64_rtf_inv = None
-    serving_b128_rtf_inv = None
-    for bb in (32, 64, 128):
-        elapsed = time.perf_counter() - (bench_start or 0)
-        if (serving_mode_rtf_inv is None or bench_start is None
-                or elapsed >= budget_s - margin["serve"]):
-            break
-        try:
-            _mark(f"serving mode at batch {bb} start")
-            val = serve_at_batch(bb, 70 + bb)
-        except Exception:
-            break
-        if bb == 32:
-            serving_b32_rtf_inv = val
-        elif bb == 64:
-            serving_b64_rtf_inv = val
-        else:
-            serving_b128_rtf_inv = val
+    rc.record("serving_mode_audio_s_per_s", serving_mode_rtf_inv)
 
     # streaming TTFA: time-to-first-audio-chunk through engine.infer_stream —
     # the actual path /api/synthesize-stream serves (VERDICT round-1 weak #7).
@@ -1173,6 +991,7 @@ def main():
             ttfa_stream_ms = round(1000.0 * float(np.median(samples)), 1)
         except Exception:
             ttfa_stream_ms = None
+    rc.record("ttfa_stream_ms", ttfa_stream_ms)
 
     # streaming TTFA under fast_latents (consistent-positions capture): the
     # fused first chunk drops its in-graph teacher-forced forward entirely
@@ -1195,6 +1014,7 @@ def main():
             ttfa_stream_fast_ms = round(1000.0 * float(np.median(samples)), 1)
         except Exception:
             ttfa_stream_fast_ms = None
+    rc.record("ttfa_stream_fast_ms", ttfa_stream_fast_ms)
 
     # slot-mode steady-state decode (rolling admission, docs/SERVING.md):
     # all BATCH slots active on the statically-sized circular cache in the
@@ -1265,6 +1085,43 @@ def main():
                 1000.0 * float(np.median(walls[1:])) / chunk, 2)
         except Exception:
             slot_decode_ms_per_step = None
+    rc.record("slot_decode_ms_per_step", slot_decode_ms_per_step)
+
+    # slot-mode END-TO-END throughput (round-3 verdict #7: SERVING.md quotes
+    # slot e2e 44.6 vs infer_batch 61.5 audio-s/s but no bench artifact
+    # recorded it, so round-over-round latency-path regressions were
+    # invisible to the driver). Serving config (quant_kv + fast_latents),
+    # BATCH concurrent requests through engine.infer_slots.
+    slot_e2e_rtf_inv = None
+    elapsed = time.perf_counter() - (bench_start or 0)
+    if bench_start is not None and elapsed < budget_s - margin["slot_e2e"]:
+        try:
+            _mark("slot e2e start")
+            from indextts_tpu.engine import IndexTTS
+
+            try:
+                eng_s = eng  # reuse the streaming extra's engine when it ran
+            except NameError:
+                eng_s = IndexTTS(
+                    cfg_path=os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                          "configs", "indextts_1_5.yaml"),
+                    model_dir="/nonexistent", allow_random_init=True, fast_init=True,
+                )
+            eng_s.fast_latents = True
+            eng_s.quant_kv = True
+            mel_slot = np.asarray(cond_mel, np.float32).transpose(0, 2, 1)
+            slot_text = "THIS IS A SLOT SERVING THROUGHPUT SENTENCE FOR THE BENCH."
+            items = [(mel_slot, slot_text)] * BATCH
+            slot_kw = dict(do_sample=True, top_k=30, max_mel_tokens=GEN_TOKENS)
+            eng_s.infer_slots(items, n_slots=BATCH, **slot_kw)  # compile
+            t0 = time.perf_counter()
+            res = eng_s.infer_slots(items, n_slots=BATCH, **slot_kw)
+            wall_sl = time.perf_counter() - t0
+            audio_sl = sum(r[1].shape[0] for r in res) / SAMPLE_RATE
+            slot_e2e_rtf_inv = round(audio_sl / wall_sl, 2)
+        except Exception:
+            slot_e2e_rtf_inv = None
+    rc.record("slot_e2e_audio_s_per_s", slot_e2e_rtf_inv)
 
     # loopback HTTP streaming TTFA: one /api/synthesize-stream request
     # against an in-process server — the full route (upload parse, mel,
@@ -1337,77 +1194,384 @@ def main():
             srv.shutdown()
         except Exception:
             stream_http_ttfa_ms = None
+    rc.record("stream_http_ttfa_ms", stream_http_ttfa_ms)
 
-    # slot-mode END-TO-END throughput (round-3 verdict #7: SERVING.md quotes
-    # slot e2e 44.6 vs infer_batch 61.5 audio-s/s but no bench artifact
-    # recorded it, so round-over-round latency-path regressions were
-    # invisible to the driver). Serving config (quant_kv + fast_latents),
-    # BATCH concurrent requests through engine.infer_slots.
-    slot_e2e_rtf_inv = None
+    # beam-3 end-to-end throughput (the engine/reference DEFAULT config,
+    # infer.py:122-124) — round 1 reported only ms/step for beams; report
+    # audio-s/s too when budget allows (VERDICT weak #4)
+    beam3_rtf_inv = None
+    beam3_quant_decode_rtf_inv = None
+    beam3_decode_rtf_inv = None
     elapsed = time.perf_counter() - (bench_start or 0)
-    if bench_start is not None and elapsed < budget_s - margin["slot_e2e"]:
+    if bench_start is not None and elapsed < budget_s - margin["beam"]:
         try:
-            _mark("slot e2e start")
-            from indextts_tpu.engine import IndexTTS
+            _mark("beam start")
+            from indextts_tpu.models.gpt_decode import generate_speech_beam
 
-            try:
-                eng_s = eng  # reuse the streaming extra's engine when it ran
-            except NameError:
-                eng_s = IndexTTS(
-                    cfg_path=os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                          "configs", "indextts_1_5.yaml"),
-                    model_dir="/nonexistent", allow_random_init=True, fast_init=True,
+            gen_b = GenerationConfig(do_sample=True, num_beams=3, top_k=30, max_new_tokens=GEN_TOKENS)
+            beam_fn = jax.jit(partial(generate_speech_beam, cfg=gpt_cfg, gen=gen_b))
+
+            def pipeline_beam(key):
+                conds = cond_fn(gpt_params, cond_mel, jnp.asarray([COND_FRAMES]))
+                conds_b = jnp.broadcast_to(conds, (BATCH,) + conds.shape[1:])
+                codes, code_lens = beam_fn(
+                    params=gpt_params, conds=conds_b, text_tokens=text, text_lengths=text_lens,
+                    rng=key, temperature=jnp.float32(1.0), top_p=jnp.float32(0.8),
+                    repetition_penalty=jnp.float32(10.0),
                 )
-            eng_s.fast_latents = True
-            eng_s.quant_kv = True
-            mel_slot = np.asarray(cond_mel, np.float32).transpose(0, 2, 1)
-            slot_text = "THIS IS A SLOT SERVING THROUGHPUT SENTENCE FOR THE BENCH."
-            items = [(mel_slot, slot_text)] * BATCH
-            slot_kw = dict(do_sample=True, top_k=30, max_mel_tokens=GEN_TOKENS)
-            eng_s.infer_slots(items, n_slots=BATCH, **slot_kw)  # compile
+                latent = latent_fn(gpt_params, conds_b, text, text_lens, codes,
+                                   code_lens * gpt_cfg.mel_length_compression)
+                wav = voc_fn(bv_params, latent, jnp.broadcast_to(cond_mel, (BATCH,) + cond_mel.shape[1:]))
+                return wav, code_lens
+
+            wav_b, lens_b = pipeline_beam(jax.random.PRNGKey(20))
+            wav_b.block_until_ready()  # compile
             t0 = time.perf_counter()
-            res = eng_s.infer_slots(items, n_slots=BATCH, **slot_kw)
-            wall_sl = time.perf_counter() - t0
-            audio_sl = sum(r[1].shape[0] for r in res) / SAMPLE_RATE
-            slot_e2e_rtf_inv = round(audio_sl / wall_sl, 2)
+            wav_b, lens_b = pipeline_beam(jax.random.PRNGKey(21))
+            wav_b.block_until_ready()
+            wall_b = time.perf_counter() - t0
+            audio_b = int(np.asarray(lens_b).sum()) * SAMPLES_PER_CODE / SAMPLE_RATE
+            beam3_rtf_inv = round(audio_b / wall_b, 2)
         except Exception:
-            slot_e2e_rtf_inv = None
+            beam3_rtf_inv = None
+    rc.record("beam3_audio_s_per_s", beam3_rtf_inv)
+    # conds_b feeds the decode-only + quant-beam extras below. Prepared in
+    # its OWN try AFTER beam3_rtf_inv is final: a failure here must not
+    # wipe the already-measured e2e beam number.
+    conds_b = None
+    if beam3_rtf_inv is not None:
+        try:
+            conds = cond_fn(gpt_params, cond_mel, jnp.asarray([COND_FRAMES]))
+            conds_b = jnp.broadcast_to(conds, (BATCH,) + conds.shape[1:])
+        except Exception:
+            conds_b = None
+    # decode-only figure for comparison with beam3_default below — its OWN
+    # try: a late failure here must not wipe the already-measured e2e beam
+    # number (which also gates the quant-beam extra)
+    if beam3_rtf_inv is not None and conds_b is not None:
+        try:
+            t0 = time.perf_counter()
+            codes_d, lens_d = beam_fn(
+                params=gpt_params, conds=conds_b, text_tokens=text, text_lengths=text_lens,
+                rng=jax.random.PRNGKey(22), temperature=jnp.float32(1.0),
+                top_p=jnp.float32(0.8), repetition_penalty=jnp.float32(10.0),
+            )
+            codes_d.block_until_ready()
+            wall_d = time.perf_counter() - t0
+            beam3_decode_rtf_inv = round(
+                int(np.asarray(lens_d).sum()) * SAMPLES_PER_CODE / SAMPLE_RATE / wall_d, 2
+            )
+        except Exception:
+            pass  # beam3_decode_rtf_inv stays None
+    rc.record("beam3_decode_audio_s_per_s", beam3_decode_rtf_inv)
+    # int8-KV beam decode (the lineage attention reads the cache nb
+    # times/step, so quant pays MORE here: 4.39 -> 3.69 ms/step slope-timed,
+    # docs/PERF.md). Own budget gate + try: this adds a SECOND beam-graph
+    # compile, and a failure here must not wipe the bf16 beam numbers.
+    elapsed = time.perf_counter() - (bench_start or 0)
+    if (beam3_rtf_inv is not None and conds_b is not None
+            and bench_start is not None and elapsed < budget_s - margin["beam"]):
+        try:
+            _mark("beam quant start")
+            beam_fn_q = jax.jit(partial(generate_speech_beam, cfg=gpt_cfg, gen=gen_b,
+                                        quant_kv=True))
+            codes_q, lens_q = beam_fn_q(
+                params=gpt_params, conds=conds_b, text_tokens=text, text_lengths=text_lens,
+                rng=jax.random.PRNGKey(22), temperature=jnp.float32(1.0),
+                top_p=jnp.float32(0.8), repetition_penalty=jnp.float32(10.0),
+            )
+            codes_q.block_until_ready()  # compile
+            t0 = time.perf_counter()
+            codes_q, lens_q = beam_fn_q(
+                params=gpt_params, conds=conds_b, text_tokens=text, text_lengths=text_lens,
+                rng=jax.random.PRNGKey(23), temperature=jnp.float32(1.0),
+                top_p=jnp.float32(0.8), repetition_penalty=jnp.float32(10.0),
+            )
+            codes_q.block_until_ready()
+            wall_q = time.perf_counter() - t0
+            beam3_quant_decode_rtf_inv = round(
+                int(np.asarray(lens_q).sum()) * SAMPLES_PER_CODE / SAMPLE_RATE / wall_q, 2
+            )
+        except Exception:
+            beam3_quant_decode_rtf_inv = None
+    rc.record("beam3_quant_decode_audio_s_per_s", beam3_quant_decode_rtf_inv)
+
+    # beam-3 at the ENGINE DEFAULT config (max_mel_tokens=600 -> the
+    # segmented lineage driver; reference defaults infer.py:122-124). Round 2
+    # silently measured only the non-segmented 200-token path while the
+    # production path paid a per-step cache gather; the lineage port makes
+    # this number meaningful — it must land near the 200-token figure.
+    beam3_default_rtf_inv = None
+    elapsed = time.perf_counter() - (bench_start or 0)
+    if bench_start is not None and elapsed < budget_s - margin["beam_default"]:
+        try:
+            _mark("beam default (segmented, 600) start")
+            from indextts_tpu.models.gpt_decode import generate_speech_beam_segmented
+
+            gen_bd = GenerationConfig(do_sample=True, num_beams=3, top_k=30, max_new_tokens=600)
+            seg_cache = {}
+
+            def pipeline_beam_default(key):
+                conds = cond_fn(gpt_params, cond_mel, jnp.asarray([COND_FRAMES]))
+                conds_b = jnp.broadcast_to(conds, (BATCH,) + conds.shape[1:])
+                codes, code_lens = generate_speech_beam_segmented(
+                    gpt_params, gpt_cfg, gen_bd, conds_b, text, text_lens, key,
+                    temperature=jnp.float32(1.0), top_p=jnp.float32(0.8),
+                    repetition_penalty=jnp.float32(10.0), jit_cache=seg_cache,
+                )
+                return codes, code_lens
+
+            pipeline_beam_default(jax.random.PRNGKey(40))[0].block_until_ready()  # compile
+            t0 = time.perf_counter()
+            codes_bd, lens_bd = pipeline_beam_default(jax.random.PRNGKey(41))
+            codes_bd.block_until_ready()
+            wall_bd = time.perf_counter() - t0
+            audio_bd = int(np.asarray(lens_bd).sum()) * SAMPLES_PER_CODE / SAMPLE_RATE
+            # decode-only ratio (the latent+vocoder stages are identical to
+            # the beam extra above; this isolates the segmented driver)
+            beam3_default_rtf_inv = round(audio_bd / wall_bd, 2)
+        except Exception:
+            beam3_default_rtf_inv = None
+    rc.record("beam3_default_audio_s_per_s", beam3_default_rtf_inv)
+
+    # beam-3 SERVING decode at the same default config: int8 KV cache +
+    # decode-time latent capture (pos_off=1). Apples-to-apples with
+    # beam3_default above — same segmented lineage driver, but the decode
+    # ALSO emits the winner's latents (_gather_beam_latents), so the
+    # teacher-forced latent stage disappears from the serving pipeline
+    # (late round 3; engine flags quant_kv=True, fast_latents=True).
+    beam3_serving_rtf_inv = None
+    elapsed = time.perf_counter() - (bench_start or 0)
+    if (bench_start is not None and beam3_default_rtf_inv is not None
+            and elapsed < budget_s - margin["beam_default"]):
+        try:
+            _mark("beam serving decode (segmented, capture+quant_kv) start")
+            seg_cache_s = {}
+
+            def pipeline_beam_serving(key):
+                conds = cond_fn(gpt_params, cond_mel, jnp.asarray([COND_FRAMES]))
+                conds_b = jnp.broadcast_to(conds, (BATCH,) + conds.shape[1:])
+                codes, code_lens, lat = generate_speech_beam_segmented(
+                    gpt_params, gpt_cfg, gen_bd, conds_b, text, text_lens, key,
+                    temperature=jnp.float32(1.0), top_p=jnp.float32(0.8),
+                    repetition_penalty=jnp.float32(10.0), jit_cache=seg_cache_s,
+                    quant_kv=True, capture_latents=True, pos_off=1,
+                )
+                return codes, code_lens, lat
+
+            pipeline_beam_serving(jax.random.PRNGKey(50))[0].block_until_ready()  # compile
+            t0 = time.perf_counter()
+            codes_bs, lens_bs, lat_bs = pipeline_beam_serving(jax.random.PRNGKey(51))
+            codes_bs.block_until_ready()
+            lat_bs.block_until_ready()
+            wall_bs = time.perf_counter() - t0
+            audio_bs = int(np.asarray(lens_bs).sum()) * SAMPLES_PER_CODE / SAMPLE_RATE
+            beam3_serving_rtf_inv = round(audio_bs / wall_bs, 2)
+        except Exception:
+            beam3_serving_rtf_inv = None
+    rc.record("beam3_serving_decode_audio_s_per_s", beam3_serving_rtf_inv)
+
+    # beam-3 SERVING **end-to-end** (VERDICT r4 next #4): the segmented
+    # lineage decode in the serving config plus the vocoder over the captured
+    # winner latents — the full pipeline a default beam-3 web request pays
+    # under --fast-latents --quant-kv. fast_latents removes the
+    # teacher-forced latent stage entirely, so e2e = decode + vocoder; the
+    # delta against beam3_serving_decode above IS the vocoder share, which
+    # attributes the historical "beam decode 83-92 vs beam e2e 51-57" gap.
+    beam3_serving_e2e_rtf_inv = None
+    elapsed = time.perf_counter() - (bench_start or 0)
+    if (bench_start is not None and beam3_serving_rtf_inv is not None
+            and elapsed < budget_s - margin["beam_default"]):
+        try:
+            _mark("beam serving e2e start")
+
+            def pipeline_beam_serving_e2e(key):
+                codes, code_lens, lat = pipeline_beam_serving(key)
+                wav = voc_fn(bv_params, lat.astype(dtype),
+                             jnp.broadcast_to(cond_mel, (BATCH,) + cond_mel.shape[1:]))
+                return wav, code_lens
+
+            pipeline_beam_serving_e2e(jax.random.PRNGKey(52))[0].block_until_ready()  # compile
+            t0 = time.perf_counter()
+            wav_bse, lens_bse = pipeline_beam_serving_e2e(jax.random.PRNGKey(53))
+            wav_bse.block_until_ready()
+            wall_bse = time.perf_counter() - t0
+            audio_bse = int(np.asarray(lens_bse).sum()) * SAMPLES_PER_CODE / SAMPLE_RATE
+            beam3_serving_e2e_rtf_inv = round(audio_bse / wall_bse, 2)
+        except Exception:
+            beam3_serving_e2e_rtf_inv = None
+    rc.record("beam3_serving_e2e_audio_s_per_s", beam3_serving_e2e_rtf_inv)
+
+    # int8 KV cache decode-only comparison (VERDICT r2 #4): cache reads are
+    # ~0.9 of the 2.53 ms/step at B8; per-column int8 halves that traffic.
+    quant_kv_rtf_inv = None
+    elapsed = time.perf_counter() - (bench_start or 0)
+    if bench_start is not None and elapsed < budget_s - margin["quant_kv"]:
+        try:
+            _mark("quant_kv decode start")
+            decode_q = jax.jit(partial(generate_speech, cfg=gpt_cfg, gen=gen, quant_kv=True))
+
+            def decode_only_q(key):
+                conds = cond_fn(gpt_params, cond_mel, jnp.asarray([COND_FRAMES]))
+                cb = jnp.broadcast_to(conds, (BATCH,) + conds.shape[1:])
+                return decode_q(
+                    params=gpt_params, conds=cb, text_tokens=text, text_lengths=text_lens,
+                    rng=key, temperature=jnp.float32(1.0), top_p=jnp.float32(0.8),
+                    repetition_penalty=jnp.float32(10.0),
+                )
+
+            decode_only_q(jax.random.PRNGKey(50))[0].block_until_ready()  # compile
+            t0 = time.perf_counter()
+            codes_q, lens_q = decode_only_q(jax.random.PRNGKey(51))
+            codes_q.block_until_ready()
+            wall_q = time.perf_counter() - t0
+            quant_kv_rtf_inv = round(
+                int(np.asarray(lens_q).sum()) * SAMPLES_PER_CODE / SAMPLE_RATE / wall_q, 2
+            )
+        except Exception:
+            quant_kv_rtf_inv = None
+    rc.record("quant_kv_decode_audio_s_per_s", quant_kv_rtf_inv)
+
+    # end-to-end batch scaling (VERDICT round-2 #7): decode-side B=16/32 won
+    # 1.8x/2.6x, but the vocoder scales linearly — report e2e so the serving
+    # batch can be chosen on real numbers. Each point needs a fresh compile
+    # of every stage, so they are budget-gated hardest.
+    # Timing methodology: block_until_ready is cross-validated for THESE
+    # pipeline graphs against the in-graph scalar-reduce + float() recipe
+    # (b32: 3.049 s vs 3.061 s incl. one extra dispatch) — the round-2
+    # "returned early" artifact does not affect the multi-dispatch pipeline.
+    def e2e_at_batch(bb):
+        text_b = jnp.asarray(npr.integers(2, 8000, (bb, TEXT_LEN)), jnp.int32)
+        lens_b = jnp.full((bb,), TEXT_LEN, jnp.int32)
+        # reuse the HEADLINE decode fn (jit re-specializes per batch shape):
+        # a separately-built partial would drop the BENCH_QUANT_KV flag and
+        # make the batch-scaling extras apples-to-oranges vs the headline
+        decode_b = decode_fn
+
+        def pipe(key):
+            conds = cond_fn(gpt_params, cond_mel, jnp.asarray([COND_FRAMES]))
+            cb = jnp.broadcast_to(conds, (bb,) + conds.shape[1:])
+            codes, code_lens = decode_b(
+                params=gpt_params, conds=cb, text_tokens=text_b, text_lengths=lens_b,
+                rng=key, temperature=jnp.float32(1.0), top_p=jnp.float32(0.8),
+                repetition_penalty=jnp.float32(10.0),
+            )
+            latent = latent_fn(gpt_params, cb, text_b, lens_b, codes,
+                               code_lens * gpt_cfg.mel_length_compression)
+            wav = voc_fn(bv_params, latent, jnp.broadcast_to(cond_mel, (bb,) + cond_mel.shape[1:]))
+            return wav, code_lens
+
+        wav_b, lens_out = pipe(jax.random.PRNGKey(30 + bb))
+        wav_b.block_until_ready()  # compile
+        # median of 3 when the cache is warm (chip is ±10% run-to-run;
+        # single-iteration extras were noticeably noisier than the headline)
+        vals = []
+        for it in range(3 if _cache_warm() else 1):
+            t0 = time.perf_counter()
+            wav_b, lens_out = pipe(jax.random.PRNGKey(31 + bb + 100 * it))
+            wav_b.block_until_ready()
+            wall_b = time.perf_counter() - t0
+            audio_b = int(np.asarray(lens_out).sum()) * SAMPLES_PER_CODE / SAMPLE_RATE
+            vals.append(audio_b / wall_b)
+        return round(float(np.median(vals)), 2)
+
+    b16 = b32 = None
+    for bb, gate in ((16, margin["b16"]), (32, margin["b32"])):
+        elapsed = time.perf_counter() - (bench_start or 0)
+        if bench_start is None or elapsed >= budget_s - gate:
+            break
+        try:
+            _mark(f"e2e batch {bb} start")
+            val = e2e_at_batch(bb)
+        except Exception:
+            break
+        if bb == 16:
+            b16 = val
+        else:
+            b32 = val
+    rc.record("b16_audio_s_per_s", b16)
+    rc.record("b32_audio_s_per_s", b32)
+
+    # serving mode at the recommended throughput batches (docs/SERVING.md):
+    # quant_kv + captured latents at B=32 (the plain-extra comparison point)
+    # and B=64 (measured best: ~119 audio-s/s, +8% over B=32). Runs after
+    # the legacy extras so it can only starve itself; needs the serve block
+    # above to have built serve_at_batch.
+    serving_b64_rtf_inv = None
+    serving_b128_rtf_inv = None
+    for bb in (32, 64, 128):
+        elapsed = time.perf_counter() - (bench_start or 0)
+        if (serving_mode_rtf_inv is None or bench_start is None
+                or elapsed >= budget_s - margin["serve"]):
+            break
+        try:
+            _mark(f"serving mode at batch {bb} start")
+            val = serve_at_batch(bb, 70 + bb)
+        except Exception:
+            break
+        if bb == 32:
+            serving_b32_rtf_inv = val
+        elif bb == 64:
+            serving_b64_rtf_inv = val
+        else:
+            serving_b128_rtf_inv = val
+    rc.record("serving_b32_audio_s_per_s", serving_b32_rtf_inv)
+    rc.record("serving_b64_audio_s_per_s", serving_b64_rtf_inv)
+    rc.record("serving_b128_audio_s_per_s", serving_b128_rtf_inv)
+
+    extras = {
+        "platform": platform,
+        "batch": BATCH,
+        "gen_tokens": GEN_TOKENS,
+        "wall_s_per_iter": round(wall, 3),
+        "audio_s_per_iter": round(audio_sec, 2),
+        "compile_s": round(compile_s, 1),
+        "init_s": round(init_s, 1),
+    }
+    # skipped extras are embedded from the last-live-result store; every
+    # embedded value is listed in cached_extras {name: unix ran_at} so the
+    # artifact never conflates live and cached numbers (VERDICT r4 next #1)
+    for name, live in (
+        ("decode_ms_per_step", decode_ms_per_step),
+        ("ttfa_ms", ttfa_ms),
+        ("ttfa_stream_ms", ttfa_stream_ms),
+        ("ttfa_stream_fast_ms", ttfa_stream_fast_ms),
+        ("stream_http_ttfa_ms", stream_http_ttfa_ms),
+        ("serving_mode_audio_s_per_s", serving_mode_rtf_inv),
+        ("serving_b32_audio_s_per_s", serving_b32_rtf_inv),
+        ("serving_b64_audio_s_per_s", serving_b64_rtf_inv),
+        ("serving_b128_audio_s_per_s", serving_b128_rtf_inv),
+        ("slot_decode_ms_per_step", slot_decode_ms_per_step),
+        ("slot_e2e_audio_s_per_s", slot_e2e_rtf_inv),
+        ("beam3_audio_s_per_s", beam3_rtf_inv),
+        ("beam3_decode_audio_s_per_s", beam3_decode_rtf_inv),
+        ("beam3_quant_decode_audio_s_per_s", beam3_quant_decode_rtf_inv),
+        ("beam3_default_audio_s_per_s", beam3_default_rtf_inv),
+        ("beam3_serving_decode_audio_s_per_s", beam3_serving_rtf_inv),
+        ("beam3_serving_e2e_audio_s_per_s", beam3_serving_e2e_rtf_inv),
+        ("quant_kv_decode_audio_s_per_s", quant_kv_rtf_inv),
+        ("b16_audio_s_per_s", b16),
+        ("b32_audio_s_per_s", b32),
+    ):
+        extras[name] = rc.fill(name, live)
+    v_small = rc.fill("verify", verify_small)
+    if isinstance(v_small, dict):
+        extras.update(v_small)
+    vf_filled = rc.fill("verify_flagship", vf)
+    if isinstance(vf_filled, dict):
+        extras.update(vf_filled)
+        if "verify_flagship" in rc.cached_used:
+            extras["verify_flagship_cached"] = True
+    if rc.cached_used:
+        extras["cached_extras"] = {k: round(v, 1) for k, v in rc.cached_used.items()}
 
     result = {
         "metric": "audio_sec_per_sec_per_chip",
         "value": round(rtf_inv, 3),
         "unit": "audio_s/s",
         "vs_baseline": round(rtf_inv / 10.0, 3),
-        "extra": {
-            "platform": platform,
-            "batch": BATCH,
-            "gen_tokens": GEN_TOKENS,
-            "wall_s_per_iter": round(wall, 3),
-            "audio_s_per_iter": round(audio_sec, 2),
-            "ttfa_ms": ttfa_ms,
-            "ttfa_stream_ms": ttfa_stream_ms,
-            "ttfa_stream_fast_ms": ttfa_stream_fast_ms,
-            "beam3_audio_s_per_s": beam3_rtf_inv,
-            "beam3_decode_audio_s_per_s": beam3_decode_rtf_inv,
-            "beam3_quant_decode_audio_s_per_s": beam3_quant_decode_rtf_inv,
-            "quant_kv_decode_audio_s_per_s": quant_kv_rtf_inv,
-            "serving_mode_audio_s_per_s": serving_mode_rtf_inv,
-            "serving_b32_audio_s_per_s": serving_b32_rtf_inv,
-            "serving_b64_audio_s_per_s": serving_b64_rtf_inv,
-            "serving_b128_audio_s_per_s": serving_b128_rtf_inv,
-            "beam3_default_audio_s_per_s": beam3_default_rtf_inv,
-            "beam3_serving_decode_audio_s_per_s": beam3_serving_rtf_inv,
-            "b16_audio_s_per_s": b16,
-            "b32_audio_s_per_s": b32,
-            "slot_decode_ms_per_step": slot_decode_ms_per_step,
-            "slot_e2e_audio_s_per_s": slot_e2e_rtf_inv,
-            "stream_http_ttfa_ms": stream_http_ttfa_ms,
-            "compile_s": round(compile_s, 1),
-            "init_s": round(init_s, 1),
-        },
+        "extra": extras,
     }
-    if verify is not None:
-        result["extra"].update(verify)
     print(json.dumps(result))
 
 
