@@ -105,7 +105,11 @@ def main():
           f"+ head {head_bytes/1e6:.0f} MB, cache bf16 {cache_bytes/1e6:.0f} MB "
           f"int8 {cache_bytes_q/1e6:.0f} MB", flush=True)
 
-    def step_full(x):
+    # NB: every operand rides as a jit ARGUMENT — a closed-over device
+    # array becomes an HLO constant and the 945 MB of weights blow the
+    # remote compiler's request-size limit (HTTP 413, measured)
+
+    def step_full(x, blocks, k2, v2, head_w):
         def body(x, layer):
             layer_p, k2c, v2c = layer
             out, _ = _decode_block(layer_p, x, k2c, v2c, bias, H)
@@ -115,7 +119,7 @@ def main():
         # fold logits back so chained applications stay [B, D] and dependent
         return x * (1.0 + 1e-6 * jnp.tanh(jnp.sum(logits, axis=-1, keepdims=True) * 1e-6)).astype(dtype)
 
-    def step_full_q(x):
+    def step_full_q(x, blocks, k8, ks, v8, vs, head_w):
         def body(x, layer):
             layer_p, k8c, ksc, v8c, vsc = layer
             out, _ = _decode_block_q(layer_p, x, k8c, ksc, v8c, vsc, bias, H)
@@ -124,7 +128,7 @@ def main():
         logits = (x @ head_w).astype(jnp.float32)
         return x * (1.0 + 1e-6 * jnp.tanh(jnp.sum(logits, axis=-1, keepdims=True) * 1e-6)).astype(dtype)
 
-    def step_weights_only(x):
+    def step_weights_only(x, blocks, head_w):
         """The _decode_block weight matmuls with the cache attention elided:
         reads ONLY the stacked weights (+ mel head)."""
         def body(x, layer_p):
@@ -141,7 +145,7 @@ def main():
         logits = (x @ head_w).astype(jnp.float32)
         return x * (1.0 + 1e-6 * jnp.tanh(jnp.sum(logits, axis=-1, keepdims=True) * 1e-6)).astype(dtype)
 
-    def step_cache_only(x):
+    def step_cache_only(x, k2, v2):
         """The _decode_block attention einsums with the weight matmuls
         elided: reads ONLY the bf16 k2/v2 caches."""
         g2 = H // 2
@@ -156,38 +160,41 @@ def main():
         x, _ = jax.lax.scan(body, x, (k2, v2))
         return x
 
-    def slope(fn, x):
+    def slope(fn, x, operands):
         def chain(n):
             @jax.jit
-            def run(y):
+            def run(y, *ops):
                 for _ in range(n):
-                    y = fn(y)
+                    y = fn(y, *ops)
                 return jnp.sum(y.astype(jnp.float32))
             return run
 
         r1, r2 = chain(N1), chain(N2)
-        float(r1(x))  # compile
-        float(r2(x))
+        float(r1(x, *operands))  # compile
+        float(r2(x, *operands))
         t = {}
         for name, r in (("n1", r1), ("n2", r2)):
             samples = []
             for _ in range(5):
                 t0 = time.perf_counter()
-                float(r(x))
+                float(r(x, *operands))
                 samples.append(time.perf_counter() - t0)
             t[name] = float(np.median(samples))
         return (t["n2"] - t["n1"]) / (N2 - N1)
 
     variants = [
-        ("weights_only", step_weights_only, weight_bytes + head_bytes),
-        ("cache_only", step_cache_only, cache_bytes),
-        ("stream_full", step_full, weight_bytes + head_bytes + cache_bytes),
-        ("stream_full_q", step_full_q, weight_bytes + head_bytes + cache_bytes_q),
+        ("weights_only", step_weights_only, (blocks, head_w),
+         weight_bytes + head_bytes),
+        ("cache_only", step_cache_only, (k2, v2), cache_bytes),
+        ("stream_full", step_full, (blocks, k2, v2, head_w),
+         weight_bytes + head_bytes + cache_bytes),
+        ("stream_full_q", step_full_q, (blocks, k8, ks, v8, vs, head_w),
+         weight_bytes + head_bytes + cache_bytes_q),
     ]
     results = {}
-    for tag, fn, nbytes in variants:
+    for tag, fn, operands, nbytes in variants:
         try:
-            t = slope(fn, x0)
+            t = slope(fn, x0, operands)
             results[tag] = {"ms_per_op": round(t * 1e3, 3),
                             "read_mb": round(nbytes / 1e6, 1),
                             "gb_per_s": round(nbytes / t / 1e9, 1)}
