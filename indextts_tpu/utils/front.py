@@ -53,6 +53,11 @@ cat = TestNormalizerWextCategories):
   en times/money/percent/  | _normalize_en               | corpus + cat (en)
     ordinals/cents/ranges/ |                             |
     versions/math/seps     |                             |
+  en dates/decades/phones/ | _normalize_en (round 5)     | TestEnAdversarialCorpusR5
+    fractions/measures/abbr|                             |
+  en electronic (email/URL)| _email/_url rules           | R5 (electronic)
+  en a.m.-p.m./streets/    | abbr + AM/PM + feet rules   | R5 (a.m. / St. / 6'2")
+    feet-inches/#N/4x4/18+ |                             |
 """
 
 from __future__ import annotations
@@ -584,10 +589,61 @@ class TextNormalizer:
         t = re.sub(r"\betc\.", "et cetera", t)
         t = re.sub(r"\bvs\.?(?=\s)", "versus", t)
         t = re.sub(r"\bNo\.\s*(?=\d)", "number ", t)
+        t = re.sub(r"\bProf\.(?=\s+[A-Z])", "Professor", t)
+        # St. is Saint before a capitalized name, Street after one
+        t = re.sub(r"\bSt\.(?=\s+[A-Z])", "Saint", t)
+        t = re.sub(r"(?<=[a-z])\s+St\.(?=\s|$)", " Street", t)
+        t = re.sub(r"\bAve\.(?=\s|$)", "Avenue", t)
+        t = re.sub(r"\bBlvd\.(?=\s|$)", "Boulevard", t)
+        t = re.sub(r"(?<=[a-z])\s+Rd\.(?=\s|$)", " Road", t)
+        t = re.sub(r"\bJr\.(?=\s|[,.]|$)", "Junior", t)
+        t = re.sub(r"\bSr\.(?=\s|[,.]|$)", "Senior", t)
+        # a.m./p.m. -> AM/PM early: the dots otherwise survive into the
+        # sentence splitter (a '.' token mid-utterance forces a split) and
+        # the clock rules below never see a normalized marker
+        # lowercase only: 'A.M.' may be a person's initials (A.M. Turing)
+        t = re.sub(r"\b([ap])\.m\.", lambda m: m.group(1).upper() + "M", t)
+        # electronic (tn.english electronic FST): emails read local at
+        # domain dot tld; URLs read their dots/slashes. Digits inside are
+        # verbalized by the later digit rules.
+        def _email(m):
+            local = (m.group(1).replace(".", " dot ").replace("_", " underscore ")
+                     .replace("+", " plus ").replace("-", " dash "))
+            return local + " at " + m.group(2).replace(".", " dot ")
+
+        t = re.sub(r"\b([A-Za-z0-9._%+-]+)@([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)+)\b",
+                   _email, t)
+
+        def _url(m):
+            u = m.group(0)
+            u = re.sub(r"^https://", "H T T P S colon slash slash ", u)
+            u = re.sub(r"^http://", "H T T P colon slash slash ", u)
+            u = u.replace("www.", "W W W dot ").replace("/", " slash ")
+            return u.replace(".", " dot ")
+
+        t = re.sub(
+            r"\b(?:https?://|www\.)[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)+(?:/[\w./-]*)?",
+            _url, t)
+        t = re.sub(
+            r"\b[A-Za-z0-9-]+\.(?:com|org|net|io|edu|gov|cn|ai|co\.uk)\b(?!\.?[A-Za-z])",
+            lambda m: m.group(0).replace(".", " dot "), t)
+        # feet-and-inches: 5'11" -> five foot eleven
+        t = re.sub(r"(?<!\d)(\d{1,2})'(\d{1,2})(?:\"|”|'')(?!\d)",
+                   lambda m: (zh_num.en_integer(int(m.group(1))) + " foot "
+                              + zh_num.en_integer(int(m.group(2)))), t)
+        # '#5' -> 'number 5' (the cardinal rule verbalizes the digits)
+        t = re.sub(r"#(?=\d)", "number ", t)
+        # dimensions and multipliers: 4x4 -> four by four; 3x faster ->
+        # three times (the × math rule below covers the explicit sign)
+        t = re.sub(r"(?<=\d)\s*x\s*(?=\d)", " by ", t)
+        t = re.sub(r"\b(\d+(?:\.\d+)?)x\b",
+                   lambda m: zh_num.en_number(m.group(1)) + " times", t)
         # math operators between digits: 5×3 -> 5 times 3, 1+1=2 -> plus/equals
         t = re.sub(r"(?<=\d)\s*×\s*(?=\d)", " times ", t)
         t = re.sub(r"(?<=\d)\s*\+\s*(?=\d)", " plus ", t)
         t = re.sub(r"(?<=\d)\s*=\s*(?=[-\d])", " equals ", t)
+        # trailing plus: ages 18+ -> eighteen plus (binary plus consumed above)
+        t = re.sub(r"(?<=\d)\+(?!\d)", " plus", t)
         # phone/ID formats read digit-by-digit BEFORE any dash->to rewrite:
         # +1 (212) 555-0123 / (800) 555-0199 / SSN 123-45-6789 /
         # 1-800-555-0199 -> one eight zero zero five five five...

@@ -454,6 +454,31 @@ class TestEnAdversarialCorpusR5:
             # ranges
             ("scores of 98-100", ["ninety eight to one hundred"]),
             ("a 3-5 day delivery window", ["three to five day"]),
+            # electronic (tn.english electronic FST): emails and URLs
+            ("email me at john.doe@example.com today",
+             ["john dot doe at example dot com"]),
+            ("support+tts@example.co.uk replies fast",
+             ["support plus tts at example dot co dot uk"]),
+            ("visit www.example.com for details",
+             ["W W W dot example dot com"]),
+            ("see https://docs.example.org/guide now",
+             ["H T T P S colon slash slash docs dot example dot org slash guide"]),
+            ("the example.com homepage", ["example dot com"]),
+            # a.m./p.m. dotted forms must not split sentences or leak dots
+            ("the train leaves at 8:30 a.m. and returns at 9 p.m.",
+             ["eight thirty AM", "nine PM"]),
+            # street/title abbreviations
+            ("Prof. Miller teaches at noon", ["Professor Miller"]),
+            ("St. Paul was here", ["Saint Paul"]),
+            ("221B Baker St. is famous", ["Baker Street"]),
+            ("5th Ave. is crowded", ["fifth Avenue"]),
+            ("Martin Luther King Jr. spoke", ["Junior"]),
+            # feet-and-inches, #N, dimensions, multipliers, trailing plus
+            ("he is 6'2\" tall", ["six foot two"]),
+            ("the #1 hit of the summer", ["number one"]),
+            ("a 4x4 truck", ["four by four"]),
+            ("3x faster than before", ["three times faster"]),
+            ("rated 18+ only", ["eighteen plus"]),
             # mixed en-zh sentences (router picks the zh path on any CJK,
             # and the zh rules still verbalize the embedded western forms)
             ("GDP增长了3%", ["百分之三"]),
