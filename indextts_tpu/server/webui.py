@@ -882,7 +882,13 @@ def create_app(engine=None, base_dir: Optional[str] = None,
                             for chunk in engine.infer_stream(prompt_mel, text_input, **kwargs):
                                 if cancelled.is_set():
                                     break
-                                pcm = np.clip(chunk * 32767.0, -32767, 32767).astype("<i2")
+                                # NaN passes np.clip and casts to garbage
+                                # PCM with a RuntimeWarning — stream silence
+                                # for non-finite samples instead
+                                pcm = np.clip(
+                                    np.nan_to_num(chunk * 32767.0, nan=0.0,
+                                                  posinf=32767.0, neginf=-32767.0),
+                                    -32767, 32767).astype("<i2")
                                 q.put(pcm.tobytes())
                 except Exception:
                     traceback.print_exc()

@@ -63,6 +63,10 @@ def write_wav(path: str, audio: np.ndarray, sample_rate: int) -> None:
     if audio.ndim == 1:
         audio = audio[None, :]
     if audio.dtype != np.int16:
+        # np.clip passes NaN through, and NaN->int16 is undefined (emits a
+        # RuntimeWarning and garbage PCM); degrade non-finite samples to
+        # silence instead
+        audio = np.nan_to_num(audio, nan=0.0, posinf=32767.0, neginf=-32767.0)
         audio = np.clip(audio, -32767.0, 32767.0).astype(np.int16)
     with wave.open(path, "wb") as w:
         w.setnchannels(audio.shape[0])

@@ -28,6 +28,25 @@ class TestWav:
         assert back.shape == (1, sr)
         assert np.abs(back[0] - audio).max() < 1e-3
 
+    def test_write_wav_sanitizes_non_finite(self, tmp_path):
+        """NaN/inf samples degrade to silence/clipped PCM, never to the
+        undefined NaN->int16 cast (RuntimeWarning + garbage audio)."""
+        import warnings
+
+        sr = 24000
+        audio = np.zeros((1, 100), np.float32)
+        audio[0, 10] = np.nan
+        audio[0, 20] = np.inf
+        audio[0, 30] = -np.inf
+        path = str(tmp_path / "n.wav")
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # any cast warning fails the test
+            write_wav(path, audio, sr)
+        back, _ = read_wav(path)  # normalized floats
+        assert back[0, 10] == 0
+        assert back[0, 20] > 0.99
+        assert back[0, 30] < -0.99
+
     def test_load_audio_resamples(self, tmp_path):
         sr = 48000
         audio = np.random.default_rng(0).standard_normal(sr).astype(np.float32) * 0.1
