@@ -1143,7 +1143,6 @@ def main():
             _mark("http stream ttfa start")
             import http.client
             import io as _io
-            import struct
             import threading
             import wave
             from wsgiref.simple_server import WSGIRequestHandler, make_server

@@ -11,7 +11,6 @@ missing store degrades to None rather than raising.
 import importlib.util
 import json
 import os
-import sys
 
 import pytest
 
