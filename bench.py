@@ -65,9 +65,11 @@ class ResultsCache:
         self.cached_used = {}
 
     def record(self, name, value):
-        """Store a live measurement; None (extra failed) is not recorded."""
-        if value is None:
-            return None
+        """Store a live measurement; None (extra failed) is not recorded,
+        and non-default bench configs are not persisted (the store only
+        holds default-config numbers)."""
+        if value is None or not DEFAULT_CONFIG:
+            return value
         self.data[name] = {"value": value, "ran_at": time.time()}
         self._save()
         return value
@@ -84,9 +86,12 @@ class ResultsCache:
 
     def fill(self, name, live_value):
         """Live value if the extra ran; else the last live result, noted in
-        cached_used so the output JSON can mark it."""
+        cached_used so the output JSON can mark it. Non-default bench
+        configs never embed (their numbers would not match the store's)."""
         if live_value is not None:
             return live_value
+        if not DEFAULT_CONFIG:
+            return None
         ent = self.data.get(name)
         if ent is None:
             return None
@@ -98,6 +103,10 @@ BATCH = int(os.environ.get("BENCH_BATCH", 8))
 TEXT_LEN = int(os.environ.get("BENCH_TEXT_LEN", 64))
 GEN_TOKENS = int(os.environ.get("BENCH_GEN_TOKENS", 200))
 COND_FRAMES = int(os.environ.get("BENCH_COND_FRAMES", 300))
+# cached-extra embedding is only honest when this run measures the SAME
+# configuration the store's values came from (the default bench config) —
+# a BENCH_BATCH=16 run must not embed batch-8 numbers
+DEFAULT_CONFIG = (BATCH, TEXT_LEN, GEN_TOKENS, COND_FRAMES) == (8, 64, 200, 300)
 SAMPLE_RATE = 24000
 SAMPLES_PER_CODE = 1024
 

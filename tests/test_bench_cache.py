@@ -83,6 +83,18 @@ class TestResultsCache:
         rc2 = bench.ResultsCache()
         assert rc2.fill("x_ms", None) is None
 
+    def test_non_default_config_neither_records_nor_embeds(self, bench, monkeypatch):
+        """A BENCH_BATCH=16 (etc.) run must not embed default-config numbers
+        nor pollute the store with its own."""
+        bench.ResultsCache().record("x_ms", 5.0)  # default-config store entry
+        monkeypatch.setattr(bench, "DEFAULT_CONFIG", False)
+        rc = bench.ResultsCache()
+        assert rc.fill("x_ms", None) is None  # no embedding
+        assert rc.fill("x_ms", 9.0) == 9.0  # live still wins
+        rc.record("x_ms", 9.0)  # must NOT overwrite the store
+        monkeypatch.setattr(bench, "DEFAULT_CONFIG", True)
+        assert bench.ResultsCache().fill("x_ms", None) == 5.0
+
     def test_dict_results_round_trip(self, bench):
         v = {"verify_flagship_ok": True, "verify_flagship_wav_rel": 0.011}
         bench.ResultsCache().record("verify_flagship", v)
